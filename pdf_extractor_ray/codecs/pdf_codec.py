@@ -1,0 +1,873 @@
+"""From-scratch PDF layout parser (no pdfplumber/pypdf in this env).
+
+Replaces the reference's pdfplumber-based page loop (reference:
+extractor/extractors/pdf_text_extractor.py:58-217) with a pure-Python
+codec suitable for ``map_batches`` over Arrow batches:
+
+- xref/object parser with a brute-force object-scan fallback for
+  corrupt/truncated xref tables (degrade-and-continue, mirroring the
+  reference's swallow policy at pdf_text_extractor.py:195-198)
+- FlateDecode via stdlib ``zlib``
+- content-stream tokenizer for the text operators
+  ``BT ET Tf Td TD TL T* Tm Tj TJ ' "`` and path operators
+  ``m l re S s B b f`` (ruled lines for tables)
+- WinAnsi/Latin-1 simple-font string decode with per-codec font-object
+  cache (the actor-pool warm state; analogue of pdfplumber's internal
+  per-document font caches, reference: pdf_text_extractor.py:100,146)
+- column-aware y-then-x reading order: chunks are clustered into
+  vertical columns when a clean whitespace gutter exists, then lines
+  are assembled top-down per column (north-rule "column-aware y-x
+  block sort")
+- ruled-line table grid reconstruction (the ``lines_strict`` analogue
+  of the reference's table settings, pdf_text_extractor.py:183-192):
+  horizontal+vertical rules snapped with tolerance 5 → cell grid →
+  ragged ``tables`` list (tables → rows → cells, nullable cells,
+  reference: extractor/models/base.py:39-42)
+
+Partitioning assumption: one document per row; all state is
+document-local so rows parse embarrassingly parallel.
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# geometry tolerances (points)
+LINE_Y_TOL = 3.0  # chunks within this y-delta share a text line
+SNAP_TOL = 5.0  # ruling-line snap tolerance (reference uses 5)
+COLUMN_MIN_GAP = 24.0  # min whitespace gutter width to split columns
+TJ_SPACE_THRESHOLD = -90.0  # TJ adjustment (thousandths) that implies a space
+AVG_CHAR_WIDTH_EM = 0.5  # Helvetica-ish average advance per char
+
+
+class PdfParseError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# object model
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+@dataclass
+class StreamObj:
+    dict: dict
+    raw: bytes
+
+    def data(self, resolver) -> bytes:
+        filt = resolver(self.dict.get("Filter"))
+        raw = self.raw
+        length = resolver(self.dict.get("Length"))
+        if isinstance(length, int) and 0 <= length <= len(raw):
+            raw = raw[:length]
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            name = resolver(f)
+            if name == "FlateDecode":
+                raw = zlib.decompress(raw)
+            elif name in (None,):
+                pass
+            else:
+                raise PdfParseError(f"unsupported filter {name!r}")
+        return raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over a PDF object byte region."""
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                while self.pos < n and buf[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def parse_object(self):
+        self._skip_ws()
+        buf, n = self.buf, len(self.buf)
+        if self.pos >= n:
+            raise PdfParseError("eof")
+        c = buf[self.pos]
+        if c == 0x2F:  # /Name
+            return self._parse_name()
+        if c == 0x28:  # (string)
+            return self._parse_literal_string()
+        if c == 0x3C:  # << dict or <hex>
+            if buf.startswith(b"<<", self.pos):
+                return self._parse_dict()
+            return self._parse_hex_string()
+        if c == 0x5B:  # [ array ]
+            return self._parse_array()
+        if buf.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if buf.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if buf.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_name(self) -> str:
+        self.pos += 1
+        buf, n = self.buf, len(self.buf)
+        start = self.pos
+        out = []
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < n:  # #xx escape
+                out.append(buf[start : self.pos])
+                out.append(bytes([int(buf[self.pos + 1 : self.pos + 3], 16)]))
+                self.pos += 3
+                start = self.pos
+            else:
+                self.pos += 1
+        out.append(buf[start : self.pos])
+        return b"".join(out).decode("latin-1")
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1
+        buf, n = self.buf, len(self.buf)
+        depth = 1
+        out = bytearray()
+        while self.pos < n:
+            c = buf[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = buf[self.pos]
+                mapping = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+                if e in mapping:
+                    out.append(mapping[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    while self.pos < n and len(oct_digits) < 3 and 0x30 <= buf[self.pos] <= 0x37:
+                        oct_digits.append(buf[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and buf[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    break
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.buf.find(b">", self.pos)
+        if end < 0:
+            raise PdfParseError("unterminated hex string")
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.buf[self.pos : end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.buf):
+                raise PdfParseError("unterminated array")
+            if self.buf[self.pos] == 0x5D:
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.buf.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            if self.pos >= len(self.buf):
+                raise PdfParseError("unterminated dict")
+            key = self.parse_object()
+            val = self.parse_object()
+            if isinstance(key, str):
+                out[key] = val
+
+    _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+    def _parse_number_or_ref(self):
+        m = self._NUM_RE.match(self.buf, self.pos)
+        if not m:
+            raise PdfParseError(f"bad token at {self.pos}: {self.buf[self.pos:self.pos+16]!r}")
+        tok = m.group()
+        self.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        # might be "N G R" indirect reference
+        save = self.pos
+        self._skip_ws()
+        m2 = self._NUM_RE.match(self.buf, self.pos)
+        if m2 and b"." not in m2.group():
+            after = m2.end()
+            k = after
+            while k < len(self.buf) and self.buf[k] in _WS:
+                k += 1
+            if k < len(self.buf) and self.buf[k : k + 1] == b"R" and (
+                k + 1 >= len(self.buf) or self.buf[k + 1] in _WS or self.buf[k + 1] in _DELIM
+            ):
+                self.pos = k + 1
+                return Ref(int(tok), int(m2.group()))
+        self.pos = save
+        return int(tok)
+
+
+# --------------------------------------------------------------------------
+# document
+# --------------------------------------------------------------------------
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _PdfDocument:
+    """Parsed object store; resolves references lazily with a cache.
+
+    The cache dict is the per-document analogue of pdfplumber's internal
+    font/object caches (SURVEY.md A4); a ``PdfCodec`` held in an actor
+    pool reuses the codec instance while each document's cache is local.
+    """
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.offsets: Dict[int, int] = {}
+        self._cache: Dict[int, object] = {}
+        if not data.startswith(b"%PDF-"):
+            raise PdfParseError("missing %PDF header")
+        if not self._load_xref():
+            self._scan_objects()
+        if not self.offsets:
+            raise PdfParseError("no objects found")
+        self.trailer = self._find_trailer()
+
+    # -- xref / scan ------------------------------------------------------
+    def _load_xref(self) -> bool:
+        tail = self.data[-256:]
+        m = re.search(rb"startxref\s+(\d+)", tail)
+        if not m:
+            return False
+        try:
+            pos = int(m.group(1))
+            if pos >= len(self.data) or not self.data.startswith(b"xref", pos):
+                return False
+            lex_pos = pos + 4
+            sec_re = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
+            entry_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
+            while True:
+                m2 = sec_re.match(self.data, lex_pos)
+                if not m2:
+                    break
+                start, count = int(m2.group(1)), int(m2.group(2))
+                p = m2.end()
+                for i in range(count):
+                    e = entry_re.match(self.data, p)
+                    if not e:
+                        return False
+                    if e.group(3) == b"n":
+                        off = int(e.group(1))
+                        num = start + i
+                        if off < len(self.data):
+                            self.offsets[num] = off
+                    p = e.end()
+                lex_pos = p
+            return bool(self.offsets)
+        except Exception:
+            return False
+
+    def _scan_objects(self) -> None:
+        """Brute-force recovery: find every ``N G obj`` in the file.
+
+        Handles truncated/corrupt xref tables (FIXTURES.md F1 edge rows)
+        the way real-world crawler shards require.
+        """
+        for m in _OBJ_RE.finditer(self.data):
+            self.offsets[int(m.group(1))] = m.start()
+
+    def _find_trailer(self) -> dict:
+        idx = self.data.rfind(b"trailer")
+        if idx >= 0:
+            lex = _Lexer(self.data, idx + len(b"trailer"))
+            try:
+                t = lex.parse_object()
+                if isinstance(t, dict) and "Root" in t:
+                    return t
+            except PdfParseError:
+                pass
+        # fallback: find the catalog by scanning objects
+        for num in self.offsets:
+            try:
+                obj = self.get(num)
+            except PdfParseError:
+                continue
+            d = obj.dict if isinstance(obj, StreamObj) else obj
+            if isinstance(d, dict) and d.get("Type") == "Catalog":
+                return {"Root": Ref(num, 0)}
+        raise PdfParseError("no trailer / catalog")
+
+    # -- object access ----------------------------------------------------
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            raise PdfParseError(f"missing object {num}")
+        m = _OBJ_RE.match(self.data, off)
+        if not m:
+            raise PdfParseError(f"bad object header at {off}")
+        lex = _Lexer(self.data, m.end())
+        obj = lex.parse_object()
+        lex._skip_ws()
+        if self.data.startswith(b"stream", lex.pos):
+            p = lex.pos + len(b"stream")
+            if self.data.startswith(b"\r\n", p):
+                p += 2
+            elif self.data.startswith(b"\n", p) or self.data.startswith(b"\r", p):
+                p += 1
+            end = self.data.find(b"endstream", p)
+            if end < 0:
+                end = len(self.data)
+            raw = self.data[p:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+            obj = StreamObj(dict=obj if isinstance(obj, dict) else {}, raw=raw)
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, Ref):
+            obj = self.get(obj.num)
+            seen += 1
+            if seen > 32:
+                raise PdfParseError("reference loop")
+        return obj
+
+    # -- page tree --------------------------------------------------------
+    def pages(self) -> List[dict]:
+        root = self.resolve(self.trailer["Root"])
+        if not isinstance(root, dict):
+            raise PdfParseError("bad catalog")
+        out: List[dict] = []
+        stack = [(self.resolve(root.get("Pages")), {})]
+        guard = 0
+        while stack:
+            guard += 1
+            if guard > 10000:
+                raise PdfParseError("page tree too deep")
+            node, inherited = stack.pop()
+            if not isinstance(node, dict):
+                continue
+            inh = dict(inherited)
+            for k in ("MediaBox", "Resources"):
+                if k in node:
+                    inh[k] = node[k]
+            if node.get("Type") == "Page":
+                page = dict(node)
+                for k, v in inh.items():
+                    page.setdefault(k, v)
+                out.append(page)
+            else:
+                kids = self.resolve(node.get("Kids")) or []
+                for kid in reversed(kids):
+                    stack.append((self.resolve(kid), inh))
+        return out
+
+    def content_bytes(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        streams = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for s in streams:
+            s = self.resolve(s)
+            if isinstance(s, StreamObj):
+                parts.append(s.data(self.resolve))
+        return b"\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# content-stream interpretation
+# --------------------------------------------------------------------------
+@dataclass
+class Chunk:
+    x: float
+    y: float
+    size: float
+    text: str
+
+    @property
+    def x1(self) -> float:
+        return self.x + len(self.text) * self.size * AVG_CHAR_WIDTH_EM
+
+
+# WinAnsiEncoding differences from Latin-1 in the 0x80-0x9F range
+_WINANSI_HIGH = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _decode_winansi(b: bytes) -> str:
+    return "".join(_WINANSI_HIGH.get(c, chr(c)) for c in b)
+
+
+_CS_TOKEN = re.compile(
+    rb"""
+    (?P<str>\() | (?P<hex><[0-9A-Fa-f\s]*>) | (?P<arr_open>\[) | (?P<arr_close>\])
+    | (?P<name>/[^\s()<>\[\]{}/%]*)
+    | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+    | (?P<op>[A-Za-z'"*]{1,3})
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_content(buf: bytes):
+    """Yield ('num'|'name'|'str'|'op'|'arr', value) tokens."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS:
+            pos += 1
+            continue
+        if c == 0x25:  # comment
+            while pos < n and buf[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        if c == 0x28:
+            lex = _Lexer(buf, pos)
+            s = lex._parse_literal_string()
+            pos = lex.pos
+            yield ("str", s)
+            continue
+        m = _CS_TOKEN.match(buf, pos)
+        if not m:
+            pos += 1  # skip junk byte (degrade)
+            continue
+        pos = m.end()
+        if m.lastgroup == "hex":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", m.group())
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
+        elif m.lastgroup == "name":
+            yield ("name", m.group()[1:].decode("latin-1"))
+        elif m.lastgroup == "num":
+            g = m.group()
+            yield ("num", float(g) if b"." in g else int(g))
+        elif m.lastgroup == "arr_open":
+            yield ("arr_open", None)
+        elif m.lastgroup == "arr_close":
+            yield ("arr_close", None)
+        else:
+            yield ("op", m.group().decode("latin-1"))
+
+
+@dataclass
+class _TextState:
+    size: float = 12.0
+    leading: float = 0.0
+    tm: Tuple[float, float, float, float, float, float] = (1, 0, 0, 1, 0, 0)
+    tlm: Tuple[float, float, float, float, float, float] = (1, 0, 0, 1, 0, 0)
+
+
+def _mat_translate(m, tx, ty):
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
+def _interpret_content(buf: bytes) -> Tuple[List[Chunk], List[Tuple[float, float, float, float]]]:
+    """Run the content stream; return text chunks and ruled line segments."""
+    chunks: List[Chunk] = []
+    rules: List[Tuple[float, float, float, float]] = []
+    st = _TextState()
+    stack: list = []
+    in_array: Optional[list] = None
+    path_start: Optional[Tuple[float, float]] = None
+    cur_pt: Optional[Tuple[float, float]] = None
+    pending_segs: List[Tuple[float, float, float, float]] = []
+
+    def show(s: bytes) -> None:
+        text = _decode_winansi(s)
+        if text:
+            chunks.append(Chunk(x=st.tm[4], y=st.tm[5], size=st.size, text=text))
+            # advance e by an estimated width so consecutive Tj on one
+            # line don't overlap (estimate only affects intra-line order)
+            w = len(text) * st.size * AVG_CHAR_WIDTH_EM
+            st.tm = (*st.tm[:4], st.tm[4] + w, st.tm[5])
+
+    def show_tj(arr: list) -> None:
+        parts: List[str] = []
+        for el in arr:
+            if isinstance(el, bytes):
+                parts.append(_decode_winansi(el))
+            elif isinstance(el, (int, float)) and el <= TJ_SPACE_THRESHOLD:
+                parts.append(" ")
+        text = "".join(parts)
+        if text:
+            chunks.append(Chunk(x=st.tm[4], y=st.tm[5], size=st.size, text=text))
+            w = len(text) * st.size * AVG_CHAR_WIDTH_EM
+            st.tm = (*st.tm[:4], st.tm[4] + w, st.tm[5])
+
+    for kind, val in _tokenize_content(buf):
+        if kind == "arr_open":
+            in_array = []
+            continue
+        if kind == "arr_close":
+            stack.append(in_array if in_array is not None else [])
+            in_array = None
+            continue
+        if in_array is not None:
+            if kind in ("num", "str", "name"):
+                in_array.append(val)
+            continue
+        if kind in ("num", "str", "name"):
+            stack.append(val)
+            continue
+        # operator
+        op = val
+        try:
+            if op == "BT":
+                st.tm = st.tlm = (1, 0, 0, 1, 0, 0)
+            elif op == "ET":
+                pass
+            elif op == "Tf" and len(stack) >= 2:
+                st.size = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                st.tlm = _mat_translate(st.tlm, float(stack[-2]), float(stack[-1]))
+                st.tm = st.tlm
+            elif op == "TD" and len(stack) >= 2:
+                st.leading = -float(stack[-1])
+                st.tlm = _mat_translate(st.tlm, float(stack[-2]), float(stack[-1]))
+                st.tm = st.tlm
+            elif op == "TL" and stack:
+                st.leading = float(stack[-1])
+            elif op == "T*":
+                st.tlm = _mat_translate(st.tlm, 0.0, -st.leading)
+                st.tm = st.tlm
+            elif op == "Tm" and len(stack) >= 6:
+                st.tm = st.tlm = tuple(float(v) for v in stack[-6:])  # type: ignore
+            elif op == "Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                show_tj(stack[-1])
+            elif op == "'" and stack and isinstance(stack[-1], bytes):
+                st.tlm = _mat_translate(st.tlm, 0.0, -st.leading)
+                st.tm = st.tlm
+                show(stack[-1])
+            elif op == '"' and len(stack) >= 3 and isinstance(stack[-1], bytes):
+                st.tlm = _mat_translate(st.tlm, 0.0, -st.leading)
+                st.tm = st.tlm
+                show(stack[-1])
+            elif op == "m" and len(stack) >= 2:
+                cur_pt = path_start = (float(stack[-2]), float(stack[-1]))
+            elif op == "l" and len(stack) >= 2 and cur_pt is not None:
+                pt = (float(stack[-2]), float(stack[-1]))
+                pending_segs.append((cur_pt[0], cur_pt[1], pt[0], pt[1]))
+                cur_pt = pt
+            elif op == "re" and len(stack) >= 4:
+                x, y, w, h = (float(v) for v in stack[-4:])
+                pending_segs.extend(
+                    [
+                        (x, y, x + w, y),
+                        (x, y + h, x + w, y + h),
+                        (x, y, x, y + h),
+                        (x + w, y, x + w, y + h),
+                    ]
+                )
+            elif op in ("S", "s", "B", "b", "f", "F", "b*", "B*", "f*"):
+                rules.extend(pending_segs)
+                pending_segs = []
+                cur_pt = path_start = None
+            elif op == "n":
+                pending_segs = []
+                cur_pt = path_start = None
+        except (TypeError, ValueError):
+            pass  # malformed operands: degrade, keep going
+        stack.clear()
+    return chunks, rules
+
+
+# --------------------------------------------------------------------------
+# layout: columns, lines, tables
+# --------------------------------------------------------------------------
+def _split_columns(chunks: List[Chunk]) -> List[List[Chunk]]:
+    """Split chunks into vertical columns at clean whitespace gutters.
+
+    A gutter is an x-interval of width >= COLUMN_MIN_GAP crossed by no
+    chunk, with chunks on both sides whose y-ranges overlap (so a
+    full-width title above two columns does not force a split).
+    Assumption documented per the build brief: column layouts have a
+    clean gutter; chunks spanning the gutter suppress the split.
+    """
+    if len(chunks) < 6:
+        return [chunks]
+    events = sorted((c.x, c.x1) for c in chunks)
+    # sweep for gaps in the union of x-intervals
+    gaps: List[Tuple[float, float]] = []
+    cur_end = events[0][1]
+    for x0, x1 in events[1:]:
+        if x0 > cur_end + COLUMN_MIN_GAP:
+            gaps.append((cur_end, x0))
+        cur_end = max(cur_end, x1)
+    if not gaps:
+        return [chunks]
+    # use the widest gap
+    gap = max(gaps, key=lambda g: g[1] - g[0])
+    mid = (gap[0] + gap[1]) / 2
+    left = [c for c in chunks if c.x1 <= mid]
+    right = [c for c in chunks if c.x >= mid]
+    if len(left) < 3 or len(right) < 3:
+        return [chunks]
+    ly = (min(c.y for c in left), max(c.y for c in left))
+    ry = (min(c.y for c in right), max(c.y for c in right))
+    overlap = min(ly[1], ry[1]) - max(ly[0], ry[0])
+    span = max(ly[1], ry[1]) - min(ly[0], ry[0])
+    if span <= 0 or overlap / span < 0.5:
+        return [chunks]
+    return [_c for col in (left, right) for _c in [col]]
+
+
+def _assemble_lines(chunks: List[Chunk]) -> List[str]:
+    """Group chunks into text lines: cluster by y (tol), sort y desc, x asc."""
+    if not chunks:
+        return []
+    chunks = sorted(chunks, key=lambda c: (-c.y, c.x))
+    lines: List[List[Chunk]] = []
+    for c in chunks:
+        if lines and abs(lines[-1][0].y - c.y) <= LINE_Y_TOL:
+            lines[-1].append(c)
+        else:
+            lines.append([c])
+    out = []
+    for line in lines:
+        line.sort(key=lambda c: c.x)
+        parts = [line[0].text]
+        for prev, cur in zip(line, line[1:]):
+            gap = cur.x - prev.x1
+            if gap > prev.size * 0.18 and not parts[-1].endswith(" ") and not cur.text.startswith(" "):
+                parts.append(" ")
+            parts.append(cur.text)
+        out.append("".join(parts).rstrip())
+    return out
+
+
+def _snap(values: Sequence[float], tol: float) -> List[float]:
+    """Cluster near-equal coordinates; return sorted cluster centers."""
+    out: List[float] = []
+    for v in sorted(values):
+        if out and v - out[-1] <= tol:
+            continue
+        out.append(v)
+    return out
+
+
+def _extract_tables(
+    chunks: List[Chunk], rules: List[Tuple[float, float, float, float]]
+) -> Tuple[List[List[List[Optional[str]]]], List[Chunk]]:
+    """Reconstruct ruled tables (lines_strict analogue).
+
+    Returns (tables, leftover_chunks_outside_tables). Cells with no text
+    are None (nullable cells, reference models/base.py:39-42).
+    """
+    horiz = [r for r in rules if abs(r[1] - r[3]) <= SNAP_TOL and abs(r[0] - r[2]) > SNAP_TOL]
+    vert = [r for r in rules if abs(r[0] - r[2]) <= SNAP_TOL and abs(r[1] - r[3]) > SNAP_TOL]
+    if len(horiz) < 2 or len(vert) < 2:
+        return [], chunks
+    ys = _snap([r[1] for r in horiz], SNAP_TOL)
+    xs = _snap([r[0] for r in vert], SNAP_TOL)
+    if len(ys) < 2 or len(xs) < 2:
+        return [], chunks
+    x_lo, x_hi = xs[0], xs[-1]
+    y_lo, y_hi = ys[0], ys[-1]
+    n_rows = len(ys) - 1
+    n_cols = len(xs) - 1
+    grid: List[List[List[str]]] = [[[] for _ in range(n_cols)] for _ in range(n_rows)]
+    leftover: List[Chunk] = []
+    ys_desc = list(reversed(ys))  # top (max y) first = row 0
+    for c in chunks:
+        cx, cy = c.x, c.y
+        if not (x_lo - SNAP_TOL <= cx <= x_hi + SNAP_TOL and y_lo - SNAP_TOL <= cy <= y_hi + SNAP_TOL):
+            leftover.append(c)
+            continue
+        ri = ci = None
+        for r in range(n_rows):
+            if ys_desc[r + 1] - SNAP_TOL <= cy <= ys_desc[r] + SNAP_TOL:
+                ri = r
+                break
+        for k in range(n_cols):
+            hi = xs[k + 1] + (SNAP_TOL if k == n_cols - 1 else -SNAP_TOL)
+            if xs[k] - SNAP_TOL <= cx < hi:
+                ci = k
+                break
+        if ri is None or ci is None:
+            leftover.append(c)
+            continue
+        grid[ri][ci].append(c)
+    table: List[List[Optional[str]]] = []
+    for r in range(n_rows):
+        row: List[Optional[str]] = []
+        for k in range(n_cols):
+            cell_chunks = grid[r][k]
+            if not cell_chunks:
+                row.append(None)
+            else:
+                row.append(" ".join(_assemble_lines(cell_chunks)))
+        table.append(row)
+    return [table], leftover
+
+
+# table-indicator gate thresholds (reference pdf_text_extractor.py:167-182)
+def has_table_indicators(text: str) -> bool:
+    return "\t" in text or text.count("|") > 15 or text.count("│") > 8
+
+
+# --------------------------------------------------------------------------
+# public codec
+# --------------------------------------------------------------------------
+@dataclass
+class PdfPageResult:
+    page_num: int  # 1-based, as in the reference page records
+    text: str
+    width: float
+    height: float
+    tables: List[List[List[Optional[str]]]] = field(default_factory=list)
+
+
+@dataclass
+class PdfExtraction:
+    text: str
+    pages: List[PdfPageResult] = field(default_factory=list)
+    spans: List[Tuple[int, int, int, str]] = field(default_factory=list)
+    status: str = "ok"
+
+    @property
+    def tables(self) -> List[List[List[Optional[str]]]]:
+        return [t for p in self.pages for t in p.tables]
+
+
+class PdfCodec:
+    """Stateless-per-document PDF → (text, pages, tables, spans) codec.
+
+    Use as an actor-pool ``map_batches`` class so per-instance caches
+    (none cross-document today; the slot exists for font programs) are
+    amortized across batches.
+    """
+
+    def __init__(self, extract_tables: bool = True) -> None:
+        self.extract_tables = extract_tables
+
+    def extract(self, payload: bytes) -> PdfExtraction:
+        try:
+            doc = _PdfDocument(payload)
+            pages_raw = doc.pages()
+        except Exception:
+            return PdfExtraction(text="", status="parse_error")
+        if not pages_raw:
+            return PdfExtraction(text="", status="empty")
+
+        page_results: List[PdfPageResult] = []
+        for i, page in enumerate(pages_raw):
+            try:
+                mediabox = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+                width = float(doc.resolve(mediabox[2])) - float(doc.resolve(mediabox[0]))
+                height = float(doc.resolve(mediabox[3])) - float(doc.resolve(mediabox[1]))
+            except Exception:
+                width, height = 612.0, 792.0
+            try:
+                content = doc.content_bytes(page)
+                chunks, rules = _interpret_content(content)
+                tables: List[List[List[Optional[str]]]] = []
+                if self.extract_tables and rules:
+                    tables, chunks = _extract_tables(chunks, rules)
+                lines: List[str] = []
+                for col in _split_columns(chunks):
+                    lines.extend(_assemble_lines(col))
+                for t in tables:
+                    for row in t:
+                        lines.append(" | ".join(c if c is not None else "" for c in row))
+                text = "\n".join(lines)
+            except Exception:
+                # per-page degrade (reference swallows table/page errors,
+                # pdf_text_extractor.py:161-163, 195-198)
+                text, tables = "", []
+            page_results.append(
+                PdfPageResult(page_num=i + 1, text=text, width=width, height=height, tables=tables)
+            )
+
+        # document text = pages joined by \n\n (reference combine_pages_text,
+        # extractor/utils/helpers.py:53-64); spans = one per page line
+        parts: List[str] = []
+        spans: List[Tuple[int, int, int, str]] = []
+        off = 0
+        block_id = 0
+        any_text = False
+        for pi, pr in enumerate(page_results):
+            if pi and parts:
+                off += 2  # "\n\n"
+            page_lines = pr.text.split("\n") if pr.text else []
+            for li, line in enumerate(page_lines):
+                if li:
+                    off += 1  # "\n"
+                nbytes = len(line.encode("utf-8"))
+                spans.append((block_id, off, off + nbytes, "line"))
+                block_id += 1
+                off += nbytes
+                any_text = True
+            parts.append(pr.text)
+        text = "\n\n".join(parts)
+        status = "ok" if any_text and text.strip() else "empty"
+        return PdfExtraction(text=text, pages=page_results, spans=spans, status=status)

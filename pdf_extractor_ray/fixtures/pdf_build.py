@@ -1,0 +1,192 @@
+"""Hand-authored minimal PDF 1.4 writer for fixtures.
+
+We author content streams byte-by-byte so golden text is known at
+generation time (SURVEY.md §5.2 / FIXTURES.md F1b).  Feature surface is
+deliberately small and fully controlled: catalog/pages/page objects,
+one Flate-compressed content stream per page, Helvetica (simple Type1
+font, standard widths), text operators ``BT ET Tf Td TD TL T* Tm Tj TJ``
+and path operators ``m l re S`` for ruled tables.
+
+This module exists only to BUILD test inputs; the from-scratch parser
+lives in ``codecs/pdf_codec.py``.
+"""
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+
+@dataclass
+class PdfPage:
+    width: float = 612.0
+    height: float = 792.0
+    # text chunks: (x, y, font_size, text)
+    texts: List[Tuple[float, float, float, str]] = field(default_factory=list)
+    # ruled line segments for tables: (x1, y1, x2, y2)
+    rules: List[Tuple[float, float, float, float]] = field(default_factory=list)
+    use_tj_array: bool = False  # exercise the TJ operator path
+    use_leading: bool = False  # exercise TL / T* line advances
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.2f}".rstrip("0").rstrip(".")
+
+
+def _content_stream(page: PdfPage) -> bytes:
+    ops: List[str] = []
+    for x1, y1, x2, y2 in page.rules:
+        ops.append(f"{_fmt(x1)} {_fmt(y1)} m {_fmt(x2)} {_fmt(y2)} l S")
+    if page.use_leading and page.texts:
+        # one BT block: first Td positions, T* advances by leading
+        x0, y0, size, _ = page.texts[0]
+        leading = 0.0
+        if len(page.texts) > 1:
+            leading = page.texts[0][1] - page.texts[1][1]
+        ops.append("BT")
+        ops.append(f"/F1 {_fmt(size)} Tf")
+        ops.append(f"{_fmt(leading)} TL")
+        ops.append(f"{_fmt(x0)} {_fmt(y0)} Td")
+        for i, (x, y, sz, text) in enumerate(page.texts):
+            if i:
+                ops.append("T*")
+            ops.append(f"({_esc(text)}) Tj")
+        ops.append("ET")
+    else:
+        for x, y, size, text in page.texts:
+            ops.append("BT")
+            ops.append(f"/F1 {_fmt(size)} Tf")
+            ops.append(f"{_fmt(x)} {_fmt(y)} Td")
+            if page.use_tj_array:
+                words = text.split(" ")
+                parts = []
+                for i, w in enumerate(words):
+                    if i:
+                        parts.append("-278")  # one space advance (thousandths)
+                    parts.append(f"({_esc(w)})")
+                ops.append(f"[{' '.join(parts)}] TJ")
+            else:
+                ops.append(f"({_esc(text)}) Tj")
+            ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def build_pdf(
+    pages: Sequence[PdfPage], compress: bool = True, truncate_at: int | None = None
+) -> bytes:
+    """Serialize pages into a complete PDF 1.4 file (correct xref).
+
+    ``truncate_at`` chops the output to simulate a corrupt shard
+    (FIXTURES.md F1 edge rows).
+    """
+    objects: List[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # obj 2
+    for i, page in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {_fmt(page.width)} {_fmt(page.height)}] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        data = _content_stream(page)
+        if compress:
+            data = zlib.compress(data)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )  # font obj
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    n = len(objects) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    result = bytes(out)
+    if truncate_at is not None:
+        result = result[:truncate_at]
+    return result
+
+
+def simple_text_pdf(
+    page_lines: Sequence[Sequence[str]],
+    size: float = 12.0,
+    use_tj: bool = False,
+    use_leading: bool = False,
+) -> bytes:
+    """One text chunk per line, single column, top-down."""
+    pages = []
+    for lines in page_lines:
+        texts = [
+            (72.0, 720.0 - i * (size * 1.4), size, line)
+            for i, line in enumerate(lines)
+        ]
+        pages.append(PdfPage(texts=texts, use_tj_array=use_tj, use_leading=use_leading))
+    return build_pdf(pages)
+
+
+def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0) -> bytes:
+    """Two-column page: reading order = all left lines, then all right."""
+    texts = []
+    for i, line in enumerate(left):
+        texts.append((50.0, 720.0 - i * (size * 1.4), size, line))
+    for i, line in enumerate(right):
+        texts.append((330.0, 720.0 - i * (size * 1.4), size, line))
+    return build_pdf([PdfPage(texts=texts)])
+
+
+def table_pdf(
+    rows: Sequence[Sequence[str]],
+    prefix_lines: Sequence[str] = (),
+    size: float = 10.0,
+) -> bytes:
+    """Page with a ruled table grid (plus optional prose above it)."""
+    texts = []
+    y = 740.0
+    for line in prefix_lines:
+        texts.append((72.0, y, size, line))
+        y -= size * 1.6
+    n_rows = len(rows)
+    n_cols = max(len(r) for r in rows)
+    x0, row_h, col_w = 72.0, 24.0, 110.0
+    top = y - 10.0
+    rules: List[Tuple[float, float, float, float]] = []
+    for r in range(n_rows + 1):
+        yy = top - r * row_h
+        rules.append((x0, yy, x0 + n_cols * col_w, yy))
+    for c in range(n_cols + 1):
+        xx = x0 + c * col_w
+        rules.append((xx, top, xx, top - n_rows * row_h))
+    for r, row in enumerate(rows):
+        cy = top - r * row_h - row_h * 0.7
+        for c, cell in enumerate(row):
+            if cell:
+                texts.append((x0 + c * col_w + 4.0, cy, size, cell))
+    return build_pdf([PdfPage(texts=texts, rules=rules)])

@@ -1,0 +1,100 @@
+"""Golden unit tests for the from-scratch PDF codec (no Ray needed).
+
+Fixture PDFs are authored byte-by-byte (fixtures/pdf_build.py) so the
+expected text is known at generation time (SURVEY.md §5.2).
+"""
+from __future__ import annotations
+
+from pdf_extractor_ray.codecs.pdf_codec import PdfCodec, has_table_indicators
+from pdf_extractor_ray.fixtures.pdf_build import (
+    PdfPage,
+    build_pdf,
+    simple_text_pdf,
+    table_pdf,
+    two_column_pdf,
+)
+
+codec = PdfCodec()
+
+
+def test_simple_text_byte_identical():
+    pdf = simple_text_pdf([["Hello world", "Second line here"], ["Page two line"]])
+    r = codec.extract(pdf)
+    assert r.status == "ok"
+    assert r.text == "Hello world\nSecond line here\n\nPage two line"
+    assert [p.page_num for p in r.pages] == [1, 2]
+    assert r.pages[0].width == 612.0 and r.pages[0].height == 792.0
+
+
+def test_tj_array_reinserts_spaces():
+    pdf = simple_text_pdf([["alpha beta gamma"]], use_tj=True)
+    assert codec.extract(pdf).text == "alpha beta gamma"
+
+
+def test_leading_t_star():
+    pdf = simple_text_pdf([["one", "two", "three"]], use_leading=True)
+    assert codec.extract(pdf).text == "one\ntwo\nthree"
+
+
+def test_uncompressed_stream():
+    pdf = build_pdf([PdfPage(texts=[(72, 700, 12, "plain uncompressed")])], compress=False)
+    assert codec.extract(pdf).text == "plain uncompressed"
+
+
+def test_two_column_reading_order():
+    pdf = two_column_pdf(
+        ["L1 left col", "L2 left col", "L3 left col"],
+        ["R1 right", "R2 right", "R3 right"],
+    )
+    r = codec.extract(pdf)
+    assert r.text == "L1 left col\nL2 left col\nL3 left col\nR1 right\nR2 right\nR3 right"
+
+
+def test_ruled_table_grid():
+    pdf = table_pdf(
+        [["Item", "Qty", "Model"], ["VALVE", "2", "VP-100"]],
+        prefix_lines=["SCHEDULE OF FIXTURES"],
+    )
+    r = codec.extract(pdf)
+    assert r.tables == [[["Item", "Qty", "Model"], ["VALVE", "2", "VP-100"]]]
+    assert r.text == "SCHEDULE OF FIXTURES\nItem | Qty | Model\nVALVE | 2 | VP-100"
+
+
+def test_table_nullable_cells():
+    pdf = table_pdf([["A", "", "C"]])
+    r = codec.extract(pdf)
+    assert r.tables == [[["A", None, "C"]]]
+
+
+def test_spans_offsets_into_utf8_bytes():
+    pdf = simple_text_pdf([["Hello world", "Second line"]])
+    r = codec.extract(pdf)
+    raw = r.text.encode("utf-8")
+    assert [raw[s:e].decode() for (_b, s, e, _k) in r.spans] == ["Hello world", "Second line"]
+    kinds = {k for (_b, _s, _e, k) in r.spans}
+    assert kinds == {"line"}
+
+
+def test_degrade_on_truncated_pdf():
+    pdf = simple_text_pdf([["Hello"]])
+    r = codec.extract(pdf[:40])
+    assert r.status == "parse_error"
+    assert r.text == ""
+
+
+def test_truncated_xref_recovers_via_scan():
+    pdf = simple_text_pdf([["Recoverable content line"]])
+    # chop inside the xref table: objects intact, xref broken
+    cut = pdf.rfind(b"xref") + 20
+    r = codec.extract(pdf[:cut])
+    assert r.text == "Recoverable content line"
+
+
+def test_not_a_pdf():
+    assert codec.extract(b"<html>nope</html>").status == "parse_error"
+
+
+def test_table_indicator_gate():
+    assert has_table_indicators("a\tb")
+    assert has_table_indicators("|" * 16)
+    assert not has_table_indicators("plain prose " * 10)
