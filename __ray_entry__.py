@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 plus the corpus-scale functions (dedup, similarity,
+text analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,490 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _pages(sf_dir: str):
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    return pages_dataset(sf_dir)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesized Common-Crawl-style pages →
+    sniff-routed HTML/PDF extraction → extraction table (sf0.001)."""
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages("/root/testdata/sf0.001"))
+    return ds.drop_columns(["spans"])  # keep the smoke-check schema flat
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def _q_extract_pages(sf_dir: str):
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir))
+    return ds.select_columns(
+        ["url", "doc_kind", "extract_status", "n_pages", "n_blocks", "n_chars", "n_words"]
+    )
+
+
+def _q_extract_golden_match(sf_dir: str):
+    """Byte-identity metric: rows whose extracted_text == golden text."""
+    import pyarrow.compute as pc
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch.column("extracted_text"), batch.column("golden_text"))
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_byte_identical": pa.array(
+                    [pc.sum(pc.cast(eq, pa.int64())).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    t = pa.concat_tables(
+        [b for b in ds.map_batches(flags, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([pa.compute.sum(t.column("n_docs")).as_py()], pa.int64()),
+            "n_byte_identical": pa.array(
+                [pa.compute.sum(t.column("n_byte_identical")).as_py()], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_extract_items(sf_dir: str):
+    from pdf_extractor_ray.pipelines.extraction import items_pipeline
+
+    return items_pipeline(_pages(sf_dir))
+
+
+def _q_extract_entities(sf_dir: str):
+    import pyarrow.compute as pc
+    from pdf_extractor_ray.pipelines.extraction import entities_pipeline
+
+    ds = entities_pipeline(_pages(sf_dir))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        out = {"url": batch.column("url")}
+        for kind in ("email", "phone", "date", "currency", "url_ref", "ssn"):
+            out[f"n_{kind}"] = pc.cast(
+                pc.fill_null(pc.list_value_length(batch.column(kind)), 0), pa.int64()
+            )
+        return pa.table(out)
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def _q_doc_stats(sf_dir: str):
+    """G1 statistics analogue, grouped by lang (SQL-checkable)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_extractor_ray.functions.text import add_text_features
+
+    ds = _docs(sf_dir).map_batches(add_text_features, batch_format="pyarrow")
+    return (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Sum("n_tokens", alias_name="total_words"),
+        )
+    )
+
+
+def _q_text_features(sf_dir: str):
+    from pdf_extractor_ray.functions.text import add_text_features
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_text_features, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "fingerprint"])
+    )
+
+
+def _q_detect_language(sf_dir: str):
+    from pdf_extractor_ray.functions.text import detect_language
+
+    return (
+        _docs(sf_dir)
+        .map_batches(detect_language, batch_format="pyarrow")
+        .select_columns(["doc_id", "detected_lang"])
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+
+    ds = exact_dedup(_docs(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["text_hash", "representative", "n_copies"])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_ngram_jaccard_dups(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5, k=3)
+
+
+def _q_minhash_lsh_dups(sf_dir: str):
+    """Scale-path near-dup: MinHash+LSH candidates verified by exact
+    Jaccard (no SQL oracle — probabilistic candidate recall)."""
+    import ray
+
+    from pdf_extractor_ray.functions.dedup import (
+        JaccardVerifyStage,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(sf_dir)
+    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    texts_ref = ray.put(texts)
+    cands = minhash_lsh_candidates(docs)
+    return cands.map_batches(
+        JaccardVerifyStage,
+        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.5},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _q_simhash_dups(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=10)
+
+
+def _emb_queries(sf_dir: str, ids=(0, 1, 2)):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    lookup = {v: e for v, e in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())}
+    return np.asarray([lookup[i] for i in ids], dtype=np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ann_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _emb_queries(sf_dir)
+    res = ann_topk(emb, q, k=10, query_ids=[0, 1, 2])
+    return res.drop_columns(["sim"])  # float parity handled via rank
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dups(emb, threshold=0.45).drop_columns(["sim"])
+
+
+def _q_agg_lineitem_pricing(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.set_column(
+            batch.column_names.index("sum_price"),
+            "sum_price",
+            pc.round(batch.column("sum_price"), ndigits=2),
+        )
+        return batch
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _q_join_revenue_by_nation(sf_dir: str):
+    """customer ⋈ orders ⋈ nation — small sides broadcast via ray.put,
+    applied inside map_batches (no distributed shuffle join needed:
+    customer+nation are the small sides at every scale tier)."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs()
+    cust_t = pa.concat_tables([ray.get(r) for r in cust])
+    nat = pa.concat_tables(
+        [ray.get(r) for r in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_arrow_refs()]
+    )
+    cust_to_nation = dict(
+        zip(cust_t.column("c_custkey").to_pylist(), cust_t.column("c_nationkey").to_pylist())
+    )
+    nation_name = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        c2n, names = ray.get(lookup_ref)
+        nations = [
+            names.get(c2n.get(ck), "UNKNOWN")
+            for ck in batch.column("o_custkey").to_pylist()
+        ]
+        return batch.append_column("n_name", pa.array(nations, pa.string()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+    )
+
+    def round_rev(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("revenue"),
+            "revenue",
+            pc.round(batch.column("revenue"), ndigits=2),
+        )
+
+    return agg.map_batches(round_rev, batch_format="pyarrow")
+
+
+def _q_topk_parts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+def _q_filter_lineitems(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linestatus", "l_quantity", "l_discount"],
+    )
+    filtered = ds.filter(expr="l_quantity > 40 and l_discount < 0.05")
+    return filtered.groupby("l_linestatus").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="total_value"),
+        Min("user_id", alias_name="min_user"),
+        Max("user_id", alias_name="max_user"),
+    )
+
+    def round_val(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("total_value"),
+            "total_value",
+            pc.round(batch.column("total_value"), ndigits=3),
+        )
+
+    return agg.map_batches(round_val, batch_format="pyarrow")
+
+
+def _q_events_daily(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": day})
+
+    return (
+        ds.map_batches(day_col, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (reference-semantics pipelines)
+        "extract_pages": _q_extract_pages,
+        "extract_golden_match": _q_extract_golden_match,
+        "extract_items": _q_extract_items,
+        "extract_entities": _q_extract_entities,
+        # corpus-scale text analysis
+        "doc_stats": _q_doc_stats,
+        "text_features": _q_text_features,
+        "detect_language": _q_detect_language,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "simhash_dups": _q_simhash_dups,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # relational operator coverage
+        "agg_lineitem_pricing": _q_agg_lineitem_pricing,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "topk_parts": _q_topk_parts,
+        "filter_lineitems": _q_filter_lineitems,
+        "events_by_type": _q_events_by_type,
+        "events_daily": _q_events_daily,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(length(text)) AS total_chars,
+                   sum(len(string_split_regex(trim(text), '\\s+'))) AS total_words
+            FROM documents GROUP BY lang
+        """,
+        "text_features": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         t -> t IN ('the','a','of','and','to','in','is','it')))
+                         / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+                       AS stopword_ratio,
+                   md5(text) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS representative,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_dups": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "agg_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_nation": """
+            SELECT n.n_name AS n_name,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "topk_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "filter_lineitems": """
+            SELECT l_linestatus,
+                   count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_quantity > 40 AND l_discount < 0.05
+            GROUP BY l_linestatus
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS total_value,
+                   min(user_id) AS min_user,
+                   max(user_id) AS max_user
+            FROM events GROUP BY event_type
+        """,
+        "events_daily": """
+            SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+    }

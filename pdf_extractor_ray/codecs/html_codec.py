@@ -98,6 +98,9 @@ class HtmlExtraction:
     # (block_id, start, stop, kind) — byte offsets into text (UTF-8)
     n_blocks: int = 0
     status: str = "ok"
+    # ragged tables → rows → cells (nullable), same shape the reference
+    # uses for PDF tables (reference: extractor/models/base.py:39-42)
+    tables: List[List[List[Optional[str]]]] = field(default_factory=list)
 
 
 class _BlockParser(HTMLParser):
@@ -118,6 +121,9 @@ class _BlockParser(HTMLParser):
         self._row_link = 0
         self._row_total = 0
         self._cell_buf: Optional[List[str]] = None
+        # ragged-table accumulation (content tables only, resolved later)
+        self.tables: List[List[List[Optional[str]]]] = []
+        self._open_table_rows: Optional[List[List[Optional[str]]]] = None
 
     # -- block lifecycle ---------------------------------------------------
     def _flush(self) -> None:
@@ -150,6 +156,9 @@ class _BlockParser(HTMLParser):
             self._flush()
             self._boiler_depth += 1
             return
+        if tag == "table":
+            self._flush()
+            self._open_table_rows = []
         if tag == "tr":
             self._flush()
             self._row_cells = []
@@ -201,8 +210,16 @@ class _BlockParser(HTMLParser):
                         boiler=self._boiler_depth > 0,
                     )
                 )
+            if self._open_table_rows is not None and not (self._boiler_depth > 0):
+                self._open_table_rows.append(
+                    [c if c else None for c in self._row_cells]
+                )
             self._row_cells = None
             return
+        if tag == "table":
+            if self._open_table_rows:
+                self.tables.append(self._open_table_rows)
+            self._open_table_rows = None
         if tag in _BLOCK_TAGS:
             self._flush()
             self._kind = "div"
@@ -286,7 +303,9 @@ class HtmlCodec:
         _classify(blocks)
         content = [b for b in blocks if b.is_content]
         if not content:
-            return HtmlExtraction(text="", status="empty", n_blocks=len(blocks))
+            return HtmlExtraction(
+                text="", status="empty", n_blocks=len(blocks), tables=parser.tables
+            )
 
         parts: List[str] = []
         spans: List[Tuple[int, int, int, str]] = []
@@ -300,5 +319,9 @@ class HtmlCodec:
             parts.append(b.text)
             off += nbytes
         return HtmlExtraction(
-            text="\n\n".join(parts), spans=spans, n_blocks=len(blocks), status="ok"
+            text="\n\n".join(parts),
+            spans=spans,
+            n_blocks=len(blocks),
+            status="ok",
+            tables=parser.tables,
         )

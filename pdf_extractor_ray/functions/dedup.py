@@ -1,0 +1,303 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the part that matters at 100 TB):
+- exact dedup is a single hash-keyed ``groupby`` — uniform md5 keys,
+  no skew; partial aggregation happens inside Ray Data's AggregateFn
+  combine, so only (hash, min_id, count) rows shuffle, never text
+- MinHash+LSH shuffles only (band_id, band_hash, doc_id) triples —
+  ~B×16 bytes per doc — then groups per bucket; candidate pairs are
+  verified with exact shingle Jaccard per group (no all-pairs pass)
+- SimHash buckets by the 16-bit prefix of the 64-bit signature; near
+  pairs verified by Hamming distance inside buckets
+- ``ngram_jaccard_pairs`` is the small-scale exact all-pairs variant
+  used as the DuckDB-oracle-checkable ground truth; the LSH variants
+  are its scale path
+"""
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# ------------------------------------------------------------------ shingles
+def _word_shingles(text: str, k: int = 3) -> Set[int]:
+    toks = text.split()
+    if len(toks) < k:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {
+        zlib.crc32(" ".join(toks[i : i + k]).encode())
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def jaccard(a: Set[int], b: Set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+# -------------------------------------------------------------------- exact
+def add_exact_hash(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(docs_ds):
+    """documents → one representative (min doc_id) per distinct text.
+
+    hash-partitioned groupby with partial aggregation; only tiny
+    (hash, doc_id) pairs shuffle.
+    """
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs_ds.map_batches(add_exact_hash, batch_format="pyarrow")
+        .select_columns(["text_hash", "doc_id"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id"), Count())
+    )
+
+
+# ------------------------------------------------------------------ minhash
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """n_perm universal-hash minhash; coefficients fixed by seed."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: Set[int]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.n_perm, _MERSENNE, dtype=np.uint64)
+        s = np.fromiter(shingles, dtype=np.uint64)
+        # (a*s + b) mod p, vectorized over shingles × perms
+        vals = (np.outer(s, self.a) + self.b) % _MERSENNE
+        return vals.min(axis=0)
+
+
+class MinHashBandStage:
+    """documents batch → (band_id, band_hash, doc_id) rows.
+
+    The only payload that shuffles.  ``bands × rows_per_band = n_perm``.
+    """
+
+    def __init__(self, n_perm: int = 64, bands: int = 16, seed: int = 42) -> None:
+        assert n_perm % bands == 0
+        self.hasher = MinHasher(n_perm, seed)
+        self.bands = bands
+        self.rows_per_band = n_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_band, out_hash, out_doc = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = self.hasher.signature(_word_shingles(text or ""))
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                # stable across processes (builtin hash() is salted)
+                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_band.append(b)
+                out_hash.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
+                out_doc.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42):
+    """documents → candidate near-dup pairs (doc_a < doc_b), distinct.
+
+    groupby (band_id, band_hash); buckets with >1 doc emit pairwise
+    candidates.  Dedup of pairs across bands is a second tiny groupby.
+    """
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    pairs = (
+        docs_ds.map_batches(
+            MinHashBandStage, fn_constructor_kwargs={
+                "n_perm": n_perm, "bands": bands, "seed": seed,
+            },
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Count
+
+    # distinct pairs (a pair can collide in several bands)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).drop_columns(["count()"])
+
+
+class JaccardVerifyStage:
+    """Candidate pairs + broadcast text lookup → verified pairs.
+
+    The text lookup is ``ray.put`` once and read per actor — the
+    broadcast-small-side join pattern; suitable when candidates ≪ corpus.
+    """
+
+    def __init__(self, texts_ref, threshold: float = 0.5, k: int = 3) -> None:
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.threshold = threshold
+        self.k = k
+        self._cache: dict = {}
+
+    def _sh(self, doc_id: int) -> Set[int]:
+        s = self._cache.get(doc_id)
+        if s is None:
+            s = _word_shingles(self.texts.get(doc_id, ""), self.k)
+            self._cache[doc_id] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sim = jaccard(self._sh(a), self._sh(b))
+            if sim >= self.threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(sim, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+
+# -------------------------------------------------- exact all-pairs (oracle)
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
+    """EXACT all-pairs word-k-gram Jaccard ≥ threshold (doc_a < doc_b).
+
+    Small-scale ground truth for the LSH variants; oracle-checkable in
+    SQL.  O(n²) — driver correctness scale only; the scale path is
+    ``minhash_lsh_candidates`` + ``JaccardVerifyStage``.
+    """
+    import ray
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    sh = {r["doc_id"]: _word_shingles(r["text"] or "", k) for r in rows}
+    ids = sorted(sh)
+    ids_ref = ray.put((ids, sh))
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        ids_all, sh_all = ray.get(ids_ref)
+        a_out, b_out, sims = [], [], []
+        for a in batch.column("doc_id").to_pylist():
+            sa = sh_all[a]
+            for b in ids_all:
+                if b <= a:
+                    continue
+                sim = jaccard(sa, sh_all[b])
+                if sim >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    sims.append(round(sim, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        pairs_for, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ simhash
+class SimHashStage:
+    """documents batch → (doc_id, simhash:int64, bucket:int32).
+
+    64-bit simhash over word-shingle crc32s; bucket = top 16 bits, the
+    groupby key for near-dup candidate generation.
+    """
+
+    def __init__(self, k: int = 3) -> None:
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sims, buckets = [], []
+        for t in texts:
+            shingles = _word_shingles(t or "", self.k)
+            acc = np.zeros(64, dtype=np.int64)
+            for s in shingles:
+                h = int(hashlib.blake2b(s.to_bytes(8, "little"), digest_size=8).hexdigest(), 16)
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            sig = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    sig |= 1 << bit
+            sig &= 0x7FFFFFFFFFFFFFFF  # keep int64-positive
+            sims.append(sig)
+            buckets.append(sig >> 48)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(sims, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3):
+    """Near-dup pairs by simhash: bucket groupby → in-bucket Hamming."""
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("simhash").to_pylist()
+        order = np.argsort(ids)
+        a_out, b_out, dist = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                x, y = order[i], order[j]
+                d = bin(sigs[x] ^ sigs[y]).count("1")
+                if d <= max_hamming:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    dist.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(dist, pa.int32()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis stages for a training-data pipeline at corpus scale.
+
+All are vectorized ``map_batches`` transforms over the ``documents``
+table shape ``(doc_id, text, lang, …)``.  Semantics are chosen to be
+SQL-mirrorable so the driver's DuckDB oracle can verify them exactly
+(see __ray_entry__.oracle_sql):
+
+- token count     = whitespace-split token count
+- punct ratio     = chars left after removing ``[A-Za-z0-9\\s]`` ÷ chars
+- stopword ratio  = stopword tokens ÷ tokens
+- quality score   = simple deterministic combination of the above
+- fingerprint     = md5 of the raw text (exact-dup key)
+- language id     = stopword-profile heuristic (not SQL-expressible)
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PUNCT_RE = re.compile(r"[A-Za-z0-9\s]")
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language stopword profiles for the heuristic language id
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "que"},
+}
+
+
+def add_text_features(batch: pa.Table) -> pa.Table:
+    texts: List[str] = batch.column("text").to_pylist()
+    n_tokens = []
+    n_stop = []
+    n_punct = []
+    fingerprints = []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        n_tokens.append(len(toks))
+        n_stop.append(sum(tok in STOPWORDS for tok in toks))
+        n_punct.append(len(_PUNCT_RE.sub("", t)))
+        fingerprints.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+    tok_arr = pa.array(n_tokens, pa.int64())
+    chars = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+    punct_arr = pa.array(n_punct, pa.int64())
+    stop_arr = pa.array(n_stop, pa.int64())
+    safe_chars = pc.max_element_wise(chars, pa.scalar(1, pa.int64()))
+    safe_toks = pc.max_element_wise(tok_arr, pa.scalar(1, pa.int64()))
+    punct_ratio = pc.round(
+        pc.divide(pc.cast(punct_arr, pa.float64()), pc.cast(safe_chars, pa.float64())),
+        ndigits=6,
+    )
+    stop_ratio = pc.round(
+        pc.divide(pc.cast(stop_arr, pa.float64()), pc.cast(safe_toks, pa.float64())),
+        ndigits=6,
+    )
+    out = batch
+    for name, arr in (
+        ("n_tokens", tok_arr),
+        ("punct_ratio", punct_ratio),
+        ("stopword_ratio", stop_ratio),
+        ("fingerprint", pa.array(fingerprints, pa.string())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def detect_language(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language id (heuristic; not SQL-expressible)."""
+    texts = batch.column("text").to_pylist()
+    langs = []
+    for t in texts:
+        toks = set((t or "").lower().split())
+        best, best_score = "unknown", 0
+        for lang, profile in _LANG_PROFILES.items():
+            score = len(toks & profile)
+            if score > best_score:
+                best, best_score = lang, score
+        langs.append(best)
+    return batch.append_column("detected_lang", pa.array(langs, pa.string()))

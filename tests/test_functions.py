@@ -1,0 +1,109 @@
+"""Corpus-scale function tests: text features, dedup family, similarity."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session, sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_text_features_match_python_semantics(ray_session, docs):
+    import hashlib
+
+    from pdf_extractor_ray.functions.text import add_text_features
+
+    df = docs.map_batches(add_text_features, batch_format="pyarrow").to_pandas()
+    row = df.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+    assert row["fingerprint"] == hashlib.md5(row["text"].encode()).hexdigest()
+    assert 0 <= row["punct_ratio"] <= 1
+    assert 0 <= row["stopword_ratio"] <= 1
+
+
+def test_exact_dedup_counts(ray_session, docs):
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+
+    df = exact_dedup(docs).to_pandas()
+    assert df["count()"].sum() == docs.count()
+
+
+def test_minhash_matches_exact_jaccard(ray_session, docs):
+    """LSH candidates + verify must reproduce the exact all-pairs result
+    on the seeded near-dup corpus (all true pairs well above threshold)."""
+    import ray
+
+    from pdf_extractor_ray.functions.dedup import (
+        JaccardVerifyStage,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select_columns(["doc_id", "text"]).take_all()
+    }
+    texts_ref = ray.put(texts)
+    lsh = (
+        minhash_lsh_candidates(docs)
+        .map_batches(
+            JaccardVerifyStage,
+            fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.5},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"]))  # noqa: E731
+    assert key(lsh) == key(exact)
+    assert len(exact) > 0  # the corpus really contains near-dups
+
+
+def test_simhash_deterministic(ray_session, docs):
+    from pdf_extractor_ray.functions.dedup import simhash_dedup
+
+    a = simhash_dedup(docs, max_hamming=10).to_pandas()
+    b = simhash_dedup(docs, max_hamming=10).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"]))  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_ann_topk_matches_numpy_bruteforce(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ann_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[list(ids).index(0)]
+    sims = mat @ q
+    order = np.lexsort((ids, -sims))[:5]
+    expect = [int(ids[i]) for i in order]
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann_topk(emb, np.asarray([t.column("embedding")[list(ids).index(0)].as_py()]), k=5, query_ids=[0])
+    got = [r["vec_id"] for r in sorted(res.to_pylist(), key=lambda r: r["rank"])]
+    assert got == expect
+
+
+def test_ivf_topk_contains_self(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray([t.column("embedding")[0].as_py()])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ivf_topk(emb, q, k=5).to_pylist()
+    # the query vector itself lands in its own bucket → rank 1 is itself
+    assert res[0]["vec_id"] == t.column("vec_id")[0].as_py()

@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests over the synthesized corpus (Ray session
+from conftest; sf0.001)."""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, sf_dir):
+    import ray
+
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    ds = extraction_pipeline(pages_dataset(sf_dir))
+    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+
+def test_extraction_byte_identical_goldens(extracted):
+    got = extracted.column("extracted_text").to_pylist()
+    want = extracted.column("golden_text").to_pylist()
+    urls = extracted.column("url").to_pylist()
+    bad = [u for u, g, w in zip(urls, got, want) if g != w]
+    assert bad == []
+    assert extracted.num_rows == 500
+
+
+def test_extraction_statuses_and_kinds(extracted):
+    from collections import Counter
+
+    kinds = Counter(extracted.column("doc_kind").to_pylist())
+    statuses = Counter(extracted.column("extract_status").to_pylist())
+    assert kinds["pdf"] > 0 and kinds["html"] > 0 and kinds["unknown"] > 0
+    assert statuses["parse_error"] > 0  # truncated PDFs degrade, never raise
+    assert statuses["ok"] > 400
+
+
+def test_extraction_spans_are_valid(extracted):
+    for row in extracted.slice(0, 50).to_pylist():
+        raw = row["extracted_text"].encode("utf-8")
+        last = 0
+        for span in row["spans"]:
+            assert 0 <= span["start"] <= span["stop"] <= len(raw)
+            assert span["start"] >= last  # monotone, non-overlapping
+            last = span["stop"]
+
+
+def test_items_pipeline(ray_session, sf_dir):
+    from pdf_extractor_ray.pipelines.extraction import items_pipeline
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    df = items_pipeline(pages_dataset(sf_dir)).to_pandas()
+    assert len(df) > 100
+    # both extraction paths produce items: text lines and mapped tables
+    assert df["table_number"].notna().any()
+    assert df["line_number"].notna().any()
+    # quantity dual encoding invariant: never both set
+    both = df["qty_int"].notna() & df["qty_ref"].notna()
+    assert not both.any()
+    assert (df["page_number"] >= 1).all()
+
+
+def test_entities_pipeline(ray_session, sf_dir):
+    from pdf_extractor_ray.pipelines.extraction import entities_pipeline
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    df = entities_pipeline(pages_dataset(sf_dir)).to_pandas()
+    assert len(df) == 500
+    assert (df["email"].str.len() > 0).any()
+    assert (df["date"].str.len() > 0).any()
+
+
+def test_checkpoint_resume(ray_session, sf_dir, tmp_path):
+    """Kill-and-resume semantics: committed partitions are skipped, the
+    rerun completes the remainder, no duplicate outputs."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from pdf_extractor_ray.pipelines.extraction import run_extraction_job
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    pages_dir = tmp_path / "pages"
+    pages_dataset(sf_dir).write_parquet(str(pages_dir))
+    files = sorted(
+        str(pages_dir / f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    out_dir = str(tmp_path / "out")
+
+    # first run: only the first partition (simulates a kill after commit 0)
+    r1 = run_extraction_job(files[: len(files) // 2], out_dir, files_per_partition=1)
+    assert r1["partitions_skipped"] == 0
+
+    # resume over the FULL input: earlier partitions must be skipped
+    r2 = run_extraction_job(files, out_dir, files_per_partition=1)
+    assert r2["partitions_skipped"] == len(files) // 2
+    assert r2["partitions_total"] == len(files)
+
+    # output has every url exactly once
+    parts = [
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.isdir(os.path.join(out_dir, d))
+    ]
+    seen = []
+    for p in parts:
+        t = pq.read_table(p, columns=["url"])
+        seen.extend(t.column("url").to_pylist())
+    assert len(seen) == len(set(seen)) == 500
+
+    # manifest records cover every input file with sane metrics
+    from pdf_extractor_ray.state.manifest import Manifest
+
+    records = Manifest(out_dir).records()
+    assert {r["input_file"] for r in records} == set(files)
+    assert all(r["docs_in"] >= 0 for r in records)
