@@ -1,0 +1,203 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline extraction pipeline + every ``queries()``
+entry over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the SAME materialized input and
+report both throughputs + scaling efficiency (two-cluster-size
+criterion evidence, BASELINE.md §3).
+
+This script OWNS its Ray session (the library and __ray_entry__ never
+call ray.init).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pyarrow as pa
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+PAGES_CACHE_ROOT = "/tmp/graft_pages"
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def materialize_pages(sf_dir: str, replicate: int = 1) -> str:
+    """Synthesize the Common-Crawl-style pages corpus to parquet once.
+
+    Both scaling runs (and repeated bench runs) read the identical
+    shards; synthesis cost is excluded from the measured pipeline.
+    ``replicate`` multiplies the corpus (distinct urls) so a run is
+    long enough that fixed startup overhead doesn't drown the signal.
+    """
+    from pdf_extractor_ray.sources.corpus import synthesize_pages
+
+    suffix = "" if replicate == 1 else f"-x{replicate}"
+    out = os.path.join(
+        PAGES_CACHE_ROOT, os.path.basename(sf_dir.rstrip("/")) + suffix
+    )
+    return synthesize_pages(sf_dir, out, replicate=replicate)
+
+
+def _count_rows(ds) -> int:
+    """Consume a Dataset, returning row count without shipping payload
+    columns to the driver (streaming reduction)."""
+
+    def to_count(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    out = ds.map_batches(to_count, batch_format="pyarrow").sum("n")
+    return int(out or 0)
+
+
+def run_headline(pages_dir: str) -> dict:
+    """read_parquet(pages shards) → sniff → HTML/PDF codecs → union,
+    consumed as a stream. Returns wall time + docs/sec."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(
+        pages_dir, columns=["url", "warc_ts", "html", "lang"]
+    )
+    n_docs = _count_rows(extraction_pipeline(ds))
+    dt = time.time() - t0
+    return {"sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 2)}
+
+
+def consume(res) -> int:
+    """Force execution of a query result; return its row count."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return _count_rows(res)  # ray Dataset
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            consume(fn(sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record, don't abort the bench
+            timings[name] = -1.0
+            print(f"# query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    return timings
+
+
+def bench_once(sf_dir: str, num_cpus: int, headline_only: bool, replicate: int = 1) -> dict:
+    pages_dir = materialize_pages(sf_dir, replicate)
+    headline = run_headline(pages_dir)
+    result = {
+        "metric": "extraction_throughput",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": {"extraction_headline": headline["sec"]},
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+        "docs": headline["docs"],
+        "docs_per_sec": headline["docs_per_sec"],
+    }
+    if not headline_only:
+        result["queries"].update(run_queries(sf_dir))
+    return result
+
+
+def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 8) -> dict:
+    """Same headline job in fresh processes at two parallelism levels.
+
+    The corpus is replicated so each run is long enough (tens of
+    seconds) that fixed startup cost doesn't mask the scaling signal.
+    """
+    # materialize input once in this (parent) process so children race on
+    # nothing; needs its own short-lived Ray session
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, log_to_driver=False)
+    materialize_pages(sf_dir, replicate)
+    ray.shutdown()
+
+    runs = {}
+    for n in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only",
+             "--replicate", str(replicate)],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+    thr_low = runs[low]["docs_per_sec"]
+    thr_high = runs[high]["docs_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"headline_cpus_{low}": runs[low]["value"],
+            f"headline_cpus_{high}": runs[high]["value"],
+        },
+        "sf": _sf_label(sf_dir),
+        "num_cpus": high,
+        "docs_per_sec_low": thr_low,
+        "docs_per_sec_high": thr_high,
+        "cpus_low": low,
+        "cpus_high": high,
+        "target": 0.8,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--replicate", type=int, default=1)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.low, args.high)))
+        return 0
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, log_to_driver=False)
+    try:
+        result = bench_once(args.sf_dir, num_cpus, args.headline_only, args.replicate)
+    finally:
+        ray.shutdown()
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
