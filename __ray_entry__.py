@@ -216,6 +216,163 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(emb, threshold=0.45).drop_columns(["sim"])
 
 
+def _q_bpe_token_count(sf_dir: str):
+    from pdf_extractor_ray.functions.text import count_bpe_tokens
+
+    return (
+        _docs(sf_dir)
+        .map_batches(count_bpe_tokens, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_bpe_tokens"])
+    )
+
+
+def _q_structured_parse(sf_dir: str):
+    """M10 structured-data parse: word/line counts per document."""
+    from pdf_extractor_ray.parsers.standard import EntityParser
+
+    def parse(batch: pa.Table) -> pa.Table:
+        parser = EntityParser()
+        words, lines = [], []
+        for t in batch.column("text").to_pylist():
+            d = parser.parse_structured_data(t or "")
+            words.append(d["word_count"])
+            lines.append(d["line_count"])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "word_count": pa.array(words, pa.int64()),
+                "line_count": pa.array(lines, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def _q_kv_pairs(sf_dir: str):
+    """M11 key-value finder, exercised over deterministic kv text built
+    from document fields (the oracle builds the same text in SQL)."""
+    from pdf_extractor_ray.parsers.standard import EntityParser
+
+    def kv(batch: pa.Table) -> pa.Table:
+        ids_out, keys, vals = [], [], []
+        for doc_id, lang, source in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            text = f"doc_id: {doc_id}\nlang: {lang}\nsource: {source}\nno separator line"
+            for k, v in EntityParser.find_key_value_pairs(text).items():
+                ids_out.append(doc_id)
+                keys.append(k)
+                vals.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "value": pa.array(vals, pa.string()),
+            }
+        )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return ds.map_batches(kv, batch_format="pyarrow")
+
+
+def _q_items_summary(sf_dir: str):
+    """G2 construction summary: corpus-level conditional counts via
+    partial aggregation inside map_batches + a single global sum."""
+    import pyarrow.compute as pc
+    from pdf_extractor_ray.pipelines.extraction import items_pipeline
+
+    ds = items_pipeline(_pages(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def nn(col: str) -> int:
+            return batch.num_rows - batch.column(col).null_count
+
+        return pa.table(
+            {
+                "total_items": pa.array([batch.num_rows], pa.int64()),
+                "with_quantity": pa.array(
+                    [nn("qty_int") + nn("qty_ref")], pa.int64()
+                ),
+                "with_model": pa.array([nn("model_number")], pa.int64()),
+                "with_dimensions": pa.array([nn("dimensions")], pa.int64()),
+                "with_mounting": pa.array([nn("mounting_type")], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in parts])
+    return pa.table(
+        {
+            name: pa.array([pc.sum(t.column(name)).as_py() or 0], pa.int64())
+            for name in t.column_names
+        }
+    )
+
+
+def _q_merge_items(sf_dir: str):
+    """J1-J3 enrich-merge: line-extracted items (primary) merged with
+    table-extracted items (secondary) per document url."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.merge import merge_sources
+    from pdf_extractor_ray.pipelines.extraction import items_pipeline
+
+    def only_lines(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("table_number")))
+
+    def only_tables(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("table_number")))
+
+    items = items_pipeline(_pages(sf_dir))
+    primary = items.map_batches(only_lines, batch_format="pyarrow")
+    secondary = items.map_batches(only_tables, batch_format="pyarrow")
+    return merge_sources(primary, secondary)
+
+
+def _q_media_meta_stats(sf_dir: str):
+    from pdf_extractor_ray.functions.multimodal import media_meta_stats
+
+    return media_meta_stats(sf_dir)
+
+
+def _q_image_features(sf_dir: str):
+    import pyarrow.compute as pc
+    from pdf_extractor_ray.functions.multimodal import image_features
+
+    ds = image_features(sf_dir)
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mean_r": pc.list_element(batch.column("channel_mean"), 0),
+                "std_r": pc.list_element(batch.column("channel_std"), 0),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _q_audio_features(sf_dir: str):
+    from pdf_extractor_ray.functions.multimodal import audio_features
+
+    return audio_features(sf_dir)
+
+
+def _q_video_frames(sf_dir: str):
+    from pdf_extractor_ray.functions.multimodal import video_frames
+
+    return video_frames(sf_dir).drop_columns(["payload"])
+
+
 def _q_agg_lineitem_pricing(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -385,6 +542,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        # standard-mode parsing (M10/M11) + token counting
+        "bpe_token_count": _q_bpe_token_count,
+        "structured_parse": _q_structured_parse,
+        "kv_pairs": _q_kv_pairs,
+        # construction summary + enrich-merge (G2, J1-J3)
+        "items_summary": _q_items_summary,
+        "merge_items": _q_merge_items,
+        # multimodal (image/audio/video binary columns)
+        "media_meta_stats": _q_media_meta_stats,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         # relational operator coverage
         "agg_lineitem_pricing": _q_agg_lineitem_pricing,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -459,6 +628,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "structured_parse": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS word_count,
+                   len(string_split(text, chr(10))) AS line_count
+            FROM documents
+        """,
+        "kv_pairs": """
+            SELECT doc_id, 'doc_id' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+            UNION ALL SELECT doc_id, 'lang', lang FROM documents
+            UNION ALL SELECT doc_id, 'source', source FROM documents
+        """,
+        "media_meta_stats": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       CASE doc_id % 3
+                           WHEN 0 THEN 9 + (16 + (doc_id % 8) * 4)
+                                         * (12 + (doc_id % 5) * 4) * 3
+                           WHEN 1 THEN 12 + 2 * (400 + (doc_id % 50) * 16)
+                           ELSE 11 + (4 + doc_id % 13) * 16 * 12 * 3
+                       END AS payload_bytes
+                FROM documents
+            )
+            SELECT kind, count(*) AS n_media, sum(payload_bytes) AS total_bytes
+            FROM m GROUP BY kind
         """,
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

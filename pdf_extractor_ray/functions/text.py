@@ -72,6 +72,19 @@ def add_text_features(batch: pa.Table) -> pa.Table:
     return out
 
 
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def count_bpe_tokens(batch: pa.Table) -> pa.Table:
+    """BPE-ish subword-boundary token count (letter runs / digit runs /
+    single punctuation) — the pre-tokenization split GPT-style BPE
+    vocabularies apply before merges; SQL-mirrorable via
+    ``regexp_extract_all``."""
+    texts = batch.column("text").to_pylist()
+    counts = [len(_BPE_RE.findall(t or "")) for t in texts]
+    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
 def detect_language(batch: pa.Table) -> pa.Table:
     """Stopword-profile language id (heuristic; not SQL-expressible)."""
     texts = batch.column("text").to_pylist()

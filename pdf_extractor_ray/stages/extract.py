@@ -32,8 +32,11 @@ def sniff_doc_kind(batch: pa.Table) -> pa.Table:
     """Add ``doc_kind`` ('pdf' | 'html' | 'unknown') from payload magic.
 
     Vectorized: one ``binary_slice`` + equality over the whole batch.
-    Empty/null payloads route to 'unknown'.
+    Empty/null payloads route to 'unknown'.  Idempotent: an existing
+    ``doc_kind`` column is recomputed, not duplicated.
     """
+    if "doc_kind" in batch.column_names:
+        batch = batch.drop_columns(["doc_kind"])
     payload = batch.column("html")
     prefix = pc.binary_slice(payload, 0, 5)
     is_pdf = pc.equal(prefix, PDF_MAGIC)
