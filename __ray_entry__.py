@@ -216,6 +216,51 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(emb, threshold=0.45).drop_columns(["sim"])
 
 
+def _q_ivf_topk(sf_dir: str):
+    """Scale-path ANN: hyperplane-LSH bucketed search (approximate —
+    rows-only check; the exact baseline ann_topk has the SQL oracle)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _emb_queries(sf_dir)
+    return ivf_topk(emb, q, k=10)
+
+
+def _q_page_previews(sf_dir: str):
+    """M14 preview projection: ≤200-char page preview + has_tables flag
+    (reference: extractor/services/extraction_service.py:193-214)."""
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir), emit_pages=True)
+
+    def previews(batch: pa.Table) -> pa.Table:
+        urls_out, page_nums, prevs, has_tables = [], [], [], []
+        for url, pages, tables in zip(
+            batch.column("url").to_pylist(),
+            batch.column("pages").to_pylist(),
+            batch.column("tables").to_pylist(),
+        ):
+            for i, page in enumerate(pages or []):
+                text = page["text"] or ""
+                urls_out.append(url)
+                page_nums.append(page["page_num"])
+                prevs.append(text[:200] + "..." if len(text) > 200 else text)
+                page_tables = (tables or [])[i] if tables and i < len(tables) else []
+                has_tables.append(bool(page_tables))
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "page_num": pa.array(page_nums, pa.int32()),
+                "preview": pa.array(prevs, pa.string()),
+                "has_tables": pa.array(has_tables, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(previews, batch_format="pyarrow")
+
+
 def _q_bpe_token_count(sf_dir: str):
     from pdf_extractor_ray.functions.text import count_bpe_tokens
 
@@ -541,7 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _q_simhash_dups,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        # preview projection (M14)
+        "page_previews": _q_page_previews,
         # standard-mode parsing (M10/M11) + token counting
         "bpe_token_count": _q_bpe_token_count,
         "structured_parse": _q_structured_parse,

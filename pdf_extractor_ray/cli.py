@@ -1,0 +1,102 @@
+"""CLI entry point — the engine's analogue of the reference CLI
+(reference: main.py:42-89) reshaped for ``ray job submit``:
+
+    ray job submit -- python -m pdf_extractor_ray \\
+        --input /data/pages/*.parquet --output /out/run1 \\
+        --mode construction --files-per-partition 16
+
+Modes (reference --standard/--construction flags → --mode):
+- ``extract``      url → extracted_text + spans (+ counters)
+- ``construction`` extract → construction items table
+- ``standard``     extract → entities table
+
+The job is checkpointed: each partition of input files commits
+atomically with lineage + metrics (state/manifest.py); rerunning the
+same command resumes from the last committed partition.
+
+This module OWNS its Ray session (guarded init) — the library never
+calls ray.init().
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from typing import List
+
+
+def _expand(patterns: List[str]) -> List[str]:
+    files: List[str] = []
+    for p in patterns:
+        hits = sorted(glob.glob(p))
+        if not hits and p.endswith(".parquet"):
+            raise SystemExit(f"input not found: {p}")
+        files.extend(hits or [p])
+    out = []
+    for f in files:
+        if f.endswith(".parquet"):
+            out.append(f)
+        else:
+            out.extend(sorted(glob.glob(f"{f}/*.parquet")))
+    if not out:
+        raise SystemExit("no input parquet files")
+    return out
+
+
+def main(argv: List[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_extractor_ray")
+    ap.add_argument("--input", nargs="+", required=True,
+                    help="parquet files/dirs/globs of pages (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", choices=("extract", "construction", "standard"),
+                    default="construction")
+    ap.add_argument("--files-per-partition", type=int, default=16)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="override ray.init num_cpus (default: all)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+
+    files = _expand(args.input)
+
+    if args.mode == "extract":
+        from pdf_extractor_ray.pipelines.extraction import run_extraction_job
+
+        metrics = run_extraction_job(
+            files, args.output, files_per_partition=args.files_per_partition
+        )
+    else:
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.extraction import (
+            entities_pipeline,
+            items_pipeline,
+        )
+
+        ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
+        pipe = items_pipeline if args.mode == "construction" else entities_pipeline
+        pipe(ds).write_parquet(args.output)
+        # row count from the written footers — never re-executes the pipeline
+        import pyarrow.parquet as pq
+
+        metrics = {
+            "rows": sum(
+                pq.read_metadata(f).num_rows
+                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+            )
+        }
+
+    print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
