@@ -107,19 +107,20 @@ def _q_extract_entities(sf_dir: str):
 
 
 def _q_doc_stats(sf_dir: str):
-    """G1 statistics analogue, grouped by lang (SQL-checkable)."""
-    from ray.data.aggregate import Count, Sum
-
+    """G1 statistics analogue, grouped by lang (SQL-checkable); partial
+    aggregation — lang cardinality is tiny at every scale."""
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
     from pdf_extractor_ray.functions.text import add_text_features
 
     ds = _docs(sf_dir).map_batches(add_text_features, batch_format="pyarrow")
-    return (
-        ds.groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="total_chars"),
-            Sum("n_tokens", alias_name="total_words"),
-        )
+    return lowcard_groupby_agg(
+        ds,
+        ["lang"],
+        [
+            ("lang", "count", "n_docs"),
+            ("n_chars", "sum", "total_chars"),
+            ("n_tokens", "sum", "total_words"),
+        ],
     )
 
 
@@ -419,30 +420,32 @@ def _q_video_frames(sf_dir: str):
 
 
 def _q_agg_lineitem_pricing(sf_dir: str):
+    """Low-cardinality groupby → partial aggregation inside map_batches
+    + tiny final combine (functions/agg.py) — only (key, partial) rows
+    shuffle, never lineitem rows."""
+    import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Count(alias_name="count_order"),
+    t = lowcard_groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_price"),
+            ("l_quantity", "count", "count_order"),
+        ],
     )
-
-    def round_cols(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        batch = batch.set_column(
-            batch.column_names.index("sum_price"),
-            "sum_price",
-            pc.round(batch.column("sum_price"), ndigits=2),
-        )
-        return batch
-
-    return agg.map_batches(round_cols, batch_format="pyarrow")
+    return t.set_column(
+        t.column_names.index("sum_price"),
+        "sum_price",
+        pc.round(t.column("sum_price"), ndigits=2),
+    )
 
 
 def _q_join_revenue_by_nation(sf_dir: str):
@@ -452,7 +455,6 @@ def _q_join_revenue_by_nation(sf_dir: str):
     import ray
     import ray.data
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -479,26 +481,24 @@ def _q_join_revenue_by_nation(sf_dir: str):
         ]
         return batch.append_column("n_name", pa.array(nations, pa.string()))
 
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    agg = (
-        orders.map_batches(attach_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="revenue"),
-        )
+    t = lowcard_groupby_agg(
+        orders.map_batches(attach_nation, batch_format="pyarrow"),
+        ["n_name"],
+        [
+            ("o_totalprice", "count", "n_orders"),
+            ("o_totalprice", "sum", "revenue"),
+        ],
     )
-
-    def round_rev(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("revenue"),
-            "revenue",
-            pc.round(batch.column("revenue"), ndigits=2),
-        )
-
-    return agg.map_batches(round_rev, batch_format="pyarrow")
+    return t.set_column(
+        t.column_names.index("revenue"),
+        "revenue",
+        pc.round(t.column("revenue"), ndigits=2),
+    )
 
 
 def _q_topk_parts(sf_dir: str):
@@ -512,48 +512,52 @@ def _q_topk_parts(sf_dir: str):
 
 def _q_filter_lineitems(sf_dir: str):
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_linestatus", "l_quantity", "l_discount"],
     )
     filtered = ds.filter(expr="l_quantity > 40 and l_discount < 0.05")
-    return filtered.groupby("l_linestatus").aggregate(
-        Count(alias_name="n_rows"),
-        Sum("l_quantity", alias_name="sum_qty"),
+    return lowcard_groupby_agg(
+        filtered,
+        ["l_linestatus"],
+        [("l_quantity", "count", "n_rows"), ("l_quantity", "sum", "sum_qty")],
     )
 
 
 def _q_events_by_type(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
     )
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="total_value"),
-        Min("user_id", alias_name="min_user"),
-        Max("user_id", alias_name="max_user"),
+    t = lowcard_groupby_agg(
+        ds,
+        ["event_type"],
+        [
+            ("value", "count", "n_events"),
+            ("value", "sum", "total_value"),
+            ("user_id", "min", "min_user"),
+            ("user_id", "max", "max_user"),
+        ],
     )
-
-    def round_val(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("total_value"),
-            "total_value",
-            pc.round(batch.column("total_value"), ndigits=3),
-        )
-
-    return agg.map_batches(round_val, batch_format="pyarrow")
+    return t.set_column(
+        t.column_names.index("total_value"),
+        "total_value",
+        pc.round(t.column("total_value"), ndigits=3),
+    )
 
 
 def _q_events_daily(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Count
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
 
@@ -561,10 +565,10 @@ def _q_events_daily(sf_dir: str):
         day = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
         return pa.table({"day": day})
 
-    return (
-        ds.map_batches(day_col, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Count(alias_name="n_events"))
+    return lowcard_groupby_agg(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day"],
+        [("day", "count", "n_events")],
     )
 
 

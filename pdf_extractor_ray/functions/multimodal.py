@@ -325,10 +325,11 @@ def video_frames(sf_dir: str, stride: int = 4, concurrency=(1, 8), batch_size: i
 
 def media_meta_stats(sf_dir: str):
     """Per-kind payload accounting — SQL-oracle-checkable because the
-    geometry is pure modular arithmetic on media_id (== doc_id)."""
-    from ray.data.aggregate import Count, Sum
-
+    geometry is pure modular arithmetic on media_id (== doc_id).
+    Three groups → partial aggregation (functions/agg.py), no shuffle."""
     import pyarrow.compute as pc
+
+    from .agg import lowcard_groupby_agg
 
     ds = media_dataset(sf_dir)
 
@@ -342,11 +343,11 @@ def media_meta_stats(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(nbytes, batch_format="pyarrow")
-        .groupby("kind")
-        .aggregate(
-            Count(alias_name="n_media"),
-            Sum("payload_bytes", alias_name="total_bytes"),
-        )
+    return lowcard_groupby_agg(
+        ds.map_batches(nbytes, batch_format="pyarrow"),
+        ["kind"],
+        [
+            ("payload_bytes", "count", "n_media"),
+            ("payload_bytes", "sum", "total_bytes"),
+        ],
     )

@@ -1,0 +1,66 @@
+"""Partial-aggregation helper: parity with a pandas groupby oracle."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+
+def _ds(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data
+
+    return ray.data.from_pandas(df, override_num_blocks=parallelism)
+
+
+def test_sum_count_min_max_mean(ray_session):
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=1000),
+            "v": rng.randint(0, 100, size=1000),
+            "w": rng.randn(1000),
+        }
+    )
+    got = (
+        lowcard_groupby_agg(
+            _ds(df),
+            ["k"],
+            [
+                ("v", "sum", "v_sum"),
+                ("v", "count", "n"),
+                ("v", "min", "v_min"),
+                ("v", "max", "v_max"),
+                ("w", "mean", "w_mean"),
+            ],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")
+        .agg(v_sum=("v", "sum"), n=("v", "size"), v_min=("v", "min"),
+             v_max=("v", "max"), w_mean=("w", "mean"))
+        .reset_index()
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["v_sum"]) == list(want["v_sum"])
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["v_min"]) == list(want["v_min"])
+    assert list(got["v_max"]) == list(want["v_max"])
+    np.testing.assert_allclose(got["w_mean"], want["w_mean"], rtol=1e-12)
+
+
+def test_multi_key_and_single_block(ray_session):
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": [1, 2, 2], "v": [10, 20, 30]}
+    )
+    got = (
+        lowcard_groupby_agg(_ds(df, parallelism=1), ["a", "b"], [("v", "sum", "s")])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {"a": ["x", "x", "y"], "b": [1, 2, 2], "s": [10, 20, 30]}
