@@ -183,6 +183,20 @@ def _q_minhash_lsh_dups(sf_dir: str):
     )
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Recrawl-dedup shape (last-write-wins per key): newest event per
+    user; at corpus scale this is dedup-by-url keeping max warc_ts."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import latest_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return latest_by_key(ds, key="user_id", ts_col="ts", tiebreak="event_id")
+
+
 def _q_simhash_dups(sf_dir: str):
     from pdf_extractor_ray.functions.dedup import simhash_dedup
 
@@ -588,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_dups": _q_simhash_dups,
+        "latest_event_per_user": _q_latest_event_per_user,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -659,6 +674,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "latest_event_per_user": """
+            SELECT event_id, ts, user_id, event_type
+            FROM (
+                SELECT event_id, ts, user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "ann_topk": """
             WITH q AS (

@@ -52,6 +52,9 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--mode", choices=("extract", "construction", "standard"),
                     default="construction")
     ap.add_argument("--files-per-partition", type=int, default=16)
+    ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
+                    help="output format for construction/standard modes "
+                    "(json = reference-compat view, reference: extractor/utils/helpers.py:9-21)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="override ray.init num_cpus (default: all)")
     args = ap.parse_args(argv)
@@ -82,16 +85,21 @@ def main(argv: List[str] | None = None) -> int:
 
         ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
         pipe = items_pipeline if args.mode == "construction" else entities_pipeline
-        pipe(ds).write_parquet(args.output)
-        # row count from the written footers — never re-executes the pipeline
-        import pyarrow.parquet as pq
+        out = pipe(ds)
+        if args.format == "json":
+            out.write_json(args.output)
+            metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
+        else:
+            out.write_parquet(args.output)
+            # row count from the written footers — never re-executes
+            import pyarrow.parquet as pq
 
-        metrics = {
-            "rows": sum(
-                pq.read_metadata(f).num_rows
-                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
-            )
-        }
+            metrics = {
+                "rows": sum(
+                    pq.read_metadata(f).num_rows
+                    for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+                )
+            }
 
     print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
     ray.shutdown()

@@ -235,6 +235,26 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
     )
 
 
+# ------------------------------------------------- last-write-wins by key
+def latest_by_key(ds, key: str, ts_col: str, tiebreak: str):
+    """Keep the newest row per key (recrawl dedup, SURVEY §2.7: "exact
+    dedup by url, last-write-wins per warc_ts").
+
+    High-cardinality key → the hash-partitioned ``groupby`` shuffle is
+    the right tool (every key's rows must co-locate once); within a
+    group the winner is picked vectorized by (ts, tiebreak) argmax, so
+    per-group work is O(rows).
+    """
+
+    def take_latest(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_pylist()
+        tb = group.column(tiebreak).to_pylist()
+        best = max(range(len(ts)), key=lambda i: (ts[i], tb[i]))
+        return group.slice(best, 1)
+
+    return ds.groupby(key).map_groups(take_latest, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ simhash
 class SimHashStage:
     """documents batch → (doc_id, simhash:int64, bucket:int32).

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2.4 invariants.
+
+Random HTML trees → codec invariants: never raises, spans are within
+bounds / monotone / non-overlapping and cover extracted_text exactly,
+and every extracted word originates from the input's text content.
+Random byte soup → sniff/codec degrade-and-continue (status, no raise).
+"""
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_ray.codecs.html_codec import HtmlCodec
+
+_WORDS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+_PHRASES = st.lists(_WORDS, min_size=1, max_size=30).map(" ".join)
+
+
+@st.composite
+def html_tree(draw, depth=0):
+    """Random nested HTML out of a realistic tag vocabulary."""
+    if depth >= 3:
+        return draw(_PHRASES)
+    n = draw(st.integers(0, 4))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["text", "p", "div", "nav", "footer",
+                                     "h2", "ul", "a", "table"]))
+        if kind == "text":
+            parts.append(draw(_PHRASES))
+        elif kind == "a":
+            parts.append(f'<a href="/x">{draw(_PHRASES)}</a>')
+        elif kind == "ul":
+            items = draw(st.lists(_PHRASES, min_size=1, max_size=3))
+            parts.append("<ul>" + "".join(f"<li>{i}</li>" for i in items) + "</ul>")
+        elif kind == "table":
+            rows = draw(st.lists(st.lists(_PHRASES, min_size=1, max_size=3),
+                                 min_size=1, max_size=3))
+            parts.append(
+                "<table>"
+                + "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows)
+                + "</table>"
+            )
+        else:
+            inner = draw(html_tree(depth=depth + 1))
+            parts.append(f"<{kind}>{inner}</{kind}>")
+    return "".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_tree())
+def test_html_codec_invariants(body):
+    codec = HtmlCodec()
+    payload = f"<html><body>{body}</body></html>".encode("utf-8")
+    r = codec.extract(payload)  # must not raise
+    raw = r.text.encode("utf-8")
+
+    # spans: in-bounds, monotone, non-overlapping, exactly tiling the text
+    last = 0
+    for i, (block_id, start, stop, kind) in enumerate(r.spans):
+        assert 0 <= start <= stop <= len(raw)
+        assert start >= last
+        if i > 0:
+            # the two-byte "\n\n" joiner sits between consecutive spans
+            assert raw[last:start] == b"\n\n"
+        last = stop
+    if r.spans:
+        assert last == len(raw)
+
+    # every extracted word originates from the input's text content:
+    # inline tags concatenate without whitespace (browser semantics), so
+    # accept words from both the space-joined and direct-joined readings
+    vocab = set(re.sub(r"<[^>]*>", " ", body).split())
+    vocab |= set(re.sub(r"<[^>]*>", "", body).split())
+    for w in r.text.replace("\n", " ").replace(" | ", " ").split():
+        assert w in vocab or w == "|", w
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_codecs_never_raise_on_garbage(payload):
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+
+    r = HtmlCodec().extract(payload)
+    assert r.status in ("ok", "empty", "parse_error")
+    p = PdfCodec().extract(b"%PDF-" + payload)
+    assert p.status in ("ok", "empty", "parse_error")
