@@ -382,19 +382,22 @@ def _q_merge_items(sf_dir: str):
     table-extracted items (secondary) per document url."""
     import pyarrow.compute as pc
 
-    from pdf_extractor_ray.functions.merge import merge_sources
+    from pdf_extractor_ray.functions.merge import merge_tagged
     from pdf_extractor_ray.pipelines.extraction import items_pipeline
 
-    def only_lines(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_null(batch.column("table_number")))
+    def tag_by_origin(batch: pa.Table) -> pa.Table:
+        src = pc.if_else(
+            pc.is_null(batch.column("table_number")),
+            pa.scalar("primary"),
+            pa.scalar("secondary"),
+        )
+        return batch.append_column("source", src)
 
-    def only_tables(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_valid(batch.column("table_number")))
-
-    items = items_pipeline(_pages(sf_dir))
-    primary = items.map_batches(only_lines, batch_format="pyarrow")
-    secondary = items.map_batches(only_tables, batch_format="pyarrow")
-    return merge_sources(primary, secondary)
+    # single tagging pass — the extraction pipeline executes ONCE
+    tagged = items_pipeline(_pages(sf_dir)).map_batches(
+        tag_by_origin, batch_format="pyarrow"
+    )
+    return merge_tagged(tagged)
 
 
 def _q_media_meta_stats(sf_dir: str):

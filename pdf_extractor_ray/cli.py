@@ -78,14 +78,10 @@ def main(argv: List[str] | None = None) -> int:
     else:
         import ray.data
 
-        from pdf_extractor_ray.pipelines.extraction import (
-            entities_pipeline,
-            items_pipeline,
-        )
+        from pdf_extractor_ray.pipelines.registry import get_pipeline
 
         ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
-        pipe = items_pipeline if args.mode == "construction" else entities_pipeline
-        out = pipe(ds)
+        out = get_pipeline(args.mode)(ds)
         if args.format == "json":
             out.write_json(args.output)
             metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}

@@ -103,6 +103,15 @@ def merge_item_lists(
     return merged
 
 
+def count_filled_fields(items: List[Dict[str, Any]]) -> int:
+    """G7 improvement metric: non-null merge-field count (reference
+    decides 'merge actually worked' by comparing this before/after,
+    extraction_service.py:299-316)."""
+    return sum(
+        1 for it in items for f in _MERGE_FIELDS if it.get(f) is not None
+    )
+
+
 # ------------------------------------------------------------- Ray wrapper
 def _row_to_item(row: Dict[str, Any]) -> Dict[str, Any]:
     item = {f: row.get(f) for f in _MERGE_FIELDS + _META_FIELDS if f in row}
@@ -146,6 +155,36 @@ _MERGED_SCHEMA = pa.schema(
 )
 
 
+def _merge_group(group: pa.Table, threshold: int) -> pa.Table:
+    rows = group.to_pylist()
+    url = rows[0]["url"]
+    prim = [_row_to_item(r) for r in rows if r["source"] == "primary"]
+    sec = [_row_to_item(r) for r in rows if r["source"] == "secondary"]
+    # deterministic in-group order regardless of shuffle arrival
+    prim.sort(key=lambda r: (r.get("page_number") or 0, r.get("line_number") or 0))
+    sec.sort(key=lambda r: (r.get("page_number") or 0, r.get("line_number") or 0))
+    merged = merge_item_lists(prim, sec, threshold)
+    out = [_item_to_row(url, "merged", it) for it in merged]
+    if not out:
+        return _MERGED_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=_MERGED_SCHEMA)
+
+
+def merge_tagged(tagged_ds, threshold: int = 3):
+    """One item Dataset already carrying ``source`` ∈ {primary,
+    secondary} → merged items Dataset.
+
+    Prefer this over :func:`merge_sources` when both sources derive
+    from the SAME upstream pipeline (e.g. line-items vs table-items of
+    one extraction run): tagging in a single map_batches avoids
+    executing the upstream plan twice (union branches re-execute their
+    whole lineage).
+    """
+    return tagged_ds.groupby("url").map_groups(
+        lambda g: _merge_group(g, threshold), batch_format="pyarrow"
+    )
+
+
 def merge_sources(primary_ds, secondary_ds, threshold: int = 3):
     """Two item Datasets (ITEMS_SCHEMA-like, keyed by url) → merged
     items Dataset. Tags rows, unions, groups per url, merges in-group.
@@ -162,19 +201,4 @@ def merge_sources(primary_ds, secondary_ds, threshold: int = 3):
     both = primary_ds.map_batches(tag("primary"), batch_format="pyarrow").union(
         secondary_ds.map_batches(tag("secondary"), batch_format="pyarrow")
     )
-
-    def merge_group(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        url = rows[0]["url"]
-        prim = [_row_to_item(r) for r in rows if r["source"] == "primary"]
-        sec = [_row_to_item(r) for r in rows if r["source"] == "secondary"]
-        # deterministic in-group order regardless of shuffle arrival
-        prim.sort(key=lambda r: (r.get("page_number") or 0, r.get("line_number") or 0))
-        sec.sort(key=lambda r: (r.get("page_number") or 0, r.get("line_number") or 0))
-        merged = merge_item_lists(prim, sec, threshold)
-        out = [_item_to_row(url, "merged", it) for it in merged]
-        if not out:
-            return _MERGED_SCHEMA.empty_table()
-        return pa.Table.from_pylist(out, schema=_MERGED_SCHEMA)
-
-    return both.groupby("url").map_groups(merge_group, batch_format="pyarrow")
+    return merge_tagged(both, threshold)

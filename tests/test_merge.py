@@ -62,6 +62,16 @@ def test_merge_each_secondary_used_once():
     assert out[1].get("model_number") is None  # secondary consumed by first
 
 
+def test_merge_improvement_metric():
+    from pdf_extractor_ray.functions.merge import count_filled_fields
+
+    prim = [{"fixture_type": "Valve Package", "page_number": 1}]
+    sec = [{"fixture_type": "Valve Package", "model_number": "VP-1", "page_number": 1}]
+    before = count_filled_fields(prim)
+    after = count_filled_fields(merge_item_lists(prim, sec))
+    assert after > before  # the merge filled model_number
+
+
 def _items_ds(rows):
     import ray.data
 
