@@ -83,6 +83,40 @@ def _q_extract_golden_match(sf_dir: str):
     )
 
 
+def _q_extract_status_match(sf_dir: str):
+    """Self-check: per (doc_kind, extract_status), how many rows match
+    the corpus generator's expected status/kind — operational metrics
+    the manifest records per partition at job scale."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.equal(batch.column("extract_status"), batch.column("expected_status")),
+            pc.equal(batch.column("doc_kind"), batch.column("expected_kind")),
+        )
+        return pa.table(
+            {
+                "doc_kind": batch.column("doc_kind"),
+                "extract_status": batch.column("extract_status"),
+                "matches_expected": pc.cast(ok, pa.int64()),
+            }
+        )
+
+    return lowcard_groupby_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["doc_kind", "extract_status"],
+        [
+            ("matches_expected", "count", "n_docs"),
+            ("matches_expected", "sum", "n_match"),
+        ],
+    )
+
+
 def _q_extract_items(sf_dir: str):
     from pdf_extractor_ray.pipelines.extraction import items_pipeline
 
@@ -594,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (reference-semantics pipelines)
         "extract_pages": _q_extract_pages,
         "extract_golden_match": _q_extract_golden_match,
+        "extract_status_match": _q_extract_status_match,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         # corpus-scale text analysis

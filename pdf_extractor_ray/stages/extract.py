@@ -99,7 +99,7 @@ class _ExtractBase:
             cols["tables"] = pa.array(tables, pa.list_(TABLES_TYPE))
         out = pa.table(cols)
         # carry through any extra input columns the pipeline wants kept
-        for name in ("warc_ts", "lang", "text"):
+        for name in ("warc_ts", "lang", "text", "expected_status", "expected_kind"):
             if name in batch.column_names and name not in out.column_names:
                 if name == "text":
                     out = out.append_column("golden_text", batch.column("text"))
