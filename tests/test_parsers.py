@@ -211,3 +211,36 @@ def test_parity_entities_vs_reference():
     for t in texts:
         assert mine.extract_entities(t) == ref.extract_entities(t), t
         assert mine.find_key_value_pairs(t) == ref.find_key_value_pairs(t), t
+
+
+SAMPLE_PATH = Path("/root/reference/sample-pages_extracted.json")
+
+
+@pytest.mark.skipif(not SAMPLE_PATH.exists(), reason="reference sample not present")
+def test_golden_sample_preview_items():
+    """The reference's only checked-in output artifact: running our
+    parser over the sample's real page-2 preview text must reproduce
+    the reference's items for those lines exactly (type, enriched
+    model, line numbers) — reference: sample-pages_extracted.json."""
+    import json
+
+    d = json.loads(SAMPLE_PATH.read_text())
+    preview = d["pages"][1]["text_preview"]
+    got = parser.extract_items(preview, page_num=2)
+    want = [
+        {"fixture_type": "Paint Booth", "model_number": "OM-142",
+         "page_number": 2, "raw_text": "PAINT BOOTH", "line_number": 5},
+        {"fixture_type": "Body Repair", "model_number": "OM-141",
+         "page_number": 2, "raw_text": "BODY REPAIR", "line_number": 8},
+        {"fixture_type": "Body Shop",
+         "page_number": 2, "raw_text": "BODY SHOP", "line_number": 15},
+    ]
+    cleaned = [{k: v for k, v in it.items() if v is not None} for it in got]
+    assert cleaned == want
+    # and these are exactly the reference's items for lines <= 15
+    ref_items = [
+        {k: v for k, v in it.items() if v is not None}
+        for it in d["items"]
+        if it.get("line_number") is not None and it["line_number"] <= 15
+    ]
+    assert cleaned == ref_items
