@@ -168,6 +168,17 @@ def _q_text_features(sf_dir: str):
     )
 
 
+def _q_quality_score(sf_dir: str):
+    from pdf_extractor_ray.functions.text import add_quality_score, add_text_features
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_text_features, batch_format="pyarrow")
+        .map_batches(add_quality_score, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality_score"])
+    )
+
+
 def _q_detect_language(sf_dir: str):
     from pdf_extractor_ray.functions.text import detect_language
 
@@ -634,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-scale text analysis
         "doc_stats": _q_doc_stats,
         "text_features": _q_text_features,
+        "quality_score": _q_quality_score,
         "detect_language": _q_detect_language,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -689,6 +701,25 @@ def oracle_sql() -> dict[str, str]:
                        AS stopword_ratio,
                    md5(text) AS fingerprint
             FROM documents
+        """,
+        "quality_score": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(least(n_tokens / 50.0, 1.0)
+                         * (1 - punct_ratio)
+                         * (0.5 + 0.5 * least(4 * stopword_ratio, 1.0)), 6)
+                       AS quality_score
+            FROM f
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -72,6 +72,35 @@ def add_text_features(batch: pa.Table) -> pa.Table:
     return out
 
 
+def add_quality_score(batch: pa.Table) -> pa.Table:
+    """Deterministic document quality score in [0, 1] — the simple
+    length/punct/stopword combination a training-data filter thresholds
+    on.  Requires the ``add_text_features`` columns; SQL-mirrorable.
+
+    score = length_factor × (1 − punct_ratio) × (0.5 + 0.5 × min(1, 4 × stopword_ratio))
+    with length_factor = min(1, n_tokens / 50).
+    """
+    n_tok = pc.cast(batch.column("n_tokens"), pa.float64())
+    length_factor = pc.min_element_wise(
+        pc.divide(n_tok, pa.scalar(50.0)), pa.scalar(1.0)
+    )
+    punct_term = pc.subtract(pa.scalar(1.0), batch.column("punct_ratio"))
+    stop_term = pc.add(
+        pa.scalar(0.5),
+        pc.multiply(
+            pa.scalar(0.5),
+            pc.min_element_wise(
+                pc.multiply(batch.column("stopword_ratio"), pa.scalar(4.0)),
+                pa.scalar(1.0),
+            ),
+        ),
+    )
+    score = pc.round(
+        pc.multiply(pc.multiply(length_factor, punct_term), stop_term), ndigits=6
+    )
+    return batch.append_column("quality_score", score)
+
+
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
