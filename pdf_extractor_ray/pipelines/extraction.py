@@ -30,6 +30,8 @@ would move the whole corpus.
 """
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Dict, Optional, Sequence, Tuple
 
 import pyarrow as pa
@@ -174,6 +176,10 @@ def run_extraction_job(
             skipped += 1
             continue
         tmp = manifest.tmp_dir(pid)
+        # a killed run may have left partial files in tmp; writing fresh
+        # output ALONGSIDE them would commit duplicates — clear first
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         ds = ray.data.read_parquet(
             list(files), columns=["url", "warc_ts", "html", "lang"]
         )

@@ -117,3 +117,38 @@ def test_checkpoint_resume(ray_session, sf_dir, tmp_path):
     records = Manifest(out_dir).records()
     assert {r["input_file"] for r in records} == set(files)
     assert all(r["docs_in"] >= 0 for r in records)
+
+
+def test_resume_replaces_stale_tmp_and_final(ray_session, sf_dir, tmp_path):
+    """A run killed mid-write leaves a partial _tmp dir (and possibly a
+    renamed final dir with NO manifest record). The rerun must replace
+    both — no duplicates, no stale files."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.extraction import run_extraction_job
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    pages_dir = tmp_path / "pages"
+    pages_dataset(sf_dir).write_parquet(str(pages_dir))
+    files = sorted(
+        str(pages_dir / f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )[:1]
+    out_dir = tmp_path / "out"
+
+    # simulate the two crash windows
+    stale_tmp = out_dir / "_tmp" / "part-00000"
+    stale_tmp.mkdir(parents=True)
+    (stale_tmp / "garbage.parquet").write_bytes(b"not parquet")
+    stale_final = out_dir / "part-00000"
+    stale_final.mkdir(parents=True)
+    (stale_final / "leftover.parquet").write_bytes(b"stale")
+
+    r = run_extraction_job(files, str(out_dir), files_per_partition=1)
+    assert r["partitions_skipped"] == 0  # no manifest record → reprocessed
+
+    # stale files are gone; output readable; every url exactly once
+    names = os.listdir(out_dir / "part-00000")
+    assert "leftover.parquet" not in names and "garbage.parquet" not in names
+    t = pq.read_table(str(out_dir / "part-00000"), columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == len(set(urls)) > 0
