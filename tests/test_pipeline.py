@@ -73,6 +73,24 @@ def test_entities_pipeline(ray_session, sf_dir):
     assert (df["date"].str.len() > 0).any()
 
 
+def test_branched_mode_matches_unified(ray_session, sf_dir):
+    """mode='branched' (sniff → filter×2 → HTML tasks ∪ PDF actor pool)
+    must produce exactly the unified pipeline's rows."""
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    cols = ["url", "doc_kind", "extracted_text", "extract_status"]
+    uni = (
+        extraction_pipeline(pages_dataset(sf_dir))
+        .select_columns(cols).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    bra = (
+        extraction_pipeline(pages_dataset(sf_dir), mode="branched")
+        .select_columns(cols).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert uni.equals(bra)
+
+
 def test_checkpoint_resume(ray_session, sf_dir, tmp_path):
     """Kill-and-resume semantics: committed partitions are skipped, the
     rerun completes the remainder, no duplicate outputs."""
