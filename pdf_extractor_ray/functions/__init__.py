@@ -1,9 +1,24 @@
-from .text import add_text_features, detect_language  # noqa: F401
+from .text import (  # noqa: F401
+    add_quality_score,
+    add_text_features,
+    count_bpe_tokens,
+    detect_language,
+)
 from .dedup import (  # noqa: F401
     add_exact_hash,
     exact_dedup,
+    latest_by_key,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from .similarity import ann_topk, embedding_near_dups  # noqa: F401
+from .similarity import ann_topk, embedding_near_dups, ivf_topk  # noqa: F401
+from .agg import lowcard_groupby_agg  # noqa: F401
+from .merge import merge_sources, merge_tagged  # noqa: F401
+from .multimodal import (  # noqa: F401
+    audio_features,
+    image_features,
+    media_dataset,
+    media_meta_stats,
+    video_frames,
+)
