@@ -563,6 +563,47 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_asof_latest_order(sf_dir: str):
+    """As-of join: each event enriched with the customer's latest order
+    at event time (key-grouped, vectorized in-group searchsorted)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["user_id", "o_orderdate", "o_orderkey"])
+
+    return asof_join(
+        events,
+        orders.map_batches(rn, batch_format="pyarrow"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        left_cols=["event_id", "user_id"],
+        right_cols=["o_orderkey"],
+    )
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL distinct sketch (p=12, ~1.6% error) — approximate, rows-only;
+    merge associativity + accuracy covered by tests."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
 def _q_topk_parts(sf_dir: str):
     import ray.data
 
@@ -678,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lineitems": _q_filter_lineitems,
         "events_by_type": _q_events_by_type,
         "events_daily": _q_events_daily,
+        "asof_latest_order": _q_asof_latest_order,
+        "approx_distinct_users": _q_approx_distinct_users,
     }
 
 
@@ -848,5 +891,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(date_trunc('day', ts) AS DATE) AS day,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "asof_latest_order": """
+            SELECT event_id, user_id, o_orderkey FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                LEFT JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
         """,
     }

@@ -1,0 +1,80 @@
+"""Approximate aggregates: HyperLogLog distinct-count sketch.
+
+The reference has no sketches (SURVEY §2.5); at 100 TB an exact
+distinct over a high-cardinality column is a full shuffle, while an
+HLL sketch is a CONSTANT-size (2^p bytes) register array that merges
+associatively — the canonical partial-aggregation shape:
+
+    map_batches: hash column → per-block register array   [distributed]
+    merge: element-wise max over register arrays          [tiny]
+    estimate: bias-corrected harmonic mean (Flajolet et al. 2007,
+              with the standard linear-counting small-range correction)
+
+Error ≈ 1.04/√(2^p): p=12 → ~1.6%.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64) over int64 input."""
+    x = values.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+    return z ^ (z >> np.uint64(31))
+
+
+def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """hashes → HLL register array (vectorized)."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+    # computed via bit_length: rank = (64 - p) - floor(log2(rest)) for rest>0
+    regs = np.zeros(m, dtype=np.uint8)
+    nz = rest != 0
+    # np.log2 on uint64 is lossy near 2^64; use float64 carefully with clip
+    bitlen = np.zeros(len(rest), dtype=np.int64)
+    r = rest[nz].astype(np.float64)
+    bitlen_nz = np.floor(np.log2(r)).astype(np.int64) + 1
+    bitlen[nz] = bitlen_nz
+    rank = np.where(nz, 64 - bitlen + 1, 64 - p + 1).astype(np.uint8)
+    rank = np.minimum(rank, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray, p: int) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> int:
+    """Distributed HLL distinct estimate for an integer column."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+        regs = _registers(_hash64(vals), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for t in parts:
+        for blob in t.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    return round(_estimate(merged, p))
