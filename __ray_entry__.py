@@ -563,6 +563,49 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_events_sliding_3d(sf_dir: str):
+    """Sliding 3-day window count: distributed daily pre-aggregation
+    (partial combine — rows never shuffle), then the window runs over
+    the tiny day series. At any corpus size the windowed series is
+    |days| rows, so pre-aggregate-then-window is the scale pattern."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": day})
+
+    daily = lowcard_groupby_agg(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day"],
+        [("day", "count", "n")],
+    )
+    days = daily.column("day").to_pylist()
+    ns = np.asarray(daily.column("n").to_pylist(), dtype=np.int64)
+    order = np.argsort([d.toordinal() for d in days])
+    days = [days[i] for i in order]
+    ns = ns[order]
+    ords = np.asarray([d.toordinal() for d in days], dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(ns)])
+    # window [day-2, day]: left boundary via searchsorted on ordinals
+    lo = np.searchsorted(ords, ords - 2, side="left")
+    hi = np.arange(1, len(ords) + 1)
+    win = csum[hi] - csum[lo]
+    return pa.table(
+        {
+            "day": pa.array(days, pa.date32()),
+            "n_events_3d": pa.array(win, pa.int64()),
+        }
+    )
+
+
 def _q_asof_latest_order(sf_dir: str):
     """As-of join: each event enriched with the customer's latest order
     at event time (key-grouped, vectorized in-group searchsorted)."""
@@ -719,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lineitems": _q_filter_lineitems,
         "events_by_type": _q_events_by_type,
         "events_daily": _q_events_daily,
+        "events_sliding_3d": _q_events_sliding_3d,
         "asof_latest_order": _q_asof_latest_order,
         "approx_distinct_users": _q_approx_distinct_users,
     }
@@ -891,6 +935,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(date_trunc('day', ts) AS DATE) AS day,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "events_sliding_3d": """
+            WITH d AS (
+                SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT day,
+                   CAST(sum(n) OVER (
+                       ORDER BY day
+                       RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_events_3d
+            FROM d
         """,
         "asof_latest_order": """
             SELECT event_id, user_id, o_orderkey FROM (
