@@ -81,6 +81,32 @@ def test_html_codec_invariants(body):
         assert w in vocab or w == "|", w
 
 
+_ASCII_LINE = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=1,
+    max_size=60,
+).map(lambda s: s.strip()).filter(lambda s: s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(_ASCII_LINE, min_size=1, max_size=8), min_size=1, max_size=3),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pdf_roundtrip_byte_identity(pages, use_tj, use_leading):
+    """Random ASCII lines → our PDF builder → codec ⇒ byte-identical
+    text (the north-rule invariant, property-tested)."""
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import simple_text_pdf
+
+    payload = simple_text_pdf(pages, use_tj=use_tj, use_leading=use_leading)
+    r = PdfCodec().extract(payload)
+    want = "\n\n".join("\n".join(ls) for ls in pages)
+    assert r.status == "ok"
+    assert r.text == want
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=400))
 def test_codecs_never_raise_on_garbage(payload):
