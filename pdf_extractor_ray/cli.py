@@ -51,6 +51,9 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("extract", "construction", "standard"),
                     default="construction")
+    ap.add_argument("--input-format", choices=("parquet", "files"), default="parquet",
+                    help="'files' = directories of raw .pdf/.html files "
+                    "(the reference's input shape, reference: main.py:65)")
     ap.add_argument("--files-per-partition", type=int, default=16)
     ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
                     help="output format for construction/standard modes "
@@ -66,6 +69,28 @@ def main(argv: List[str] | None = None) -> int:
         if args.num_cpus:
             kw["num_cpus"] = args.num_cpus
         ray.init(address="local", **kw)
+
+    if args.input_format == "files":
+        # raw .pdf/.html files (the reference's input shape): run the
+        # selected pipeline directly; checkpointed partitioning applies
+        # to parquet shards only
+        from pdf_extractor_ray.pipelines.registry import get_pipeline
+        from pdf_extractor_ray.sources.files import pages_from_files
+
+        ds = pages_from_files(args.input)
+        out = get_pipeline(args.mode)(ds)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+
+        metrics = {
+            "rows": sum(
+                pq.read_metadata(f).num_rows
+                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+            )
+        }
+        print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
+        ray.shutdown()
+        return 0
 
     files = _expand(args.input)
 
