@@ -51,9 +51,11 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("extract", "construction", "standard"),
                     default="construction")
-    ap.add_argument("--input-format", choices=("parquet", "files"), default="parquet",
+    ap.add_argument("--input-format", choices=("parquet", "files", "warc"),
+                    default="parquet",
                     help="'files' = directories of raw .pdf/.html files "
-                    "(the reference's input shape, reference: main.py:65)")
+                    "(the reference's input shape, reference: main.py:65); "
+                    "'warc' = Common-Crawl-style .warc/.warc.gz archives")
     ap.add_argument("--files-per-partition", type=int, default=16)
     ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
                     help="output format for construction/standard modes "
@@ -70,14 +72,20 @@ def main(argv: List[str] | None = None) -> int:
             kw["num_cpus"] = args.num_cpus
         ray.init(address="local", **kw)
 
-    if args.input_format == "files":
-        # raw .pdf/.html files (the reference's input shape): run the
-        # selected pipeline directly; checkpointed partitioning applies
-        # to parquet shards only
+    if args.input_format in ("files", "warc"):
+        # raw .pdf/.html files (the reference's input shape) or WARC
+        # crawl archives: run the selected pipeline directly; the
+        # checkpointed partition runner applies to parquet shards only
         from pdf_extractor_ray.pipelines.registry import get_pipeline
-        from pdf_extractor_ray.sources.files import pages_from_files
 
-        ds = pages_from_files(args.input)
+        if args.input_format == "files":
+            from pdf_extractor_ray.sources.files import pages_from_files
+
+            ds = pages_from_files(args.input)
+        else:
+            from pdf_extractor_ray.sources.warc import pages_from_warc
+
+            ds = pages_from_warc(args.input)
         out = get_pipeline(args.mode)(ds)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq

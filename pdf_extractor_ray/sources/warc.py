@@ -1,0 +1,172 @@
+"""From-scratch WARC source: .warc / .warc.gz crawl archives → pages.
+
+Common Crawl's native container (ISO 28500): a WARC file is a
+concatenation of records, each
+
+    WARC/1.0\\r\\n
+    <header-name>: <value>\\r\\n ...
+    \\r\\n
+    <Content-Length bytes of block>\\r\\n\\r\\n
+
+``response`` records carry an HTTP response (status line + headers +
+body) as their block; the page payload is the HTTP body. `.warc.gz`
+files are per-record gzip members, so records can be split without
+decompressing the whole file (that member framing is WHY Common Crawl
+shards scale — a reader can seek).
+
+Parallelism shape: one task per WARC file via
+``ray.data.read_binary_files`` (crawl shards are ~1 GB each, thousands
+per crawl — file-level parallelism saturates any cluster); the record
+scan inside a task is sequential streaming. Stdlib-only (zlib), no
+warcio dependency.
+
+Output rows use the canonical pages schema ``(url, warc_ts,
+html:binary, text:null, lang:null)``; non-response records
+(warcinfo/request/metadata) are skipped, exactly the records a
+boilerplate pipeline consumes.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import zlib
+from typing import Iterator, List, Optional, Tuple
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress each gzip member of a multi-member stream."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out = d.decompress(data[pos:])
+        yield out + d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def _parse_headers(block: bytes) -> Tuple[dict, int]:
+    """Parse CRLF header lines; returns ({lower_name: value}, body_offset)."""
+    end = block.find(_CRLF + _CRLF)
+    if end < 0:
+        return {}, len(block)
+    headers: dict = {}
+    for line in block[:end].split(_CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers, end + 4
+
+
+def _iter_warc_records(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (warc_headers, block_bytes) for each record in a
+    decompressed WARC stream."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and raw[pos : pos + 2] == _CRLF:
+            pos += 2
+        if not raw[pos : pos + 5] == b"WARC/":
+            break  # trailing garbage → stop (degrade-and-continue)
+        ver_end = raw.find(_CRLF, pos)
+        headers, body_off = _parse_headers(raw[ver_end + 2 :])
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        block_start = ver_end + 2 + body_off
+        block = raw[block_start : block_start + length]
+        yield headers, block
+        pos = block_start + length
+
+
+def _http_body(block: bytes) -> bytes:
+    """HTTP response block → body (headers stripped); tolerates a bare
+    payload with no status line."""
+    if block[:5] in (b"HTTP/",):
+        _, off = _parse_headers(block)
+        return block[off:]
+    return block
+
+
+def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None) -> List[dict]:
+    """One WARC file's bytes → list of page dicts (pure function)."""
+    if is_gzip is None:
+        is_gzip = data[:2] == b"\x1f\x8b"
+    if is_gzip:
+        raw = b"".join(_split_gzip_members(data))
+    else:
+        raw = data
+    pages = []
+    for headers, block in _iter_warc_records(raw):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = _dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+        except ValueError:
+            ts = _dt.datetime(1970, 1, 1)
+        pages.append({"url": url, "warc_ts": ts, "html": _http_body(block)})
+    return pages
+
+
+def pages_from_warc(paths) -> "ray.data.Dataset":  # noqa: F821
+    """WARC file paths/dirs → pages Dataset (canonical input schema)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(
+        list(paths), include_paths=True, file_extensions=["warc", "gz"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls: List[str] = []
+        ts: List[_dt.datetime] = []
+        payloads: List[bytes] = []
+        for blob in batch.column("bytes").to_pylist():
+            for page in parse_warc_bytes(blob):
+                urls.append(page["url"])
+                ts.append(page["warc_ts"])
+                payloads.append(page["html"])
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.large_binary()),
+                "text": pa.nulls(n, pa.large_string()),
+                "lang": pa.nulls(n, pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ test writer
+def build_warc(records: List[Tuple[str, str, bytes]], gzip_members: bool = False) -> bytes:
+    """Author a WARC file (url, iso_ts, payload) — fixtures own both
+    sides of the codec, same philosophy as fixtures/pdf_build.py."""
+    import gzip as _gzip
+
+    out = []
+    for url, iso_ts, payload in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso_ts}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            f"\r\n"
+        ).encode()
+        rec = head + http + _CRLF + _CRLF
+        out.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(out)

@@ -1,0 +1,55 @@
+"""WARC source: authored archives round-trip through the extraction
+pipeline (plain and per-record-gzip variants)."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pdf_extractor_ray.sources.warc import build_warc, parse_warc_bytes
+
+HTML_A = (
+    b"<html><body><p>plenty of words in this paragraph make it count as "
+    b"real content for the scorer</p></body></html>"
+)
+PDF_MAGIC_DOC = b"%PDF-1.4 not really a full pdf"
+
+RECORDS = [
+    ("https://a.example/page", "2025-03-01T12:00:00Z", HTML_A),
+    ("https://b.example/doc.pdf", "2025-03-02T00:30:00Z", PDF_MAGIC_DOC),
+]
+
+
+def test_parse_warc_plain_and_gzip():
+    for gz in (False, True):
+        pages = parse_warc_bytes(build_warc(RECORDS, gzip_members=gz))
+        assert [p["url"] for p in pages] == [r[0] for r in RECORDS]
+        assert pages[0]["html"] == HTML_A  # HTTP headers stripped
+        assert pages[0]["warc_ts"] == dt.datetime(2025, 3, 1, 12, 0, tzinfo=dt.timezone.utc).replace(tzinfo=None)
+        assert pages[1]["html"][:5] == b"%PDF-"
+
+
+def test_parse_warc_skips_non_response_and_garbage():
+    warc = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        + build_warc(RECORDS[:1])
+        + b"trailing garbage not a record"
+    )
+    pages = parse_warc_bytes(warc)
+    assert len(pages) == 1 and pages[0]["url"] == RECORDS[0][0]
+
+
+def test_warc_to_extraction_pipeline(ray_session, tmp_path):
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+    from pdf_extractor_ray.sources.warc import pages_from_warc
+
+    (tmp_path / "shard-00000.warc.gz").write_bytes(build_warc(RECORDS, gzip_members=True))
+    df = (
+        extraction_pipeline(pages_from_warc([str(tmp_path)]))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(df) == 2
+    a = df.loc["https://a.example/page"]
+    assert a["doc_kind"] == "html" and a["extract_status"] == "ok"
+    assert "plenty of words" in a["extracted_text"]
+    b = df.loc["https://b.example/doc.pdf"]
+    assert b["doc_kind"] == "pdf" and b["extract_status"] == "parse_error"
