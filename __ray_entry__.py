@@ -563,6 +563,38 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_range_join_price_bands(sf_dir: str):
+    """Broadcast range join: orders banded into 8 equal-width price
+    intervals derived from the data (min/max via partial agg), bands
+    broadcast once, per-batch vectorized searchsorted — the pattern for
+    joining a stream against a small interval table without a shuffle."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    lo = ds.min("o_totalprice")
+    hi = ds.max("o_totalprice")
+    n_bands = 8
+    width = (hi - lo) / n_bands
+    edges = np.asarray([lo + i * width for i in range(1, n_bands)], dtype=np.float64)
+    edges_ref = ray.put(edges)
+
+    def band(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = np.asarray(batch.column("o_totalprice").to_pylist(), dtype=np.float64)
+        idx = np.searchsorted(e, v, side="right").astype(np.int64)
+        return pa.table({"band": pa.array(idx, pa.int64())})
+
+    return lowcard_groupby_agg(
+        ds.map_batches(band, batch_format="pyarrow"),
+        ["band"],
+        [("band", "count", "n_orders")],
+    )
+
+
 def _q_events_sliding_3d(sf_dir: str):
     """Sliding 3-day window count: distributed daily pre-aggregation
     (partial combine — rows never shuffle), then the window runs over
@@ -762,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lineitems": _q_filter_lineitems,
         "events_by_type": _q_events_by_type,
         "events_daily": _q_events_daily,
+        "range_join_price_bands": _q_range_join_price_bands,
         "events_sliding_3d": _q_events_sliding_3d,
         "asof_latest_order": _q_asof_latest_order,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -935,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(date_trunc('day', ts) AS DATE) AS day,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "range_join_price_bands": """
+            WITH mm AS (
+                SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+            ),
+            e AS (
+                SELECT i,
+                       (SELECT lo FROM mm)
+                       + i * (((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 8) AS edge
+                FROM generate_series(1, 7) AS t(i)
+            )
+            SELECT band, count(*) AS n_orders FROM (
+                SELECT (SELECT count(*) FROM e WHERE e.edge <= o.o_totalprice) AS band
+                FROM orders o
+            ) GROUP BY band
         """,
         "events_sliding_3d": """
             WITH d AS (
