@@ -1,1 +1,3 @@
-from .corpus import PageSynthesizer, synthesize_pages, pages_dataset  # noqa: F401
+from .corpus import PageSynthesizer, pages_dataset, synthesize_pages  # noqa: F401
+from .files import pages_from_files  # noqa: F401
+from .warc import pages_from_warc, parse_warc_bytes  # noqa: F401
