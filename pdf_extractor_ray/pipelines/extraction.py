@@ -169,7 +169,7 @@ def run_extraction_job(
     manifest = Manifest(out_dir)
     plan = partition_plan(input_files, files_per_partition)
     skipped = 0
-    totals = {"docs_in": 0, "docs_ok": 0, "parse_errors": 0}
+    totals = {"docs_in": 0, "docs_ok": 0, "docs_html": 0, "docs_pdf": 0, "parse_errors": 0}
 
     for pid, files in enumerate(plan):
         if manifest.is_committed(pid):
@@ -189,7 +189,7 @@ def run_extraction_job(
         # cheap metrics pass over the WRITTEN output (column-pruned read
         # of the small columns only — never re-runs extraction)
         res = ray.data.read_parquet(
-            tmp, columns=["url", "extract_status", "n_chars"]
+            tmp, columns=["url", "doc_kind", "extract_status", "n_chars"]
         )
         stats = res.map_batches(
             _partition_metrics_batch, batch_format="pyarrow"
@@ -197,11 +197,13 @@ def run_extraction_job(
         metrics = {
             "docs_in": int(stats["docs_in"].sum()),
             "docs_ok": int(stats["docs_ok"].sum()),
+            "docs_html": int(stats["docs_html"].sum()),
+            "docs_pdf": int(stats["docs_pdf"].sum()),
             "parse_errors": int(stats["parse_errors"].sum()),
             "checksum": _xor_all(stats["checksum"]),
         }
         manifest.commit(pid, files, metrics)
-        for k in ("docs_in", "docs_ok", "parse_errors"):
+        for k in ("docs_in", "docs_ok", "docs_html", "docs_pdf", "parse_errors"):
             totals[k] += metrics[k]
 
     return {
@@ -213,12 +215,15 @@ def run_extraction_job(
 
 def _partition_metrics_batch(batch: pa.Table) -> pa.Table:
     status = batch.column("extract_status").to_pylist()
+    kinds = batch.column("doc_kind").to_pylist()
     urls = batch.column("url").to_pylist()
     n_chars = batch.column("n_chars").to_pylist()
     return pa.table(
         {
             "docs_in": pa.array([len(status)], pa.int64()),
             "docs_ok": pa.array([sum(s == "ok" for s in status)], pa.int64()),
+            "docs_html": pa.array([sum(k == "html" for k in kinds)], pa.int64()),
+            "docs_pdf": pa.array([sum(k == "pdf" for k in kinds)], pa.int64()),
             "parse_errors": pa.array(
                 [sum(s == "parse_error" for s in status)], pa.int64()
             ),

@@ -110,6 +110,8 @@ class Manifest:
                 "checksum": format(metrics.get("checksum", 0), "08x"),
                 "docs_in": metrics.get("docs_in", -1),
                 "docs_ok": metrics.get("docs_ok", -1),
+                "docs_html": metrics.get("docs_html", -1),
+                "docs_pdf": metrics.get("docs_pdf", -1),
                 "parse_errors": metrics.get("parse_errors", -1),
                 "commit_ts": now,
             }
