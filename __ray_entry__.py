@@ -267,6 +267,28 @@ def _q_ann_topk(sf_dir: str):
     return res.drop_columns(["sim"])  # float parity handled via rank
 
 
+def _q_ivf_kmeans_topk(sf_dir: str):
+    """True IVF ANN: distributed k-means coarse quantizer + nprobe
+    cluster search (approximate — recall vs exact tested; rows-only)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ivf_kmeans_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _emb_queries(sf_dir)
+    return ivf_kmeans_topk(emb, q, k=10, n_clusters=16, nprobe=4, query_ids=[0, 1, 2])
+
+
+def _q_detect_language_ngram(sf_dir: str):
+    from pdf_extractor_ray.functions.text import detect_language_ngram
+
+    return (
+        _docs(sf_dir)
+        .map_batches(detect_language_ngram, batch_format="pyarrow")
+        .select_columns(["doc_id", "detected_lang_ngram"])
+    )
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data
 
@@ -763,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features": _q_text_features,
         "quality_score": _q_quality_score,
         "detect_language": _q_detect_language,
+        "detect_language_ngram": _q_detect_language_ngram,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -772,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         # preview projection (M14)
         "page_previews": _q_page_previews,

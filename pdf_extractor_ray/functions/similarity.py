@@ -148,6 +148,88 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95):
     return emb_ds.select_columns(["vec_id"]).map_batches(pairs, batch_format="pyarrow")
 
 
+def kmeans_fit(emb_ds, k: int = 16, iters: int = 5):
+    """Distributed spherical k-means over the embedding column.
+
+    Lloyd iterations as partial aggregation: each batch computes
+    per-centroid (vector-sum, count) partials — a k×dim matrix per
+    block, NOT per row — merged on the driver; only centroids travel.
+    Deterministic: init = the k lowest-vec_id embeddings, fixed
+    iteration count, argmax ties broken by lowest centroid index.
+    """
+    import ray
+
+    init_rows = sorted(
+        emb_ds.select_columns(["vec_id", "embedding"]).take(k * 4),
+        key=lambda r: r["vec_id"],
+    )[:k]
+    cents = _normalize(np.asarray([r["embedding"] for r in init_rows], np.float64))
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix(batch.column("embedding"))
+            if m.size == 0:
+                sums = np.zeros_like(c)
+                counts = np.zeros(len(c), np.int64)
+            else:
+                mn = _normalize(m)
+                assign = np.argmax(mn @ c.T, axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, mn)
+                counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                }
+            )
+
+        parts = [
+            ray.get(r)
+            for r in emb_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ]
+        tot_sum = np.zeros_like(cents)
+        tot_cnt = np.zeros(len(cents), np.int64)
+        for t in parts:
+            for sb, cb in zip(t.column("sums").to_pylist(), t.column("counts").to_pylist()):
+                tot_sum += np.frombuffer(sb, np.float64).reshape(cents.shape)
+                tot_cnt += np.frombuffer(cb, np.int64)
+        nonempty = tot_cnt > 0
+        cents[nonempty] = _normalize(tot_sum[nonempty] / tot_cnt[nonempty, None])
+    return cents
+
+
+def ivf_kmeans_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                    n_clusters: int = 16, nprobe: int = 4, iters: int = 5,
+                    query_ids=None):
+    """True IVF ANN: k-means coarse quantizer, search only the nprobe
+    clusters nearest each query. Approximate (recall < 1); exact
+    baseline is ``ann_topk``; the cheap alternative quantizer is
+    ``ivf_topk`` (hyperplane LSH)."""
+    import ray
+
+    cents = kmeans_fit(emb_ds, k=n_clusters, iters=iters)
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probe for c in row})
+    cents_ref = ray.put((cents, np.asarray(probe_set, np.int64)))
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        c, keep = ray.get(cents_ref)
+        m = _matrix(batch.column("embedding"))
+        if m.size == 0:
+            return batch
+        assign = np.argmax(_normalize(m) @ c.T, axis=1)
+        mask = np.isin(assign, keep)
+        return batch.filter(pa.array(mask))
+
+    candidates = emb_ds.map_batches(in_probed, batch_format="pyarrow")
+    return ann_topk(candidates, query_vecs, k, query_ids=query_ids)
+
+
 class HyperplaneBucketStage:
     """vec → LSH bucket id from sign bits of random hyperplane dots."""
 

@@ -114,6 +114,41 @@ def count_bpe_tokens(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
 
 
+# character-trigram profiles (top distinctive trigrams incl. spaces, per
+# language) — the classic n-gram language-ID heuristic (Cavnar & Trenkle
+# 1994 shape, tiny profile)
+_TRIGRAM_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of ", " to",
+           "to ", "ed ", " in", "ion", "er "),
+    "de": ("er ", "en ", "ch ", "der", " de", "ein", "ich", "sch", "die", " ge",
+           "und", " un", "nde", "ung", "cht"),
+    "fr": (" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ", " la", "que",
+           " qu", "ue ", "re ", " et", "et "),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu", "ue ",
+           "es ", " en", "en ", "ión", "ado"),
+}
+
+
+def detect_language_ngram(batch: pa.Table) -> pa.Table:
+    """Character-trigram language id: score = count of profile trigrams
+    present in the text, weighted by profile rank (earlier = more
+    distinctive). Deterministic tie-break by profile order."""
+    texts = batch.column("text").to_pylist()
+    langs = []
+    for t in texts:
+        s = " " + (t or "").lower() + " "
+        best, best_score = "unknown", 0.0
+        for lang, grams in _TRIGRAM_PROFILES.items():
+            score = sum(
+                (len(grams) - rank) * s.count(g)
+                for rank, g in enumerate(grams)
+            )
+            if score > best_score:
+                best, best_score = lang, score
+        langs.append(best)
+    return batch.append_column("detected_lang_ngram", pa.array(langs, pa.string()))
+
+
 def detect_language(batch: pa.Table) -> pa.Table:
     """Stopword-profile language id (heuristic; not SQL-expressible)."""
     texts = batch.column("text").to_pylist()
