@@ -72,7 +72,17 @@ class StreamObj:
         for f in filters:
             name = resolver(f)
             if name == "FlateDecode":
-                raw = zlib.decompress(raw)
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    # Length was unusable and raw still carries the EOL
+                    # separator before `endstream` — retry trimmed
+                    trimmed = raw
+                    if trimmed.endswith(b"\r\n"):
+                        trimmed = trimmed[:-2]
+                    elif trimmed.endswith(b"\n") or trimmed.endswith(b"\r"):
+                        trimmed = trimmed[:-1]
+                    raw = zlib.decompress(trimmed)
             elif name in (None,):
                 pass
             else:
@@ -372,11 +382,19 @@ class _PdfDocument:
             if end < 0:
                 end = len(self.data)
             raw = self.data[p:end]
-            if raw.endswith(b"\r\n"):
-                raw = raw[:-2]
-            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
-                raw = raw[:-1]
-            obj = StreamObj(dict=obj if isinstance(obj, dict) else {}, raw=raw)
+            # trailing-EOL trim is a HEURISTIC for when /Length is
+            # unusable; with a usable /Length the exact slice happens in
+            # StreamObj.data() — trimming here would eat real data bytes
+            # when the (compressed) stream itself ends in \r or \n
+            d = obj if isinstance(obj, dict) else {}
+            length = d.get("Length")
+            has_usable_length = isinstance(length, (int, Ref))
+            if not has_usable_length:
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                    raw = raw[:-1]
+            obj = StreamObj(dict=d, raw=raw)
         self._cache[num] = obj
         return obj
 

@@ -98,3 +98,46 @@ def test_table_indicator_gate():
     assert has_table_indicators("a\tb")
     assert has_table_indicators("|" * 16)
     assert not has_table_indicators("plain prose " * 10)
+
+
+def test_stream_data_ending_in_eol_bytes():
+    """Regression: compressed stream data whose LAST byte is \\r or \\n
+    must not be eaten by the endstream EOL-trim heuristic when /Length
+    is present (found via sf0.1 byte-identity: doc_ids 897, 3927)."""
+    import zlib
+
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+
+    # brute-force flate output ending in \r or \n (vary a content
+    # comment to walk the adler32 trailer), plus an uncompressed
+    # stream literally ending in \r
+    found = {}
+    for i in range(200000):
+        content = (
+            f"BT\n/F1 10 Tf\n50 720 Td\n(line one) Tj\nET\n% {i} pad\n".encode()
+        )
+        comp = zlib.compress(content)
+        last = comp[-1:]
+        if last in (b"\r", b"\n") and last not in found:
+            found[last] = (content, comp, b"/Filter /FlateDecode ")
+        if len(found) == 2:
+            break
+    assert found, "no deflate output ending in EOL byte found"
+    raw_cr = b"BT\n/F1 10 Tf\n50 720 Td\n(line raw) Tj\nET\r"
+    found[b"raw"] = (raw_cr, raw_cr, b"")
+
+    for content, comp, filt in found.values():
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(comp)).encode() + b" " + filt +
+            b">>\nstream\n" + comp + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+        r = PdfCodec().extract(pdf)
+        assert r.status == "ok"
+        assert r.text.startswith("line ")
