@@ -87,7 +87,57 @@ class StreamObj:
                 pass
             else:
                 raise PdfParseError(f"unsupported filter {name!r}")
+        parms = resolver(self.dict.get("DecodeParms"))
+        if isinstance(parms, dict):
+            pred = resolver(parms.get("Predictor")) or 1
+            if pred >= 10:
+                raw = _png_unpredict(
+                    raw, resolver(parms.get("Columns")) or 1,
+                    resolver(parms.get("Colors")) or 1,
+                    (resolver(parms.get("BitsPerComponent")) or 8) // 8 or 1,
+                )
         return raw
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc_bytes: int = 1) -> bytes:
+    """Reverse PNG row predictors (PDF Predictor >= 10; xref streams
+    ship Up/Sub rows). Row layout: 1 filter byte + columns*colors*bytes."""
+    rowlen = columns * colors * bpc_bytes
+    stride = colors * bpc_bytes
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) + rowlen:  # tolerate short last row
+        if pos >= len(data):
+            break
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))
+        if ftype == 1:  # Sub
+            for i in range(stride, rowlen):
+                row[i] = (row[i] + row[i - stride]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - stride] if i >= stride else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - stride] if i >= stride else 0
+                b = prev[i]
+                c = prev[i - stride] if i >= stride else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        # ftype 0 = None
+        out.extend(row)
+        prev = row
+        pos += 1 + rowlen
+    return bytes(out)
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -286,7 +336,11 @@ class _PdfDocument:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.offsets: Dict[int, int] = {}
+        # num → (objstm_num, index) for objects packed in object streams
+        # (PDF ≥1.5 compressed objects; invisible to the brute scan)
+        self.compressed: Dict[int, Tuple[int, int]] = {}
         self._cache: Dict[int, object] = {}
+        self._xref_trailer: Optional[dict] = None
         if not data.startswith(b"%PDF-"):
             raise PdfParseError("missing %PDF header")
         if not self._load_xref():
@@ -303,8 +357,11 @@ class _PdfDocument:
             return False
         try:
             pos = int(m.group(1))
-            if pos >= len(self.data) or not self.data.startswith(b"xref", pos):
+            if pos >= len(self.data):
                 return False
+            if not self.data.startswith(b"xref", pos):
+                # PDF ≥1.5 cross-reference STREAM (an object, not a table)
+                return self._load_xref_stream(pos)
             lex_pos = pos + 4
             sec_re = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
             entry_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
@@ -329,6 +386,79 @@ class _PdfDocument:
         except Exception:
             return False
 
+    def _load_xref_stream(self, pos: int, depth: int = 0) -> bool:
+        """Parse a cross-reference stream at ``pos`` (/Type /XRef):
+        binary W-field triples, optional PNG predictor, /Prev chain.
+        Entry types: 1 = (offset, gen) regular, 2 = (objstm, index)
+        compressed; earlier sections win over /Prev (newer first)."""
+        if depth > 16:
+            return False
+        m = _OBJ_RE.match(self.data, pos)
+        if not m:
+            return False
+        lex = _Lexer(self.data, m.end())
+        d = lex.parse_object()
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            return False
+        lex._skip_ws()
+        if not self.data.startswith(b"stream", lex.pos):
+            return False
+        p = lex.pos + len(b"stream")
+        if self.data.startswith(b"\r\n", p):
+            p += 2
+        elif self.data.startswith(b"\n", p) or self.data.startswith(b"\r", p):
+            p += 1
+        length = d.get("Length")
+        if not isinstance(length, int):
+            return False
+        stm = StreamObj(dict=d, raw=self.data[p : p + length])
+        try:
+            body = stm.data(lambda o: o)  # xref streams use direct values
+        except Exception:
+            return False
+        w = d.get("W")
+        if not (isinstance(w, list) and len(w) >= 3):
+            return False
+        w0, w1, w2 = int(w[0]), int(w[1]), int(w[2])
+        rec = w0 + w1 + w2
+        size = int(d.get("Size", 0))
+        index = d.get("Index") or [0, size]
+        spans = [
+            (int(index[i]), int(index[i + 1])) for i in range(0, len(index) - 1, 2)
+        ]
+        off = 0
+
+        def field(buf: bytes, width: int, default: int) -> int:
+            return int.from_bytes(buf, "big") if width else default
+
+        for start, count in spans:
+            for i in range(count):
+                if off + rec > len(body):
+                    break
+                chunk = body[off : off + rec]
+                off += rec
+                num = start + i
+                if num in self.offsets or num in self.compressed:
+                    continue  # newer section already defined it
+                t = field(chunk[:w0], w0, 1)
+                f2 = field(chunk[w0 : w0 + w1], w1, 0)
+                f3 = field(chunk[w0 + w1 : rec], w2, 0)
+                if t == 1 and f2 < len(self.data):
+                    self.offsets[num] = f2
+                elif t == 2:
+                    self.compressed[num] = (f2, f3)
+        if self._xref_trailer is None and "Root" in d:
+            self._xref_trailer = d
+        prev = d.get("Prev")
+        if isinstance(prev, int) and prev < len(self.data):
+            if self.data.startswith(b"xref", prev):
+                # hybrid file: classic table earlier in the chain — the
+                # brute scan recovers those objects
+                pass
+            else:
+                self._load_xref_stream(prev, depth + 1)
+        return bool(self.offsets or self.compressed)
+
     def _scan_objects(self) -> None:
         """Brute-force recovery: find every ``N G obj`` in the file.
 
@@ -339,6 +469,8 @@ class _PdfDocument:
             self.offsets[int(m.group(1))] = m.start()
 
     def _find_trailer(self) -> dict:
+        if self._xref_trailer is not None:
+            return self._xref_trailer
         idx = self.data.rfind(b"trailer")
         if idx >= 0:
             lex = _Lexer(self.data, idx + len(b"trailer"))
@@ -365,6 +497,8 @@ class _PdfDocument:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
+            if num in self.compressed:
+                return self._get_compressed(num)
             raise PdfParseError(f"missing object {num}")
         m = _OBJ_RE.match(self.data, off)
         if not m:
@@ -397,6 +531,40 @@ class _PdfDocument:
             obj = StreamObj(dict=d, raw=raw)
         self._cache[num] = obj
         return obj
+
+    def _get_compressed(self, num: int):
+        """Load an object packed in an object stream (/Type /ObjStm):
+        header = N pairs of "objnum offset" ints, bodies start at
+        /First; the whole container parses once and caches every
+        member (the warm-cache shape of SURVEY A4)."""
+        stm_num, _idx = self.compressed[num]
+        container = self.get(stm_num)
+        if not isinstance(container, StreamObj):
+            raise PdfParseError(f"objstm {stm_num} is not a stream")
+        body = container.data(self.resolve)
+        n = self.resolve(container.dict.get("N"))
+        first = self.resolve(container.dict.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise PdfParseError("objstm missing N/First")
+        head = _Lexer(body[:first])
+        pairs = []
+        for _ in range(n):
+            onum = head.parse_object()
+            ooff = head.parse_object()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise PdfParseError("bad objstm header")
+            pairs.append((onum, ooff))
+        for onum, ooff in pairs:
+            if onum in self._cache:
+                continue
+            lex = _Lexer(body, first + ooff)
+            try:
+                self._cache[onum] = lex.parse_object()
+            except PdfParseError:
+                continue
+        if num not in self._cache:
+            raise PdfParseError(f"object {num} not found in objstm {stm_num}")
+        return self._cache[num]
 
     def resolve(self, obj):
         seen = 0

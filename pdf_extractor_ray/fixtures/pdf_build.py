@@ -190,3 +190,88 @@ def table_pdf(
             if cell:
                 texts.append((x0 + c * col_w + 4.0, cy, size, cell))
     return build_pdf([PdfPage(texts=texts, rules=rules)])
+
+
+# ---------------------------------------------------------------- PDF ≥1.5
+def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
+    """Author a PDF 1.5-style file: catalog/pages/page/font packed in a
+    compressed OBJECT STREAM, a CROSS-REFERENCE STREAM (W=[1,4,2],
+    optional PNG Up predictor) instead of a classic xref table.
+
+    Exercises the modern-PDF paths real crawl shards hit:
+    type-2 xref entries, /ObjStm /N /First headers, /Prev-less single
+    xref stream, /DecodeParms predictors.
+    """
+    # content stream (object 4, classic)
+    y = 720.0
+    ops = []
+    for line in lines:
+        ops.append(f"BT\n/F1 10 Tf\n50 {_fmt(y)} Td\n({_esc(line)}) Tj\nET")
+        y -= 14.0
+    content = zlib.compress(("\n".join(ops) + "\n").encode("latin-1"))
+
+    # object stream (object 6) holding objects 1,2,3,5
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    bodies = b""
+    header = b""
+    for num, body in members:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b"\n"
+    objstm_plain = header + bodies
+    first = len(header)
+    objstm = zlib.compress(objstm_plain)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def emit(num: int, payload: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+
+    emit(4, b"<< /Length " + str(len(content)).encode()
+         + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream")
+    emit(6, b"<< /Type /ObjStm /N " + str(len(members)).encode()
+         + b" /First " + str(first).encode()
+         + b" /Length " + str(len(objstm)).encode()
+         + b" /Filter /FlateDecode >>\nstream\n" + objstm + b"\nendstream")
+
+    # xref stream (object 7): W = [1, 4, 2]; entries for objects 0..7
+    xref_pos_placeholder = len(out)  # object 7 starts here
+    offsets[7] = xref_pos_placeholder
+    rows = []
+    rows.append(bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))  # 0 free
+    for num, (stm, idx) in ((1, (6, 0)), (2, (6, 1)), (3, (6, 2))):
+        rows.append(bytes([2]) + stm.to_bytes(4, "big") + idx.to_bytes(2, "big"))
+    rows.append(bytes([1]) + offsets[4].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rows.append(bytes([2]) + (6).to_bytes(4, "big") + (3).to_bytes(2, "big"))  # obj 5
+    rows.append(bytes([1]) + offsets[6].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rows.append(bytes([1]) + offsets[7].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rec = b"".join(rows)
+    parms = b""
+    if predictor:
+        # PNG Up predictor, columns = 7 bytes per record
+        rowlen = 7
+        pred_rows = []
+        prev = bytes(rowlen)
+        for i in range(0, len(rec), rowlen):
+            row = rec[i : i + rowlen]
+            pred_rows.append(bytes([2]) + bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen)))
+            prev = row
+        rec = b"".join(pred_rows)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    xdata = zlib.compress(rec)
+    xdict = (
+        b"<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8] /Root 1 0 R"
+        + parms
+        + b" /Length " + str(len(xdata)).encode()
+        + b" /Filter /FlateDecode >>"
+    )
+    out.extend(f"7 0 obj\n".encode() + xdict + b"\nstream\n" + xdata + b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n" + str(offsets[7]).encode() + b"\n%%EOF\n")
+    return bytes(out)

@@ -141,3 +141,27 @@ def test_stream_data_ending_in_eol_bytes():
         r = PdfCodec().extract(pdf)
         assert r.status == "ok"
         assert r.text.startswith("line ")
+
+
+def test_modern_pdf_xref_stream_and_objstm():
+    """PDF ≥1.5: cross-reference STREAM (type-1/2 entries, W triples)
+    with catalog/pages/page/font packed in an object stream — both with
+    and without the PNG Up predictor on the xref stream."""
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import modern_text_pdf
+
+    lines = ["modern xref stream works", "object streams too", "third line"]
+    for predictor in (True, False):
+        r = PdfCodec().extract(modern_text_pdf(lines, predictor=predictor))
+        assert r.status == "ok", predictor
+        assert r.text == "\n".join(lines)
+
+
+def test_modern_pdf_truncated_degrades():
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import modern_text_pdf
+
+    whole = modern_text_pdf(["some line of text"])
+    for cut in (60, len(whole) // 2, len(whole) - 30):
+        r = PdfCodec().extract(whole[:cut])
+        assert r.status in ("ok", "empty", "parse_error")  # never raises
