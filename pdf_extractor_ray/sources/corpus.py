@@ -128,6 +128,12 @@ def _html_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
 # -------------------------------------------------------------------- PDF
 def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     words = [w for w in _words(text) if w.isascii()]
+    if doc_id % 40 == 17 and not giant:
+        # modern PDF ≥1.5: xref stream + object stream container
+        from ..fixtures.pdf_build import modern_text_pdf
+
+        lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 15, 5)]
+        return modern_text_pdf(lines, predictor=doc_id % 80 == 17), "\n".join(lines)
     variant = (doc_id // 10) % 4
     if variant == 0 or giant:  # single column, multi page
         n_pages = 30 if giant else 1 + doc_id % 3
