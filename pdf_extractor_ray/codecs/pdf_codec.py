@@ -649,6 +649,170 @@ def _decode_winansi(b: bytes) -> str:
     return "".join(_WINANSI_HIGH.get(c, chr(c)) for c in b)
 
 
+# --------------------------------------------------------------------------
+# font decoding: ToUnicode CMaps, /Encoding /Differences, glyph names
+# --------------------------------------------------------------------------
+# minimal Adobe-Glyph-List subset for /Differences glyph names
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "underscore": "_",
+    "braceleft": "{", "bar": "|", "braceright": "}", "degree": "°",
+    "bullet": "•", "endash": "–", "emdash": "—", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedilla": "ç", "uumlaut": "ü",
+    "udieresis": "ü", "odieresis": "ö", "adieresis": "ä",
+}
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    return None
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap: bytes) -> Tuple[Dict[int, str], int]:
+    """Parse a ToUnicode CMap: (code → unicode string, code byte width).
+
+    Handles bfchar pairs and bfrange (contiguous and array-destination
+    forms). Width inferred from the codespacerange (default 1 byte).
+    """
+    width = 1
+    m = _CODESPACE_RE.search(cmap)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    table: Dict[int, str] = {}
+
+    def u(hex_bytes: bytes) -> str:
+        raw = bytes.fromhex(hex_bytes.decode("ascii"))
+        return raw.decode("utf-16-be", errors="replace")
+
+    for block in _BFCHAR_RE.findall(cmap):
+        pairs = _HEXPAIR_RE.findall(block)
+        for i in range(0, len(pairs) - 1, 2):
+            table[int(pairs[i], 16)] = u(pairs[i + 1])
+    for block in _BFRANGE_RE.findall(cmap):
+        # contiguous form: <lo> <hi> <dst>; array form handled by
+        # consuming hex triplets / bracketed lists line-wise
+        for line in block.split(b"\n"):
+            hexes = _HEXPAIR_RE.findall(line)
+            if b"[" in line and len(hexes) >= 3:
+                lo = int(hexes[0], 16)
+                for j, dst in enumerate(hexes[2:]):
+                    table[lo + j] = u(dst)
+            elif len(hexes) == 3:
+                lo, hi = int(hexes[0], 16), int(hexes[1], 16)
+                base = u(hexes[2])
+                if base:
+                    base_cp = ord(base[0])
+                    for j in range(hi - lo + 1):
+                        table[lo + j] = chr(base_cp + j) + base[1:]
+    return table, width
+
+
+class _FontDecoder:
+    """Per-page font → string-decode functions, with a CROSS-DOCUMENT
+    cache on the codec instance (keyed by a hash of the font definition)
+    — the warm font-cache state the actor-pool/worker-process stage
+    amortizes (SURVEY A4 / north rule)."""
+
+    def __init__(self, doc: "_PdfDocument", resources: dict, cache: Dict) -> None:
+        self.doc = doc
+        self.cache = cache
+        self.fonts: Dict[str, object] = {}
+        try:
+            fonts = doc.resolve(resources.get("Font")) or {}
+        except PdfParseError:
+            fonts = {}
+        for name, ref in fonts.items() if isinstance(fonts, dict) else ():
+            try:
+                self.fonts[name] = self._build(doc.resolve(ref))
+            except Exception:
+                continue
+
+    def _build(self, font: object):
+        if not isinstance(font, dict):
+            return None
+        key_src = repr(sorted((k, repr(v)) for k, v in font.items()))
+        tu = font.get("ToUnicode")
+        tu_bytes = b""
+        if tu is not None:
+            try:
+                tu_obj = self.doc.resolve(tu)
+                if isinstance(tu_obj, StreamObj):
+                    tu_bytes = tu_obj.data(self.doc.resolve)
+            except Exception:
+                tu_bytes = b""
+        import hashlib as _hl
+
+        key = _hl.md5(key_src.encode() + tu_bytes).hexdigest()
+        if key in self.cache:
+            return self.cache[key]
+
+        decode = None
+        if tu_bytes:
+            table, width = _parse_tounicode(tu_bytes)
+
+            def decode_tounicode(b: bytes, _t=table, _w=width) -> str:
+                out = []
+                for i in range(0, len(b) - _w + 1, _w):
+                    code = int.from_bytes(b[i : i + _w], "big")
+                    out.append(_t.get(code, ""))
+                return "".join(out)
+
+            decode = decode_tounicode
+        else:
+            enc = None
+            try:
+                enc = self.doc.resolve(font.get("Encoding"))
+            except Exception:
+                enc = None
+            if isinstance(enc, dict) and isinstance(enc.get("Differences"), list):
+                table2: Dict[int, str] = {}
+                code = 0
+                for el in enc["Differences"]:
+                    if isinstance(el, int):
+                        code = el
+                    else:
+                        ch = _glyph_to_char(str(el))
+                        table2[code] = ch if ch is not None else ""
+                        code += 1
+
+                def decode_diff(b: bytes, _t=table2) -> str:
+                    return "".join(
+                        _t.get(c, _WINANSI_HIGH.get(c, chr(c))) for c in b
+                    )
+
+                decode = decode_diff
+
+        self.cache[key] = decode
+        return decode
+
+    def decode(self, font_name: Optional[str], b: bytes) -> str:
+        fn = self.fonts.get(font_name) if font_name else None
+        if fn is not None:
+            return fn(b)
+        return _decode_winansi(b)
+
+
 _CS_TOKEN = re.compile(
     rb"""
     (?P<str>\() | (?P<hex><[0-9A-Fa-f\s]*>) | (?P<arr_open>\[) | (?P<arr_close>\])
@@ -715,19 +879,33 @@ def _mat_translate(m, tx, ty):
     return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
 
 
-def _interpret_content(buf: bytes) -> Tuple[List[Chunk], List[Tuple[float, float, float, float]]]:
-    """Run the content stream; return text chunks and ruled line segments."""
+def _interpret_content(
+    buf: bytes,
+    decoder: Optional["_FontDecoder"] = None,
+    xobjects=None,
+    depth: int = 0,
+) -> Tuple[List[Chunk], List[Tuple[float, float, float, float]]]:
+    """Run the content stream; return text chunks and ruled line segments.
+
+    ``decoder`` maps (font, bytes) → str (ToUnicode/Differences aware);
+    ``xobjects`` resolves a Form XObject name → (content, decoder,
+    matrix) for the ``Do`` operator (recursion capped at depth 8).
+    """
     chunks: List[Chunk] = []
     rules: List[Tuple[float, float, float, float]] = []
     st = _TextState()
+    cur_font: Optional[str] = None
     stack: list = []
     in_array: Optional[list] = None
     path_start: Optional[Tuple[float, float]] = None
     cur_pt: Optional[Tuple[float, float]] = None
     pending_segs: List[Tuple[float, float, float, float]] = []
 
+    def decode_bytes(s: bytes) -> str:
+        return decoder.decode(cur_font, s) if decoder is not None else _decode_winansi(s)
+
     def show(s: bytes) -> None:
-        text = _decode_winansi(s)
+        text = decode_bytes(s)
         if text:
             chunks.append(Chunk(x=st.tm[4], y=st.tm[5], size=st.size, text=text))
             # advance e by an estimated width so consecutive Tj on one
@@ -739,7 +917,7 @@ def _interpret_content(buf: bytes) -> Tuple[List[Chunk], List[Tuple[float, float
         parts: List[str] = []
         for el in arr:
             if isinstance(el, bytes):
-                parts.append(_decode_winansi(el))
+                parts.append(decode_bytes(el))
             elif isinstance(el, (int, float)) and el <= TJ_SPACE_THRESHOLD:
                 parts.append(" ")
         text = "".join(parts)
@@ -772,6 +950,8 @@ def _interpret_content(buf: bytes) -> Tuple[List[Chunk], List[Tuple[float, float
                 pass
             elif op == "Tf" and len(stack) >= 2:
                 st.size = float(stack[-1])
+                if isinstance(stack[-2], str):
+                    cur_font = stack[-2]
             elif op == "Td" and len(stack) >= 2:
                 st.tlm = _mat_translate(st.tlm, float(stack[-2]), float(stack[-1]))
                 st.tm = st.tlm
@@ -821,6 +1001,22 @@ def _interpret_content(buf: bytes) -> Tuple[List[Chunk], List[Tuple[float, float
             elif op == "n":
                 pending_segs = []
                 cur_pt = path_start = None
+            elif op == "Do" and stack and isinstance(stack[-1], str) and xobjects:
+                if depth < 8:
+                    resolved = xobjects(stack[-1])
+                    if resolved is not None:
+                        xbuf, xdec, xobj_next, (tx, ty) = resolved
+                        sub_chunks, sub_rules = _interpret_content(
+                            xbuf, xdec, xobj_next, depth + 1
+                        )
+                        for c in sub_chunks:
+                            chunks.append(
+                                Chunk(x=c.x + tx, y=c.y + ty, size=c.size, text=c.text)
+                            )
+                        rules.extend(
+                            (x1 + tx, y1 + ty, x2 + tx, y2 + ty)
+                            for (x1, y1, x2, y2) in sub_rules
+                        )
         except (TypeError, ValueError):
             pass  # malformed operands: degrade, keep going
         stack.clear()
@@ -995,6 +1191,39 @@ class PdfCodec:
 
     def __init__(self, extract_tables: bool = True) -> None:
         self.extract_tables = extract_tables
+        # cross-document font-decoder cache (keyed by font-definition
+        # hash) — the A4 warm state amortized per worker/actor
+        self._font_cache: Dict[str, object] = {}
+
+    def _xobject_resolver(self, doc: "_PdfDocument", resources: dict):
+        """name → (content, decoder, nested_resolver, (tx, ty)) for Form
+        XObjects; images and unknown names return None."""
+
+        def resolve(name: str):
+            try:
+                xdict = doc.resolve(resources.get("XObject")) or {}
+                obj = doc.resolve(xdict.get(name)) if isinstance(xdict, dict) else None
+                if not isinstance(obj, StreamObj):
+                    return None
+                if obj.dict.get("Subtype") != "Form":
+                    return None
+                xres = doc.resolve(obj.dict.get("Resources")) or resources
+                mat = obj.dict.get("Matrix")
+                tx = ty = 0.0
+                if isinstance(mat, list) and len(mat) == 6:
+                    tx, ty = float(mat[4]), float(mat[5])
+                dec = _FontDecoder(doc, xres if isinstance(xres, dict) else {},
+                                   self._font_cache)
+                return (
+                    obj.data(doc.resolve),
+                    dec,
+                    self._xobject_resolver(doc, xres if isinstance(xres, dict) else {}),
+                    (tx, ty),
+                )
+            except Exception:
+                return None
+
+        return resolve
 
     def extract(self, payload: bytes) -> PdfExtraction:
         try:
@@ -1015,7 +1244,14 @@ class PdfCodec:
                 width, height = 612.0, 792.0
             try:
                 content = doc.content_bytes(page)
-                chunks, rules = _interpret_content(content)
+                resources = {}
+                try:
+                    resources = doc.resolve(page.get("Resources")) or {}
+                except Exception:
+                    resources = {}
+                decoder = _FontDecoder(doc, resources, self._font_cache)
+                xresolver = self._xobject_resolver(doc, resources)
+                chunks, rules = _interpret_content(content, decoder, xresolver)
                 tables: List[List[List[Optional[str]]]] = []
                 if self.extract_tables and rules:
                     tables, chunks = _extract_tables(chunks, rules)

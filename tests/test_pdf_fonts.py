@@ -1,0 +1,137 @@
+"""Font decode paths: ToUnicode CMaps, /Encoding /Differences, Form
+XObjects — authored fixtures (we own both sides of the codec)."""
+from __future__ import annotations
+
+import zlib
+
+from pdf_extractor_ray.codecs.pdf_codec import PdfCodec, _parse_tounicode
+
+
+def _pdf(objects: list, root: int = 1) -> bytes:
+    """Assemble numbered objects + classic trailer."""
+    out = bytearray(b"%PDF-1.4\n")
+    for num, payload in objects:
+        out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+    out.extend(b"trailer\n<< /Root " + str(root).encode() + b" 0 R >>\n%%EOF\n")
+    return bytes(out)
+
+
+def _stream_obj(d: bytes, data: bytes) -> bytes:
+    return (
+        b"<< " + d + b" /Length " + str(len(data)).encode() + b" >>\nstream\n"
+        + data + b"\nendstream"
+    )
+
+
+BASE = [
+    (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+    (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+]
+
+
+def test_tounicode_cmap_two_byte():
+    """Type0-style 2-byte codes mapped through a ToUnicode CMap."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0001> <0048>\n"  # H
+        b"<0002> <0065>\n"  # e
+        b"<0003> <00E9>\n"  # e-acute
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0012> <006C>\n"  # l, m, n
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    # content shows codes: H e é l m n
+    content = b"BT\n/F1 10 Tf\n50 700 Td\n<000100020003001000110012> Tj\nET\n"
+    pdf = _pdf(
+        BASE
+        + [
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+            (4, _stream_obj(b"", content)),
+            (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Emb+X "
+                b"/ToUnicode 6 0 R >>"),
+            (6, _stream_obj(b"", cmap)),
+        ]
+    )
+    r = PdfCodec().extract(pdf)
+    assert r.status == "ok"
+    assert r.text == "Heélmn"
+
+
+def test_tounicode_bfrange_array_form():
+    table, width = _parse_tounicode(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange\n<41> <43> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    assert width == 1
+    assert table == {0x41: "X", 0x42: "Y", 0x43: "Z"}
+
+
+def test_encoding_differences():
+    """Simple font remapping codes via /Differences glyph names."""
+    content = b"BT\n/F1 10 Tf\n50 700 Td\n(AB C) Tj\nET\n"
+    pdf = _pdf(
+        BASE
+        + [
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+            (4, _stream_obj(b"", content)),
+            # A(65)->zero, B(66)->one; space + C untouched (WinAnsi fallthrough)
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding << /Differences [65 /zero /one] >> >>"),
+        ]
+    )
+    r = PdfCodec().extract(pdf)
+    assert r.text == "01 C"
+
+
+def test_form_xobject_text_included():
+    """Text drawn inside a Form XObject invoked via Do, with a Matrix
+    translation, lands at the right position relative to page text."""
+    page_content = b"BT\n/F1 10 Tf\n50 700 Td\n(page line) Tj\nET\n/Fm1 Do\n"
+    form_content = b"BT\n/F1 10 Tf\n0 0 Td\n(form line) Tj\nET\n"
+    form = _stream_obj(
+        b"/Subtype /Form /Matrix [1 0 0 1 50 680] "
+        b"/Resources << /Font << /F1 5 0 R >> >>",
+        form_content,
+    )
+    pdf = _pdf(
+        BASE
+        + [
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >> "
+                b"/Contents 4 0 R >>"),
+            (4, _stream_obj(b"", page_content)),
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+            (6, form),
+        ]
+    )
+    r = PdfCodec().extract(pdf)
+    assert r.text == "page line\nform line"
+
+
+def test_font_cache_reused_across_documents():
+    codec = PdfCodec()
+
+    def one_doc(line: bytes) -> bytes:
+        return _pdf(
+            BASE
+            + [
+                (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+                (4, _stream_obj(b"", b"BT\n/F1 10 Tf\n50 700 Td\n(" + line + b") Tj\nET\n")),
+                (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                    b"/Encoding << /Differences [65 /zero] >> >>"),
+            ]
+        )
+
+    assert codec.extract(one_doc(b"A one")).text == "0 one"
+    n_cached = len(codec._font_cache)
+    assert n_cached == 1
+    assert codec.extract(one_doc(b"A two")).text == "0 two"
+    assert len(codec._font_cache) == n_cached  # same definition → cache hit
