@@ -71,7 +71,7 @@ class StreamObj:
         filters = filt if isinstance(filt, list) else [filt]
         for f in filters:
             name = resolver(f)
-            if name == "FlateDecode":
+            if name == "FlateDecode" or name == "Fl":
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error:
@@ -83,6 +83,23 @@ class StreamObj:
                     elif trimmed.endswith(b"\n") or trimmed.endswith(b"\r"):
                         trimmed = trimmed[:-1]
                     raw = zlib.decompress(trimmed)
+            elif name in ("ASCIIHexDecode", "AHx"):
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+                if len(hx) % 2:
+                    hx += b"0"
+                raw = bytes.fromhex(hx.decode("ascii"))
+            elif name in ("ASCII85Decode", "A85"):
+                import base64
+
+                body = raw.split(b"~>")[0]
+                body = re.sub(rb"\s", b"", body)
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                raw = base64.a85decode(body)
+            elif name in ("RunLengthDecode", "RL"):
+                raw = _rle_decode(raw)
+            elif name in ("LZWDecode", "LZW"):
+                raw = _lzw_decode(raw)
             elif name in (None,):
                 pass
             else:
@@ -137,6 +154,64 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc_bytes: int = 
         out.extend(row)
         prev = row
         pos += 1 + rowlen
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: length byte L — L<128: copy L+1 literal
+    bytes; L>128: repeat next byte 257-L times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - l)
+                i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode: variable-width (9-12 bit) MSB-first codes,
+    clear=256, EOD=257 (TIFF-style early change)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
     return bytes(out)
 
 

@@ -135,3 +135,87 @@ def test_font_cache_reused_across_documents():
     assert n_cached == 1
     assert codec.extract(one_doc(b"A two")).text == "0 two"
     assert len(codec._font_cache) == n_cached  # same definition → cache hit
+
+
+def _filter_pdf(filter_name: bytes, data: bytes) -> bytes:
+    content_dict = b"/Filter /" + filter_name
+    return _pdf(
+        BASE
+        + [
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+            (4, _stream_obj(content_dict, data)),
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        ]
+    )
+
+
+CONTENT = b"BT\n/F1 10 Tf\n50 700 Td\n(filter roundtrip line) Tj\nET\n"
+
+
+def test_asciihex_filter():
+    r = PdfCodec().extract(_filter_pdf(b"ASCIIHexDecode", CONTENT.hex().encode() + b">"))
+    assert r.text == "filter roundtrip line"
+
+
+def test_ascii85_filter():
+    import base64
+
+    enc = base64.a85encode(CONTENT) + b"~>"
+    r = PdfCodec().extract(_filter_pdf(b"ASCII85Decode", enc))
+    assert r.text == "filter roundtrip line"
+
+
+def test_runlength_filter():
+    # naive RLE encoder: all-literal runs of <=128 bytes
+    out = bytearray()
+    for i in range(0, len(CONTENT), 128):
+        chunk = CONTENT[i : i + 128]
+        out += bytes([len(chunk) - 1]) + chunk
+    out += bytes([128])
+    r = PdfCodec().extract(_filter_pdf(b"RunLengthDecode", bytes(out)))
+    assert r.text == "filter roundtrip line"
+
+
+def test_lzw_filter():
+    # encoder mirroring the decoder's table/width evolution
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        acc = 0
+        nbits = 0
+        out = bytearray()
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        emit(256)  # clear
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                emit(table[w])
+                table[wc] = next_code
+                next_code += 1
+                # decoder grows width when len(table) >= (1<<width)-1;
+                # its table size is next_code, so mirror exactly
+                if next_code >= (1 << width) - 1 and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)  # EOD
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    r = PdfCodec().extract(_filter_pdf(b"LZWDecode", lzw_encode(CONTENT)))
+    assert r.text == "filter roundtrip line"
