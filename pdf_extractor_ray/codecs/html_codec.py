@@ -274,6 +274,49 @@ def _classify(blocks: List[Block]) -> None:
             b.is_content = True
 
 
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)
+         |content\s*=\s*["'][^"']*charset=([A-Za-z0-9_\-]+))""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+# label → python codec for the encodings that dominate web crawls
+_CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin-1": "latin-1",
+    "latin1": "latin-1", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "koi8-r": "koi8-r",
+    "iso-8859-2": "iso-8859-2", "iso-8859-15": "iso-8859-15",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc-jp", "gb2312": "gb18030", "gbk": "gb18030",
+    "gb18030": "gb18030", "big5": "big5", "euc-kr": "euc-kr",
+    "us-ascii": "ascii", "ascii": "ascii",
+}
+
+
+def _decode_html_bytes(payload: bytes) -> str:
+    """Charset sniff for crawled pages: BOM → declared <meta charset>
+    (first 2048 bytes) → UTF-8 → latin-1-replace. Never raises."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16", errors="replace")
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        label = (m.group(1) or m.group(2)).decode("ascii", "replace").lower()
+        codec = _CHARSET_ALIASES.get(label)
+        if codec:
+            try:
+                return payload.decode(codec)
+            except (UnicodeDecodeError, LookupError):
+                pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        # latin-1 maps every byte; closest browser-like fallback
+        return payload.decode("latin-1", errors="replace")
+
+
 class HtmlCodec:
     """Stateless HTML → (extracted_text, spans) codec.
 
@@ -284,10 +327,7 @@ class HtmlCodec:
 
     def extract(self, payload: bytes | str) -> HtmlExtraction:
         if isinstance(payload, bytes):
-            try:
-                html = payload.decode("utf-8")
-            except UnicodeDecodeError:
-                html = payload.decode("utf-8", errors="replace")
+            html = _decode_html_bytes(payload)
         else:
             html = payload
         parser = _BlockParser()

@@ -93,3 +93,27 @@ def test_utf8_and_bad_bytes():
 
 def test_deterministic():
     assert codec.extract(PAGE).text == codec.extract(PAGE).text
+
+
+def test_charset_detection():
+    """Crawled-page charset sniff: meta charset, BOM, latin-1 fallback."""
+    from pdf_extractor_ray.codecs.html_codec import HtmlCodec
+
+    codec = HtmlCodec()
+    body = "café au lait servi très chaud avec beaucoup de mots pour le score"
+    # declared latin-1
+    p1 = (f'<html><head><meta charset="iso-8859-1"></head>'
+          f"<body><p>{body}</p></body></html>").encode("latin-1")
+    assert "café" in codec.extract(p1).text
+    # declared via http-equiv content=
+    p2 = (f'<html><head><meta http-equiv="Content-Type" '
+          f'content="text/html; charset=windows-1252"></head>'
+          f"<body><p>{body}</p></body></html>").encode("cp1252")
+    assert "très" in codec.extract(p2).text
+    # UTF-8 BOM
+    p3 = b"\xef\xbb\xbf" + (f"<html><body><p>{body}</p></body></html>").encode("utf-8")
+    assert "café" in codec.extract(p3).text
+    # undeclared non-UTF8: latin-1 fallback, never raises
+    p4 = (f"<html><body><p>{body}</p></body></html>").encode("latin-1")
+    r = codec.extract(p4)
+    assert r.status == "ok" and "caf" in r.text
