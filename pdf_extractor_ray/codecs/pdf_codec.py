@@ -938,7 +938,26 @@ def _tokenize_content(buf: bytes):
         elif m.lastgroup == "arr_close":
             yield ("arr_close", None)
         else:
-            yield ("op", m.group().decode("latin-1"))
+            op = m.group().decode("latin-1")
+            if op == "BI":
+                # inline image: skip binary data through to "EI" at a
+                # token boundary (whitespace-delimited) so image bytes
+                # never reach the text interpreter
+                e = pos
+                while True:
+                    e = buf.find(b"EI", e)
+                    if e < 0:
+                        pos = n
+                        break
+                    before_ws = e == 0 or buf[e - 1] in _WS
+                    after = buf[e + 2 : e + 3]
+                    after_ws = not after or after[0] in _WS
+                    if before_ws and after_ws:
+                        pos = e + 2
+                        break
+                    e += 2
+                continue
+            yield ("op", op)
 
 
 @dataclass

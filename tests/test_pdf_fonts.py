@@ -219,3 +219,16 @@ def test_lzw_filter():
 
     r = PdfCodec().extract(_filter_pdf(b"LZWDecode", lzw_encode(CONTENT)))
     assert r.text == "filter roundtrip line"
+
+
+def test_inline_image_skipped():
+    """BI/ID/EI inline-image binary data must not pollute extracted
+    text (binary can contain bytes that look like text operators)."""
+    binary = bytes(range(256)) + b" (fake) Tj BT ET "
+    content = (
+        b"BT\n/F1 10 Tf\n50 700 Td\n(before image) Tj\nET\n"
+        b"BI /W 8 /H 8 /BPC 8 /CS /G ID " + binary + b" EI\n"
+        b"BT\n/F1 10 Tf\n50 680 Td\n(after image) Tj\nET\n"
+    )
+    r = PdfCodec().extract(_filter_pdf(b"FlateDecode", __import__("zlib").compress(content)))
+    assert r.text == "before image\nafter image"
