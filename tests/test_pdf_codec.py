@@ -165,3 +165,14 @@ def test_modern_pdf_truncated_degrades():
     for cut in (60, len(whole) // 2, len(whole) - 30):
         r = PdfCodec().extract(whole[:cut])
         assert r.status in ("ok", "empty", "parse_error")  # never raises
+
+
+def test_giant_document_500_pages():
+    """Memory/perf smoke: a 500-page document extracts correctly and in
+    bounded time (the giant-PDF skew case at 16x the corpus giants)."""
+    pages = [[f"page {p} line {i} words here" for i in range(6)] for p in range(500)]
+    pdf = simple_text_pdf(pages)
+    r = codec.extract(pdf)
+    assert r.status == "ok"
+    assert len(r.pages) == 500
+    assert r.text == "\n\n".join("\n".join(ls) for ls in pages)

@@ -135,6 +135,10 @@ def test_checkpoint_resume(ray_session, sf_dir, tmp_path):
     records = Manifest(out_dir).records()
     assert {r["input_file"] for r in records} == set(files)
     assert all(r["docs_in"] >= 0 for r in records)
+    # per-kind counters recorded and consistent (SURVEY §3.4 manifest)
+    assert all(r["docs_html"] >= 0 and r["docs_pdf"] >= 0 for r in records)
+    assert r2["docs_html"] + r2["docs_pdf"] <= 500
+    assert r1["docs_pdf"] + r2["docs_pdf"] > 0
 
 
 def test_resume_replaces_stale_tmp_and_final(ray_session, sf_dir, tmp_path):

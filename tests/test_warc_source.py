@@ -53,3 +53,22 @@ def test_warc_to_extraction_pipeline(ray_session, tmp_path):
     assert "plenty of words" in a["extracted_text"]
     b = df.loc["https://b.example/doc.pdf"]
     assert b["doc_kind"] == "pdf" and b["extract_status"] == "parse_error"
+
+
+def test_warc_roundtrip_property():
+    """Property: random record sets round-trip through build+parse."""
+    from hypothesis import given, settings, strategies as st
+
+    payload_st = st.binary(min_size=0, max_size=300)
+    url_st = st.from_regex(r"https://[a-z]{3,8}\.example/[a-z0-9]{0,12}", fullmatch=True)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(url_st, payload_st), min_size=0, max_size=6),
+           st.booleans())
+    def check(recs, gz):
+        records = [(u, "2025-06-01T00:00:00Z", p) for u, p in recs]
+        pages = parse_warc_bytes(build_warc(records, gzip_members=gz))
+        assert [p["url"] for p in pages] == [u for u, _ in recs]
+        assert [p["html"] for p in pages] == [p2 for _, p2 in recs]
+
+    check()
