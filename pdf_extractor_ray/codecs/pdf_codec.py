@@ -157,6 +157,78 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc_bytes: int = 
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# encryption: standard security handler, RC4 (V1/V2, R2/R3), empty user
+# password — the common crawled-document case (owner-locked, readable)
+# --------------------------------------------------------------------------
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+class _StdSecurity:
+    """RC4 file key for the standard handler, empty user password.
+
+    AES (V≥4 /AESV2+) is detected and reported as unsupported — the
+    document degrades to parse_error rather than emitting garbage.
+    """
+
+    def __init__(self, enc: dict, file_id: bytes) -> None:
+        import hashlib as _hl
+
+        if enc.get("Filter") != "Standard":
+            raise PdfParseError("unsupported security handler")
+        v = int(enc.get("V", 0))
+        r = int(enc.get("R", 2))
+        if v not in (1, 2):
+            raise PdfParseError("unsupported encryption version (AES?)")
+        length_bits = int(enc.get("Length", 40))
+        self.keylen = 5 if r == 2 else max(5, min(16, length_bits // 8))
+        o = enc.get("O")
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
+        if not isinstance(o, bytes):
+            raise PdfParseError("missing O entry")
+        h = _hl.md5()
+        h.update(_PAD)  # empty user password → pad only
+        h.update(o[:32])
+        h.update(p.to_bytes(4, "little"))
+        h.update(file_id)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = _hl.md5(key[: self.keylen]).digest()
+        self.key = key[: self.keylen]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        import hashlib as _hl
+
+        k = self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        objkey = _hl.md5(k).digest()[: min(self.keylen + 5, 16)]
+        return _rc4(objkey, data)
+
+
 def _rle_decode(data: bytes) -> bytes:
     """PDF RunLengthDecode: length byte L — L<128: copy L+1 literal
     bytes; L>128: repeat next byte 257-L times; 128 = EOD."""
@@ -423,6 +495,18 @@ class _PdfDocument:
         if not self.offsets:
             raise PdfParseError("no objects found")
         self.trailer = self._find_trailer()
+        self.security: Optional[_StdSecurity] = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                raise PdfParseError("bad Encrypt dict")
+            fid = self.trailer.get("ID")
+            fid0 = fid[0] if isinstance(fid, list) and fid and isinstance(fid[0], bytes) else b""
+            self.security = _StdSecurity(enc, fid0)
+            # streams parsed before the handler existed must re-decrypt
+            self._cache = {k: v for k, v in self._cache.items()
+                           if not isinstance(v, StreamObj)}
 
     # -- xref / scan ------------------------------------------------------
     def _load_xref(self) -> bool:
@@ -603,6 +687,18 @@ class _PdfDocument:
                     raw = raw[:-2]
                 elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                     raw = raw[:-1]
+            sec = getattr(self, "security", None)
+            if sec is not None and d.get("Type") != "XRef":
+                # stream payloads are RC4-encrypted per object; slice to
+                # /Length first (exact ciphertext), then decrypt
+                if isinstance(length, int) and 0 <= length <= len(raw):
+                    raw = raw[:length]
+                elif isinstance(length, Ref):
+                    lv = self.resolve(length)
+                    if isinstance(lv, int) and 0 <= lv <= len(raw):
+                        raw = raw[:lv]
+                gen = int(m.group(2))
+                raw = sec.decrypt(num, gen, raw)
             obj = StreamObj(dict=d, raw=raw)
         self._cache[num] = obj
         return obj

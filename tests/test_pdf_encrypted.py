@@ -1,0 +1,100 @@
+"""Encrypted PDFs: RC4 standard security handler (R2/40-bit and
+R3/128-bit), empty user password — authored fixtures with properly
+computed /O, /U and file keys."""
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+from pdf_extractor_ray.codecs.pdf_codec import _PAD, PdfCodec, _rc4
+
+CONTENT = b"BT\n/F1 10 Tf\n50 700 Td\n(secret but readable line) Tj\nET\n"
+FILE_ID = bytes(range(16))
+
+
+def _file_key(o: bytes, p: int, r: int, keylen: int) -> bytes:
+    h = hashlib.md5()
+    h.update(_PAD)
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(FILE_ID)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:keylen]).digest()
+    return key[:keylen]
+
+
+def _obj_key(fkey: bytes, num: int, gen: int, keylen: int) -> bytes:
+    k = fkey + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    return hashlib.md5(k).digest()[: min(keylen + 5, 16)]
+
+
+def _owner_entry(owner_pw: bytes, r: int, keylen: int) -> bytes:
+    # Algorithm 3.3: O = RC4(md5(padded owner pw)[:keylen], padded user pw)
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:keylen]
+    o = _rc4(key, _PAD)  # empty user password → pad
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _encrypted_pdf(r: int, length_bits: int) -> bytes:
+    keylen = 5 if r == 2 else length_bits // 8
+    p = -44  # typical permission bits
+    o = _owner_entry(b"owner-secret", r, keylen)
+    fkey = _file_key(o, p, r, keylen)
+    comp = zlib.compress(CONTENT)
+    enc_stream = _rc4(_obj_key(fkey, 4, 0, keylen), comp)
+    u = _rc4(fkey, _PAD)  # R2 /U; R3 differs but the codec doesn't verify
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    v = 1 if r == 2 else 2
+    out = bytearray(b"%PDF-1.4\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (4, b"<< /Length " + str(len(enc_stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + enc_stream + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (6, b"<< /Filter /Standard /V " + str(v).encode() + b" /R " + str(r).encode()
+            + b" /Length " + str(length_bits).encode()
+            + b" /O " + hexs(o) + b" /U " + hexs(u)
+            + b" /P " + str(p).encode() + b" >>"),
+    ]
+    for num, payload in objs:
+        out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+    out.extend(
+        b"trailer\n<< /Root 1 0 R /Encrypt 6 0 R /ID ["
+        + hexs(FILE_ID) + b" " + hexs(FILE_ID) + b"] >>\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def test_rc4_40bit_r2():
+    r = PdfCodec().extract(_encrypted_pdf(r=2, length_bits=40))
+    assert r.status == "ok"
+    assert r.text == "secret but readable line"
+
+
+def test_rc4_128bit_r3():
+    r = PdfCodec().extract(_encrypted_pdf(r=3, length_bits=128))
+    assert r.status == "ok"
+    assert r.text == "secret but readable line"
+
+
+def test_aes_degrades_not_garbage():
+    """V4/AES documents degrade to parse_error, never emit mojibake."""
+    pdf = _encrypted_pdf(r=2, length_bits=40).replace(b"/V 1", b"/V 4")
+    r = PdfCodec().extract(pdf)
+    assert r.status == "parse_error"
+    assert r.text == ""
