@@ -189,10 +189,12 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 class _StdSecurity:
-    """RC4 file key for the standard handler, empty user password.
+    """File key for the standard security handler, empty user password.
 
-    AES (V≥4 /AESV2+) is detected and reported as unsupported — the
-    document degrades to parse_error rather than emitting garbage.
+    Supported: V1/V2 RC4 (R2 40-bit, R3 128-bit) and V4 /AESV2
+    (AES-128-CBC, R4). AES-256 (V5) is detected and reported as
+    unsupported — the document degrades to parse_error rather than
+    emitting garbage.
     """
 
     def __init__(self, enc: dict, file_id: bytes) -> None:
@@ -202,10 +204,25 @@ class _StdSecurity:
             raise PdfParseError("unsupported security handler")
         v = int(enc.get("V", 0))
         r = int(enc.get("R", 2))
-        if v not in (1, 2):
-            raise PdfParseError("unsupported encryption version (AES?)")
+        self.aes = False
+        if v in (1, 2):
+            pass  # RC4
+        elif v == 4:
+            cf = enc.get("CF") or {}
+            stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+            cfm = stdcf.get("CFM") if isinstance(stdcf, dict) else None
+            if cfm == "AESV2":
+                self.aes = True
+            elif cfm in ("V2", None):
+                pass  # RC4 crypt filter
+            else:
+                raise PdfParseError(f"unsupported crypt filter {cfm!r}")
+        else:
+            raise PdfParseError("unsupported encryption version (AES-256?)")
         length_bits = int(enc.get("Length", 40))
         self.keylen = 5 if r == 2 else max(5, min(16, length_bits // 8))
+        if self.aes:
+            self.keylen = 16
         o = enc.get("O")
         p = int(enc.get("P", -1)) & 0xFFFFFFFF
         if not isinstance(o, bytes):
@@ -215,6 +232,8 @@ class _StdSecurity:
         h.update(o[:32])
         h.update(p.to_bytes(4, "little"))
         h.update(file_id)
+        if r >= 4 and enc.get("EncryptMetadata") is False:
+            h.update(b"\xff\xff\xff\xff")
         key = h.digest()
         if r >= 3:
             for _ in range(50):
@@ -225,7 +244,13 @@ class _StdSecurity:
         import hashlib as _hl
 
         k = self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if self.aes:
+            k += b"sAlT"
         objkey = _hl.md5(k).digest()[: min(self.keylen + 5, 16)]
+        if self.aes:
+            from .aes import aes128_cbc_decrypt
+
+            return aes128_cbc_decrypt(objkey, data)
         return _rc4(objkey, data)
 
 

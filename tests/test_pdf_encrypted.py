@@ -92,9 +92,73 @@ def test_rc4_128bit_r3():
     assert r.text == "secret but readable line"
 
 
-def test_aes_degrades_not_garbage():
-    """V4/AES documents degrade to parse_error, never emit mojibake."""
+def test_v4_without_cf_falls_back_to_rc4():
+    """V4 with no /CF dict (broken-but-seen-in-the-wild) decodes via
+    the RC4 fallback when the payload actually is RC4."""
     pdf = _encrypted_pdf(r=2, length_bits=40).replace(b"/V 1", b"/V 4")
+    r = PdfCodec().extract(pdf)
+    assert r.text == "secret but readable line"
+
+
+def test_aes256_degrades_not_garbage():
+    """V5/AES-256 documents degrade to parse_error, never mojibake."""
+    pdf = _encrypted_pdf(r=2, length_bits=40).replace(b"/V 1", b"/V 5")
     r = PdfCodec().extract(pdf)
     assert r.status == "parse_error"
     assert r.text == ""
+
+
+def test_aes128_fips_vector():
+    from pdf_extractor_ray.codecs.aes import _decrypt_block, _encrypt_block, _expand_key
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rks = _expand_key(key)
+    assert _encrypt_block(pt, rks) == ct  # FIPS-197 C.1
+    assert _decrypt_block(ct, rks) == pt
+
+
+def _aesv2_pdf() -> bytes:
+    from pdf_extractor_ray.codecs.aes import aes128_cbc_encrypt
+
+    r, keylen, p = 4, 16, -44
+    o = _owner_entry(b"owner-secret", 3, keylen)  # R>=3 algorithm
+    fkey = _file_key(o, p, 3, keylen)
+    comp = zlib.compress(CONTENT)
+    objkey = hashlib.md5(
+        fkey + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+    enc_stream = aes128_cbc_encrypt(objkey, bytes(range(16)), comp)
+    u = _rc4(fkey, _PAD)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    out = bytearray(b"%PDF-1.6\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (4, b"<< /Length " + str(len(enc_stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + enc_stream + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (6, b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O " + hexs(o) + b" /U " + hexs(u) + b" /P " + str(p).encode() + b" >>"),
+    ]
+    for num, payload in objs:
+        out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+    out.extend(
+        b"trailer\n<< /Root 1 0 R /Encrypt 6 0 R /ID ["
+        + hexs(FILE_ID) + b" " + hexs(FILE_ID) + b"] >>\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def test_aesv2_document_decrypts():
+    r = PdfCodec().extract(_aesv2_pdf())
+    assert r.status == "ok"
+    assert r.text == "secret but readable line"
