@@ -830,8 +830,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(length(text)) AS total_chars,
-                   sum(len(string_split_regex(trim(text), '\\s+'))) AS total_words
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words
             FROM documents GROUP BY lang
         """,
         "text_features": """
@@ -949,7 +949,8 @@ def oracle_sql() -> dict[str, str]:
                        END AS payload_bytes
                 FROM documents
             )
-            SELECT kind, count(*) AS n_media, sum(payload_bytes) AS total_bytes
+            SELECT kind, count(*) AS n_media,
+                   CAST(sum(payload_bytes) AS BIGINT) AS total_bytes
             FROM m GROUP BY kind
         """,
         "agg_lineitem_pricing": """
