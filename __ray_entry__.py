@@ -208,24 +208,12 @@ def _q_ngram_jaccard_dups(sf_dir: str):
 
 def _q_minhash_lsh_dups(sf_dir: str):
     """Scale-path near-dup: MinHash+LSH candidates verified by exact
-    Jaccard (no SQL oracle — probabilistic candidate recall)."""
-    import ray
+    Jaccard, fully distributed — candidates join back to per-doc
+    shingle sets by doc_id; no driver-side corpus materialization
+    (no SQL oracle — probabilistic candidate recall)."""
+    from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
 
-    from pdf_extractor_ray.functions.dedup import (
-        JaccardVerifyStage,
-        minhash_lsh_candidates,
-    )
-
-    docs = _docs(sf_dir)
-    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    texts_ref = ray.put(texts)
-    cands = minhash_lsh_candidates(docs)
-    return cands.map_batches(
-        JaccardVerifyStage,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.5},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
 
 
 def _q_latest_event_per_user(sf_dir: str):
@@ -533,45 +521,46 @@ def _q_agg_lineitem_pricing(sf_dir: str):
 
 
 def _q_join_revenue_by_nation(sf_dir: str):
-    """customer ⋈ orders ⋈ nation — small sides broadcast via ray.put,
-    applied inside map_batches (no distributed shuffle join needed:
-    customer+nation are the small sides at every scale tier)."""
+    """customer ⋈ orders via the hash-shuffle equi-join (both sides
+    grow with SF — neither is broadcastable at the 100× tier), then
+    nation (25 rows, constant at every scale) broadcast once and
+    attached vectorized with pc.index_in."""
     import ray
     import ray.data
     import pyarrow.compute as pc
 
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_arrow_refs()
-    cust_t = pa.concat_tables([ray.get(r) for r in cust])
+    )
+    joined = hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_totalprice"], ["c_nationkey"],
+        how="inner", num_partitions=16,
+    )
+
     nat = pa.concat_tables(
         [ray.get(r) for r in ray.data.read_parquet(
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
         ).to_arrow_refs()]
     )
-    cust_to_nation = dict(
-        zip(cust_t.column("c_custkey").to_pylist(), cust_t.column("c_nationkey").to_pylist())
+    nat_ref = ray.put(
+        (nat.column("n_nationkey").combine_chunks(), nat.column("n_name").combine_chunks())
     )
-    nation_name = dict(
-        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
-    )
-    lookup_ref = ray.put((cust_to_nation, nation_name))
 
     def attach_nation(batch: pa.Table) -> pa.Table:
-        c2n, names = ray.get(lookup_ref)
-        nations = [
-            names.get(c2n.get(ck), "UNKNOWN")
-            for ck in batch.column("o_custkey").to_pylist()
-        ]
-        return batch.append_column("n_name", pa.array(nations, pa.string()))
+        keys, names = ray.get(nat_ref)
+        idx = pc.index_in(batch.column("c_nationkey"), value_set=keys)
+        name = pc.fill_null(pc.take(names, idx), "UNKNOWN")
+        return batch.append_column("n_name", name)
 
-    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
     t = lowcard_groupby_agg(
-        orders.map_batches(attach_nation, batch_format="pyarrow"),
+        joined.map_batches(attach_nation, batch_format="pyarrow"),
         ["n_name"],
         [
             ("o_totalprice", "count", "n_orders"),

@@ -46,12 +46,23 @@ def _expand(specs: Sequence[AggSpec]) -> List[Tuple[str, str, str]]:
     return out
 
 
-def lowcard_groupby_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]) -> pa.Table:
+def lowcard_groupby_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[AggSpec],
+    max_partial_rows: int = 500_000,
+) -> pa.Table:
     """Distributed partial aggregation → final pyarrow Table.
 
     ``specs`` entries are ``(column, fn, alias)`` with fn in
     {sum, count, min, max, mean}; ``count`` counts rows (null-safe via
     a ones column).
+
+    The LOW-CARDINALITY contract is enforced, not assumed: if the
+    concatenated partials exceed ``max_partial_rows`` (≈ n_groups ×
+    n_blocks) the call raises instead of silently OOMing the driver —
+    high-cardinality keys belong on the native hash-shuffle ``groupby``
+    (see ``dedup_exact``).
     """
     import ray
 
@@ -59,6 +70,9 @@ def lowcard_groupby_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]) -> pa
     flat = _expand(specs)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or not set(keys) <= set(batch.column_names):
+            # empty upstream block (e.g. an empty join bucket) — drop it
+            return pa.table({})
         batch = batch.append_column(
             "__ones", pa.array([1] * batch.num_rows, pa.int64())
         )
@@ -81,9 +95,22 @@ def lowcard_groupby_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]) -> pa
             cols[f"__p_{alias}"] = g.column(matches[idx] if idx < len(matches) else matches[0])
         return pa.table(cols)
 
-    parts = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
-    )
+    tables = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
+    if not tables:
+        raise ValueError("lowcard_groupby_agg: input dataset is empty")
+    total_partial = sum(t.num_rows for t in tables)
+    if total_partial > max_partial_rows:
+        raise ValueError(
+            f"lowcard_groupby_agg: {total_partial} partial rows exceed "
+            f"max_partial_rows={max_partial_rows} — key cardinality is too "
+            "high for the partial-aggregation plan; use the native "
+            "hash-shuffle groupby instead"
+        )
+    parts = pa.concat_tables(tables)
 
     final_aggs = [(f"__p_{alias}", _FINAL_FN["sum" if fn == "count" else fn])
                   for col, fn, alias in flat]

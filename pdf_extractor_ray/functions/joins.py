@@ -1,22 +1,30 @@
-"""Distributed as-of join — an operator Ray Data lacks natively.
+"""Distributed joins — operators Ray Data lacks natively.
 
-Semantics: for every left row, attach the right row with the same key
-and the LATEST right timestamp ≤ the left timestamp (ties broken by
-the largest tiebreak column value — deterministic), left-outer.
+- ``asof_join``: for every left row, attach the right row with the
+  same key and the LATEST right timestamp ≤ the left timestamp (ties
+  broken by the largest tiebreak column value — deterministic),
+  left-outer.
+- ``hash_join``: generic equi-join (inner / left-outer) between two
+  large Datasets. Both sides are hash-bucketed on the join key into
+  ``num_partitions`` buckets — the single all-to-all shuffle — and
+  each bucket is matched VECTORIZED (``pc.index_in``), so Python is
+  invoked once per bucket, not per key or per row. The right side
+  must be unique per key (dimension-join contract, validated loudly);
+  many-to-many joins need the per-key ``asof_join``-style grouping.
 
-Distribution: both sides are mapped into one common layout and grouped
-by join key — the single unavoidable shuffle co-locates each key's
-rows; within a group the match is vectorized (sort + searchsorted),
-so per-group work is O(n log n) numpy, not per-row Python. Partitioning
-assumption: one key's rows fit in one group (true for per-user /
-per-host streams; salt hot keys upstream if a single key is huge).
+Distribution notes: the groupby co-locates each key's rows once;
+within a group/bucket the match is numpy/pyarrow, not per-row Python.
+Partitioning assumption: one bucket's rows fit in one task's memory —
+size ``num_partitions`` to total_size / worker_heap; salt hot keys
+upstream if a single key dominates.
 
 Reference has no distributed joins (SURVEY §2.4 — all doc-local);
-this generalizes the engine to time-series enrichment workloads.
+these generalize the engine to enrichment workloads.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+import zlib
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -42,7 +50,8 @@ def asof_join(
     r_schema = right_ds.schema()
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-    fields = [pa.field("__key", pa.int64()), pa.field("__ts", pa.timestamp("us")),
+    key_type = l_types[key]  # natural key type — string keys (url) work
+    fields = [pa.field("__key", key_type), pa.field("__ts", pa.timestamp("us")),
               pa.field("__side", pa.int8())]
     fields += [pa.field(f"l_{c}", l_types[c]) for c in left_cols]
     fields += [pa.field(f"r_{c}", r_types[c]) for c in right_cols]
@@ -53,7 +62,7 @@ def asof_join(
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             arrays = {
-                "__key": batch.column(key).cast(pa.int64()),
+                "__key": batch.column(key).cast(key_type),
                 "__ts": batch.column(ts_col).cast(pa.timestamp("us")),
                 "__side": pa.array([side] * n, pa.int8()),
             }
@@ -125,3 +134,167 @@ def asof_join(
         return pa.table(cols, schema=out_schema)
 
     return both.groupby("__key").map_groups(match_group, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ hash join
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array — vectorized,
+    process-stable (unlike builtin ``hash``)."""
+    x = (x + _MIX).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _bucket_of(col: pa.ChunkedArray, n: int) -> pa.Array:
+    """Deterministic hash-bucket id per value.  Integer keys are mixed
+    vectorized (splitmix64); string/binary keys crc32 per value (C loop
+    via zlib — cheap relative to the shuffle it feeds). Null → bucket 0."""
+    if pa.types.is_integer(col.type):
+        import pyarrow.compute as pc
+
+        v = (
+            pc.fill_null(col.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        b = (mix64(v) % np.uint64(n)).astype(np.int32)
+        return pa.array(b, pa.int32())
+    vals = col.to_pylist()
+    return pa.array(
+        [0 if v is None else zlib.crc32(str(v).encode()) % n for v in vals],
+        pa.int32(),
+    )
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+    validate: str = "unique_right",
+):
+    """Hash-partitioned shuffle equi-join (``how`` ∈ {inner, left}).
+
+    Both sides gain a ``__part = hash(key) % P`` column (vectorized),
+    union into a common nullable layout, and a single ``groupby(__part)``
+    co-locates each bucket; inside a bucket the match is one
+    ``pc.index_in`` — no per-key Python. Output columns are
+    ``left_cols + right_cols`` (must be disjoint; the join key appears
+    only if listed in ``left_cols``). Right side must be unique per key
+    (validated per bucket, raises ValueError) — first-match semantics
+    would otherwise silently drop rows. Null join keys never match
+    (SQL semantics).
+
+    Scale: the only payload that shuffles is the two projected column
+    sets; size ``num_partitions`` so a bucket (≈ total/P of both sides)
+    fits a worker heap. Hot keys: a single key lands in one bucket —
+    pre-aggregate or salt upstream if one key dominates.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_types[left_key]
+
+    fields = [
+        pa.field("__part", pa.int32()),
+        pa.field("__side", pa.int8()),
+        pa.field("__jk", key_type),
+    ]
+    fields += [pa.field(f"l_{c}", l_types[c]) for c in left_cols]
+    fields += [pa.field(f"r_{c}", r_types[c]) for c in right_cols]
+    schema = pa.schema(fields)
+
+    def to_common(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            jk = batch.column(key_col).cast(key_type)
+            arrays = {
+                "__part": _bucket_of(jk, num_partitions),
+                "__side": pa.array([side] * n, pa.int8()),
+                "__jk": jk,
+            }
+            for f in schema:
+                if f.name.startswith("l_"):
+                    c = f.name[2:]
+                    arrays[f.name] = (
+                        batch.column(c) if side == 0 else pa.nulls(n, f.type)
+                    )
+                elif f.name.startswith("r_"):
+                    c = f.name[2:]
+                    arrays[f.name] = (
+                        batch.column(c) if side == 1 else pa.nulls(n, f.type)
+                    )
+            return pa.table(arrays, schema=schema)
+
+        return fn
+
+    both = left_ds.map_batches(to_common(0, left_key), batch_format="pyarrow").union(
+        right_ds.map_batches(to_common(1, right_key), batch_format="pyarrow")
+    )
+
+    out_fields = [pa.field(c, l_types[c]) for c in left_cols]
+    out_fields += [pa.field(c, r_types[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        lefts = group.filter(pc.equal(side, 0))
+        rights = group.filter(pc.equal(side, 1))
+        if lefts.num_rows == 0:
+            return out_schema.empty_table()
+        l_keys = lefts.column("__jk").combine_chunks()
+        if rights.num_rows == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            cols = {c: lefts.column(f"l_{c}") for c in left_cols}
+            for c in right_cols:
+                cols[c] = pa.nulls(lefts.num_rows, out_schema.field(c).type)
+            return pa.table(cols, schema=out_schema)
+        r_keys = rights.column("__jk").combine_chunks()
+        if validate == "unique_right":
+            n_distinct = pc.count_distinct(r_keys, mode="only_valid").as_py()
+            n_valid = len(r_keys) - r_keys.null_count
+            if n_distinct != n_valid:
+                raise ValueError(
+                    "hash_join: right side has duplicate join keys "
+                    f"({n_valid - n_distinct} dup rows in one bucket); "
+                    "dedupe the right side or use a per-key join"
+                )
+        idx = pc.index_in(l_keys, value_set=r_keys)
+        # SQL semantics: a null join key matches nothing
+        idx = pc.if_else(pc.is_valid(l_keys), idx, pa.nulls(len(l_keys), pa.int32()))
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            lefts = lefts.filter(valid)
+            idx = idx.filter(valid)
+            if lefts.num_rows == 0:
+                return out_schema.empty_table()
+        matched = rights.take(idx)  # null idx → null row (left-outer)
+        cols = {c: lefts.column(f"l_{c}") for c in left_cols}
+        for c in right_cols:
+            cols[c] = matched.column(f"r_{c}")
+        return pa.table(cols, schema=out_schema)
+
+    return both.groupby("__part").map_groups(join_bucket, batch_format="pyarrow")

@@ -64,3 +64,21 @@ def test_multi_key_and_single_block(ray_session):
         .reset_index(drop=True)
     )
     assert got.to_dict("list") == {"a": ["x", "x", "y"], "b": [1, 2, 2], "s": [10, 20, 30]}
+
+
+def test_lowcard_contract_high_cardinality_raises(ray_session):
+    """Misusing the partial-agg plan with a high-card key fails loudly
+    instead of OOMing the driver (the documented contract, enforced)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    n = 5000
+    ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(range(n), pa.int64()),  # every row a distinct group
+        "v": pa.array([1] * n, pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="cardinality"):
+        lowcard_groupby_agg(ds, ["key"], [("v", "sum", "s")], max_partial_rows=1000)

@@ -107,3 +107,36 @@ def test_ivf_topk_contains_self(ray_session, sf_dir):
     res = ivf_topk(emb, q, k=5).to_pylist()
     # the query vector itself lands in its own bucket → rank 1 is itself
     assert res[0]["vec_id"] == t.column("vec_id")[0].as_py()
+
+
+def test_minhash_distributed_verify_matches_exact(ray_session, docs):
+    """The scale path (join-back verify, no driver text materialization)
+    reproduces the exact all-pairs result on the seeded corpus."""
+    from pdf_extractor_ray.functions.dedup import (
+        minhash_lsh_verified,
+        ngram_jaccard_pairs,
+    )
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    dist = minhash_lsh_verified(docs, threshold=0.5).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"]))  # noqa: E731
+    assert key(dist) == key(exact)
+    assert len(exact) > 0
+
+
+def test_candidate_shingles_only_touch_candidate_docs(ray_session, docs):
+    """The verify stage's input is candidate pairs + their shingle sets,
+    NOT the corpus: the shingle table has exactly one row per distinct
+    candidate doc id — far fewer than corpus rows."""
+    from pdf_extractor_ray.functions.dedup import (
+        candidate_shingles,
+        minhash_lsh_candidates,
+    )
+
+    cands = minhash_lsh_candidates(docs).materialize()
+    pairs = cands.to_pandas()
+    n_cand_docs = len(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    sh = candidate_shingles(docs, cands).to_pandas()
+    assert len(sh) == n_cand_docs
+    assert n_cand_docs < docs.count()
+    assert set(sh.columns) == {"doc_id", "shingles"}

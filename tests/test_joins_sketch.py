@@ -78,3 +78,110 @@ def test_hll_merge_associativity():
     assert np.array_equal(merged, whole)  # merge == sketch of union
     est = _estimate(merged, 12)
     assert abs(est - 8000) / 8000 < 0.05
+
+
+# ------------------------------------------------------------------ hash join
+def test_hash_join_inner_int_keys(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+        "lv": pa.array([10, 20, 21, 30, 40], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 4], pa.int64()),
+        "rv": pa.array(["a", "b", "d"], pa.string()),
+    }))
+    out = hash_join(
+        left, right, "k", "rk", ["k", "lv"], ["rv"],
+        how="inner", num_partitions=4,
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert out["lv"].tolist() == [10, 20, 21]
+    assert out["rv"].tolist() == ["a", "b", "b"]
+
+
+def test_hash_join_left_outer_string_keys(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "url2": pa.array(["a.com", "c.com"], pa.string()),
+        "lang": pa.array(["en", "de"], pa.string()),
+    }))
+    out = hash_join(
+        left, right, "url", "url2", ["url", "n"], ["lang"],
+        how="left", num_partitions=4,
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    assert out["lang"].tolist() == ["en", None, "de"]
+
+
+def test_hash_join_duplicate_right_raises(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                         "lv": pa.array([1], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({"k2": pa.array([1, 1], pa.int64()),
+                                          "rv": pa.array([5, 6], pa.int64())}))
+    ds = hash_join(left, right, "k", "k2", ["k", "lv"], ["rv"], num_partitions=2)
+    with pytest.raises(Exception, match="duplicate join keys"):
+        ds.materialize()
+
+
+def test_hash_join_matches_duckdb(ray_session):
+    """orders ⋈ customer at sf0.001 matches the SQL join row-for-row."""
+    import duckdb
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = ray.data.read_parquet(f"{sf}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    mine = hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_custkey"], ["c_nationkey"],
+        how="inner", num_partitions=8,
+    ).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    ref = duckdb.sql(f"""
+        SELECT o_orderkey, o_custkey, c_nationkey
+        FROM '{sf}/orders.parquet' o JOIN '{sf}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
+    """).df()
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False)
+
+
+def test_asof_join_string_key(ray_session):
+    """String keys (url) must work — the corpus key at web scale."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a.com", "b.com"], pa.string()),
+        "ts": pa.array([_ts(5), _ts(2)], pa.timestamp("us")),
+        "event_id": pa.array([1, 2], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a.com", "a.com", "b.com"], pa.string()),
+        "crawl_ts": pa.array([_ts(1), _ts(4), _ts(9)], pa.timestamp("us")),
+        "crawl_id": pa.array([100, 101, 102], pa.int64()),
+    }))
+    df = asof_join(
+        left, right, key="url", left_ts="ts", right_ts="crawl_ts",
+        right_tiebreak="crawl_id",
+        left_cols=["event_id", "url"], right_cols=["crawl_id"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert df["crawl_id"].tolist()[0] == 101  # latest crawl ≤ ts(5)
+    assert pd.isna(df["crawl_id"].tolist()[1])  # no crawl ≤ ts(2)
