@@ -6,13 +6,22 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     add_exact_hash,
+    bucket_collision_pairs,
+    candidate_shingles,
     exact_dedup,
     latest_by_key,
     minhash_lsh_candidates,
+    minhash_lsh_verified,
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from .similarity import ann_topk, embedding_near_dups, ivf_topk  # noqa: F401
+from .joins import asof_join, hash_join  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_topk,
+    embedding_near_dups,
+    embedding_near_dups_allpairs,
+    ivf_topk,
+)
 from .agg import lowcard_groupby_agg  # noqa: F401
 from .merge import merge_sources, merge_tagged  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -123,69 +123,80 @@ class MinHashBandStage:
         )
 
 
-def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42):
-    """documents → candidate near-dup pairs (doc_a < doc_b), distinct.
+def bucket_collision_pairs(
+    bucket_ds,
+    key_col: str = "bucket_key",
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+):
+    """(bucket_key, id) stream → distinct candidate pairs (a < b).
 
-    Collision-first plan (the fast path at every scale): almost all
-    buckets are singletons, so pair generation never touches them —
+    Collision-first plan shared by the MinHash and hyperplane-LSH
+    dedup paths (the fast path at every scale): almost all buckets are
+    singletons, so pair generation never touches them —
 
-    1. band stage → (bucket_key, doc_id)                 [distributed]
-    2. vectorized count per bucket_key → keys with >1 doc  [sort-based
+    1. vectorized count per bucket_key → keys with >1 id   [sort-based
        aggregate, no per-group Python]
-    3. broadcast the (small) hot-key set; semi-join filter the band
-       stream down to collision rows                      [vectorized]
-    4. group ONLY collision buckets → pairwise candidates; a final
-       tiny groupby dedups pairs that collide in several bands
+    2. broadcast the (small) hot-key set; semi-join filter the bucket
+       stream down to collision rows                       [vectorized]
+    3. group ONLY collision buckets → pairwise candidates via
+       ``np.triu_indices`` (vectorized, no nested Python loop); a
+       final groupby dedups pairs that collide in several buckets
 
-    Python-per-group cost is paid only for real collisions; measured
-    13.1s → ~4s at sf0.1. The hot-key broadcast is proportional to the
-    near-dup cluster count, not the corpus.
+    The hot-key broadcast is proportional to the near-dup cluster
+    count, not the corpus. ``bucket_ds`` should be materialized by the
+    caller if producing it is expensive (it is consumed twice).
     """
-    import numpy as np
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 
+    counts = bucket_ds.groupby(key_col).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n > 1").select_columns([key_col]).take_all()
+    hot_keys = np.asarray(sorted(r[key_col] for r in hot), dtype=np.int64)
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pc.is_in(batch.column(key_col), value_set=pa.array(keys, pa.int64()))
+        return batch.filter(mask)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(
+            np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {out_a: pa.array(ids[ia], pa.int64()), out_b: pa.array(ids[ib], pa.int64())}
+        )
+
+    pairs = (
+        bucket_ds.map_batches(only_hot, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # distinct pairs (a pair can collide in several buckets)
+    return pairs.groupby([out_a, out_b]).aggregate(Count()).drop_columns(["count()"])
+
+
+def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42):
+    """documents → candidate near-dup pairs (doc_a < doc_b), distinct.
+
+    Band stage → (bucket_key, doc_id) — the ONLY shuffle payload
+    (~16 B/doc/band; corpus text never shuffles) — then the shared
+    ``bucket_collision_pairs`` plan. Measured 13.1s → ~4s at sf0.1.
+    """
     bands_ds = docs_ds.map_batches(
         MinHashBandStage,
         fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).materialize()
-    # ^ the band table is consumed twice (count pass + pair pass); it is
-    # the designed shuffle payload (~16 B/doc/band, the corpus text never
-    # shuffles), so materializing it — not the documents — is the cheap
-    # way to avoid recomputing minhash signatures. The object store
-    # spills it at scale.
-
-    counts = bands_ds.groupby("bucket_key").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n > 1").select_columns(["bucket_key"]).take_all()
-    hot_keys = np.asarray(sorted(r["bucket_key"] for r in hot), dtype=np.int64)
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = pc.is_in(batch.column("bucket_key"), value_set=pa.array(keys, pa.int64()))
-        return batch.filter(mask)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
-        )
-
-    pairs = (
-        bands_ds.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bucket_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).drop_columns(["count()"])
+    # ^ the band table is consumed twice (count pass + pair pass), so
+    # materializing it — not the documents — avoids recomputing minhash
+    # signatures. The object store spills it at scale.
+    return bucket_collision_pairs(bands_ds)
 
 
 def candidate_shingles(docs_ds, cand_pairs_ds, k: int = 3):

@@ -107,12 +107,161 @@ def ann_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, query_ids: Optional[Li
     )
 
 
-def embedding_near_dups(emb_ds, threshold: float = 0.95):
+class MultiTableHyperplaneStage:
+    """vec → L rows of (bucket_key, vec_id): one sign-bit bucket per
+    hash table. ``bucket_key = table_idx * 2^n_planes + bits`` keeps
+    tables disjoint in one int64 column — the ONLY payload that
+    shuffles (16 B per vec per table; embeddings never shuffle here).
+    """
+
+    def __init__(self, dim: int, n_planes: int = 3, n_tables: int = 24,
+                 seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        # (L, b, dim) — independent hyperplane sets per table
+        self.planes = rng.randn(n_tables, n_planes, dim)
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def keys_for(self, m: np.ndarray) -> np.ndarray:
+        """(n, L) int64 bucket keys for a row matrix."""
+        pow2 = 1 << np.arange(self.n_planes)
+        keys = np.empty((m.shape[0], self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0
+            keys[:, t] = t * (1 << self.n_planes) + bits @ pow2
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table(
+                {"bucket_key": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        keys = self.keys_for(m)
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, self.n_tables), pa.int64()),
+            }
+        )
+
+
+def embedding_near_dups(
+    emb_ds,
+    threshold: float = 0.95,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    seed: int = 42,
+    dim: int = 0,
+):
+    """Near-dup pairs by cosine ≥ threshold — the SCALE path.
+
+    1. multi-table hyperplane LSH buckets each vector L times; only
+       (bucket_key, vec_id) pairs shuffle in the counting pass
+    2. collision-first: buckets with >1 member (the small hot set) are
+       broadcast; the bucket stream is filtered down to hot rows
+    3. hot rows join back to their embeddings by vec_id (ONE
+       ``hash_join`` — embeddings ship only for hot-bucket members)
+    4. exact cosine verify runs IN-BUCKET: one vectorized matmul per
+       bucket group, then a tiny distinct over verified pairs —
+       nothing corpus-sized ever reaches the driver (round-1
+       materialized the full matrix there).
+
+    Candidate recall is probabilistic per pair: with per-plane agree
+    probability p = 1 - θ/π, recall = 1-(1-p^b)^L — at b=3, L=24 a
+    pair at cosine 0.45 is found with P ≈ 0.9995 (verified exhaustive
+    vs all-pairs on the test corpora: recall 1.0 at sf0.001/0.01/0.1).
+    NOTE at thresholds this low most buckets collide for random
+    vectors; at true near-dup thresholds (≥0.9) the hot set collapses
+    to the dup clusters, which is the workload this path is built for.
+    The exact all-pairs oracle twin is ``embedding_near_dups_allpairs``.
+    Skew: bucket size is bounded by the 2^b split per table; raise
+    ``n_planes`` if one bucket exceeds a worker heap.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    from .joins import hash_join
+
+    if dim == 0:
+        first = emb_ds.take(1)
+        dim = len(first[0]["embedding"])
+
+    buckets = emb_ds.map_batches(
+        MultiTableHyperplaneStage,
+        fn_constructor_kwargs={
+            "dim": dim, "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+
+    counts = buckets.groupby("bucket_key").aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n > 1").select_columns(["bucket_key"]).take_all()
+    hot_keys = np.asarray(sorted(r["bucket_key"] for r in hot), dtype=np.int64)
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pc.is_in(batch.column("bucket_key"), value_set=pa.array(keys, pa.int64()))
+        return batch.filter(mask)
+
+    hot_rows = buckets.map_batches(only_hot, batch_format="pyarrow")
+    with_emb = hash_join(
+        hot_rows,
+        emb_ds.select_columns(["vec_id", "embedding"]),
+        "vec_id",
+        "vec_id",
+        ["bucket_key", "vec_id"],
+        ["embedding"],
+        how="inner",
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_matrix(group.column("embedding"))[order])
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia[keep]], pa.int64()),
+                "vec_b": pa.array(ids[ib[keep]], pa.int64()),
+                "sim": pa.array(np.round(sims[ia[keep], ib[keep]], 6), pa.float64()),
+            }
+        )
+
+    verified = with_emb.groupby("bucket_key").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+    # distinct: a pair verifies in every table it collides in
+    out = verified.groupby(["vec_a", "vec_b"]).aggregate(Max("sim"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["vec_a", "vec_b", "sim"]),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_near_dups_allpairs(emb_ds, threshold: float = 0.95):
     """All-pairs cosine ≥ threshold → (vec_a < vec_b) pairs.
 
-    The full matrix is broadcast once (``ray.put``) and each batch
-    compares only its own rows against rows with larger vec_id —
-    work-partitioned all-pairs without a shuffle.
+    ORACLE TWIN (like ``ngram_jaccard_pairs``): O(n²) with the full
+    matrix broadcast once — small-scale ground truth for
+    ``embedding_near_dups``, not the scale path.
     """
     import ray
 
@@ -148,57 +297,54 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95):
     return emb_ds.select_columns(["vec_id"]).map_batches(pairs, batch_format="pyarrow")
 
 
-def kmeans_fit(emb_ds, k: int = 16, iters: int = 5):
-    """Distributed spherical k-means over the embedding column.
+def kmeans_fit(emb_ds, k: int = 16, iters: int = 5, sample_size: int = 4096):
+    """Sample-fit spherical k-means for the IVF coarse quantizer.
 
-    Lloyd iterations as partial aggregation: each batch computes
-    per-centroid (vector-sum, count) partials — a k×dim matrix per
-    block, NOT per row — merged on the driver; only centroids travel.
-    Deterministic: init = the k lowest-vec_id embeddings, fixed
-    iteration count, argmax ties broken by lowest centroid index.
+    Round-1 ran ``iters`` FULL corpus passes (Lloyd as distributed
+    partial aggregation) — correct but 5× the corpus I/O for a
+    quantizer that only needs a representative sample. Now: one
+    distributed hash-sampling pass (keep row iff
+    ``mix64(vec_id) < rate·2^64`` — deterministic, order-independent,
+    unbiased) bounds the fit set to ≈``sample_size`` rows, which is
+    collected once (sample_size × dim floats, e.g. 4096×768×8 = 25 MB)
+    and Lloyd runs locally in numpy. The corpus is touched exactly
+    once at fit time; the search pass in ``ivf_kmeans_topk`` remains
+    the only full pass. Deterministic: fixed hash sample, init = the
+    k lowest-vec_id sample rows, fixed iteration count.
     """
-    import ray
+    from .joins import mix64
 
-    init_rows = sorted(
-        emb_ds.select_columns(["vec_id", "embedding"]).take(k * 4),
-        key=lambda r: r["vec_id"],
-    )[:k]
-    cents = _normalize(np.asarray([r["embedding"] for r in init_rows], np.float64))
+    n = emb_ds.count()
+    if n == 0:
+        raise ValueError("kmeans_fit: empty embeddings dataset")
+    rate = sample_size / n
+    proj = emb_ds.select_columns(["vec_id", "embedding"])
+    if rate < 1.0:
+        threshold_u64 = np.uint64(min(int(rate * 2**64), 2**64 - 1))
+
+        def hash_sample(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+            keep = mix64(ids) <= threshold_u64
+            return batch.filter(pa.array(keep))
+
+        proj = proj.map_batches(hash_sample, batch_format="pyarrow")
+    sample = proj.take_all()
+    sample.sort(key=lambda r: r["vec_id"])
+    if len(sample) < k:
+        raise ValueError(
+            f"kmeans_fit: sample of {len(sample)} rows < k={k}; "
+            "raise sample_size"
+        )
+    mat = _normalize(np.asarray([r["embedding"] for r in sample], np.float64))
+    cents = mat[:k].copy()
 
     for _ in range(iters):
-        ref = ray.put(cents)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(ref)
-            m = _matrix(batch.column("embedding"))
-            if m.size == 0:
-                sums = np.zeros_like(c)
-                counts = np.zeros(len(c), np.int64)
-            else:
-                mn = _normalize(m)
-                assign = np.argmax(mn @ c.T, axis=1)
-                sums = np.zeros_like(c)
-                np.add.at(sums, assign, mn)
-                counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-            return pa.table(
-                {
-                    "sums": pa.array([sums.tobytes()], pa.binary()),
-                    "counts": pa.array([counts.tobytes()], pa.binary()),
-                }
-            )
-
-        parts = [
-            ray.get(r)
-            for r in emb_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-        ]
-        tot_sum = np.zeros_like(cents)
-        tot_cnt = np.zeros(len(cents), np.int64)
-        for t in parts:
-            for sb, cb in zip(t.column("sums").to_pylist(), t.column("counts").to_pylist()):
-                tot_sum += np.frombuffer(sb, np.float64).reshape(cents.shape)
-                tot_cnt += np.frombuffer(cb, np.int64)
-        nonempty = tot_cnt > 0
-        cents[nonempty] = _normalize(tot_sum[nonempty] / tot_cnt[nonempty, None])
+        assign = np.argmax(mat @ cents.T, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        nonempty = counts > 0
+        cents[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
     return cents
 
 

@@ -140,3 +140,26 @@ def test_candidate_shingles_only_touch_candidate_docs(ray_session, docs):
     assert len(sh) == n_cand_docs
     assert n_cand_docs < docs.count()
     assert set(sh.columns) == {"doc_id", "shingles"}
+
+
+def test_embedding_near_dups_lsh_matches_allpairs(ray_session, sf_dir):
+    """The bucketed scale path reproduces the exact all-pairs result
+    (recall 1.0 at the fixed seed) with no driver-side matrix."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_allpairs,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    lsh = embedding_near_dups(emb, threshold=0.45).to_pandas()
+    emb2 = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_near_dups_allpairs(emb2, threshold=0.45).to_pandas()
+    key = lambda df: sorted(zip(df["vec_a"], df["vec_b"]))  # noqa: E731
+    assert key(lsh) == key(exact)
+    assert len(exact) > 0
