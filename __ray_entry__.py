@@ -140,6 +140,25 @@ def _q_extract_entities(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def _q_doc_statistics(sf_dir: str):
+    """Per-url Statistics parity record (reference
+    extractor/utils/helpers.py:67-86): page-summed totals + averages.
+    No SQL oracle — page structure exists only post-extraction;
+    parity is pinned by tests/test_pipeline.py."""
+    from pdf_extractor_ray.pipelines.extraction import doc_statistics_pipeline
+
+    return doc_statistics_pipeline(_pages(sf_dir))
+
+
+def _q_standard_result(sf_dir: str):
+    """Composed standard-mode envelope: one record per document with
+    full_text + six entity lists + statistics (reference
+    extractor/models/standard.py:28-71). Rows/schema check."""
+    from pdf_extractor_ray.pipelines.extraction import standard_result_pipeline
+
+    return standard_result_pipeline(_pages(sf_dir))
+
+
 def _q_doc_stats(sf_dir: str):
     """G1 statistics analogue, grouped by lang (SQL-checkable); partial
     aggregation — lang cardinality is tiny at every scale."""
@@ -769,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_match": _q_extract_status_match,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
+        "doc_statistics": _q_doc_statistics,
+        "standard_result": _q_standard_result,
         # corpus-scale text analysis
         "doc_stats": _q_doc_stats,
         "text_features": _q_text_features,

@@ -1396,6 +1396,23 @@ class PdfExtraction:
         return [t for p in self.pages for t in p.tables]
 
 
+def _page_has_image(doc: "_PdfDocument", resources: dict) -> bool:
+    """True iff the page's XObject dict contains an Image stream —
+    used to distinguish a scanned page (``image_only``) from a truly
+    empty one when no text operators are found."""
+    try:
+        xdict = doc.resolve(resources.get("XObject")) or {}
+        if not isinstance(xdict, dict):
+            return False
+        for v in xdict.values():
+            obj = doc.resolve(v)
+            if isinstance(obj, StreamObj) and obj.dict.get("Subtype") == "Image":
+                return True
+    except Exception:
+        pass
+    return False
+
+
 class PdfCodec:
     """Stateless-per-document PDF → (text, pages, tables, spans) codec.
 
@@ -1450,6 +1467,7 @@ class PdfCodec:
             return PdfExtraction(text="", status="empty")
 
         page_results: List[PdfPageResult] = []
+        saw_image = False
         for i, page in enumerate(pages_raw):
             try:
                 mediabox = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
@@ -1466,6 +1484,8 @@ class PdfCodec:
                     resources = {}
                 decoder = _FontDecoder(doc, resources, self._font_cache)
                 xresolver = self._xobject_resolver(doc, resources)
+                if not saw_image:
+                    saw_image = _page_has_image(doc, resources)
                 chunks, rules = _interpret_content(content, decoder, xresolver)
                 tables: List[List[List[Optional[str]]]] = []
                 if self.extract_tables and rules:
@@ -1506,5 +1526,15 @@ class PdfCodec:
                 any_text = True
             parts.append(pr.text)
         text = "\n\n".join(parts)
-        status = "ok" if any_text and text.strip() else "empty"
+        if any_text and text.strip():
+            status = "ok"
+        elif saw_image:
+            # scanned/image-based document: no text operators but image
+            # XObjects present — the deterministic analogue of the
+            # reference's image-based sniff (which would flip its OCR
+            # flag, pdf_text_extractor.py:114-125, 149-163); the engine
+            # tags instead of OCRing (OCR excluded by design, SURVEY §2.1)
+            status = "image_only"
+        else:
+            status = "empty"
         return PdfExtraction(text=text, pages=page_results, spans=spans, status=status)

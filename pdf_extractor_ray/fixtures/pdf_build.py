@@ -275,3 +275,50 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
     out.extend(f"7 0 obj\n".encode() + xdict + b"\nstream\n" + xdata + b"\nendstream\nendobj\n")
     out.extend(b"startxref\n" + str(offsets[7]).encode() + b"\n%%EOF\n")
     return bytes(out)
+
+
+def image_only_pdf(width: float = 612.0, height: float = 792.0) -> bytes:
+    """A syntactically valid PDF whose single page draws ONLY an image
+    XObject — no text operators anywhere. The engine must degrade this
+    to ``extract_status='image_only'`` (the deterministic analogue of
+    the reference's image-based sniff that flips its OCR flag,
+    reference: extractor/extractors/pdf_text_extractor.py:114-125).
+    """
+    img_data = zlib.compress(bytes(range(48)))  # 4x4 RGB "pixels"
+    objects: List[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")  # 2
+    objects.append(
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_fmt(width)} "
+            f"{_fmt(height)}] /Resources << /XObject << /Im1 5 0 R >> >> "
+            f"/Contents 4 0 R >>"
+        ).encode()
+    )  # 3
+    content = b"q 400 0 0 300 100 200 cm /Im1 Do Q"
+    objects.append(
+        f"<< /Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream"
+    )  # 4
+    objects.append(
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length " + str(len(img_data)).encode() + b" >>\nstream\n"
+        + img_data + b"\nendstream"
+    )  # 5
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    n = len(objects) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -150,6 +150,109 @@ def entities_pipeline(pages_ds, **kw):
     return extracted.map_batches(_entities_batch, batch_format="pyarrow")
 
 
+def _page_stats(pages) -> tuple:
+    """Reference Statistics semantics over a page list: totals are
+    summed PER PAGE (not over the '\\n\\n'-joined text), averages are 0
+    for page-less documents (extractor/utils/helpers.py:67-86)."""
+    pages = pages or []
+    chars = [len(p["text"] or "") for p in pages]
+    words = [len((p["text"] or "").split()) for p in pages]
+    n = len(pages)
+    tc, tw = sum(chars), sum(words)
+    return n, tc, tw, (tc / n if n else 0.0), (tw / n if n else 0.0)
+
+
+def _doc_statistics_batch(batch: pa.Table) -> pa.Table:
+    cols = {k: [] for k in
+            ("total_pages", "total_characters", "total_words",
+             "avg_chars_per_page", "avg_words_per_page")}
+    for pages in batch.column("pages").to_pylist():
+        n, tc, tw, ac, aw = _page_stats(pages)
+        cols["total_pages"].append(n)
+        cols["total_characters"].append(tc)
+        cols["total_words"].append(tw)
+        cols["avg_chars_per_page"].append(ac)
+        cols["avg_words_per_page"].append(aw)
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "total_pages": pa.array(cols["total_pages"], pa.int64()),
+            "total_characters": pa.array(cols["total_characters"], pa.int64()),
+            "total_words": pa.array(cols["total_words"], pa.int64()),
+            "avg_chars_per_page": pa.array(cols["avg_chars_per_page"], pa.float64()),
+            "avg_words_per_page": pa.array(cols["avg_words_per_page"], pa.float64()),
+        }
+    )
+
+
+def doc_statistics_pipeline(pages_ds, **kw):
+    """Per-url Statistics envelope — exact reference-field parity:
+    total_pages / total_characters / total_words / avg_chars_per_page /
+    avg_words_per_page (extractor/utils/helpers.py:67-86,
+    models/base.py:8-15)."""
+    extracted = extraction_pipeline(pages_ds, emit_pages=True, **kw)
+    return extracted.map_batches(_doc_statistics_batch, batch_format="pyarrow")
+
+
+def _standard_result_batch(batch: pa.Table) -> pa.Table:
+    """One composed standard-mode record per document: full_text +
+    entity lists + statistics (extractor/models/standard.py:28-71;
+    full_text join semantics extractor/utils/helpers.py:39-64)."""
+    from ..parsers.standard import EntityParser
+
+    parser = _STAGES.get("entity_parser")
+    if parser is None:
+        parser = _STAGES["entity_parser"] = EntityParser()
+
+    n = batch.num_rows
+    ent_cols: Dict[str, list] = {
+        k: [] for k in ("email", "phone", "date", "currency", "url_ref", "ssn")
+    }
+    stats_cols = {k: [] for k in
+                  ("total_pages", "total_characters", "total_words",
+                   "avg_chars_per_page", "avg_words_per_page")}
+    for text, pages in zip(
+        batch.column("extracted_text").to_pylist(),
+        batch.column("pages").to_pylist(),
+    ):
+        ents = parser.extract_entities(text or "")
+        ent_cols["email"].append(ents.get("email", []))
+        ent_cols["phone"].append(ents.get("phone", []))
+        ent_cols["date"].append(ents.get("date", []))
+        ent_cols["currency"].append(ents.get("currency", []))
+        ent_cols["url_ref"].append(ents.get("url", []))
+        ent_cols["ssn"].append(ents.get("ssn", []))
+        np_, tc, tw, ac, aw = _page_stats(pages)
+        stats_cols["total_pages"].append(np_)
+        stats_cols["total_characters"].append(tc)
+        stats_cols["total_words"].append(tw)
+        stats_cols["avg_chars_per_page"].append(ac)
+        stats_cols["avg_words_per_page"].append(aw)
+
+    out = {
+        "url": batch.column("url"),
+        "extraction_mode": pa.array(["standard"] * n, pa.string()),
+        "full_text": batch.column("extracted_text"),
+    }
+    for k in ("email", "phone", "date", "currency", "url_ref", "ssn"):
+        out[k] = pa.array(ent_cols[k], pa.list_(pa.string()))
+    out["total_pages"] = pa.array(stats_cols["total_pages"], pa.int64())
+    out["total_characters"] = pa.array(stats_cols["total_characters"], pa.int64())
+    out["total_words"] = pa.array(stats_cols["total_words"], pa.int64())
+    out["avg_chars_per_page"] = pa.array(stats_cols["avg_chars_per_page"], pa.float64())
+    out["avg_words_per_page"] = pa.array(stats_cols["avg_words_per_page"], pa.float64())
+    return pa.table(out)
+
+
+def standard_result_pipeline(pages_ds, **kw):
+    """pages Dataset → composed StandardExtractionResult records
+    (mode, full_text, six entity lists, statistics) — the per-document
+    envelope the reference writes as JSON
+    (extractor/models/standard.py:28-71)."""
+    extracted = extraction_pipeline(pages_ds, emit_pages=True, **kw)
+    return extracted.map_batches(_standard_result_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- job runner
 def run_extraction_job(
     input_files: Sequence[str],

@@ -9,7 +9,8 @@ generation time because we author every payload (F1a/F1b).
 
 Mix per doc_id (fixed rules, seed-free determinism):
 - ``doc_id % 101`` picks edge rows: empty payload (13), garbage bytes
-  (29), truncated PDF (47), boilerplate-only HTML (61)
+  (29), truncated PDF (47), boilerplate-only HTML (61), image-only
+  scanned PDF (83)
 - else ``doc_id % 10 == 7`` → PDF (variant by ``doc_id % 4``: single
   column / two-column / ruled construction table / TJ+leading ops)
 - else → HTML (every 5th carries a construction ``<table>``)
@@ -207,6 +208,12 @@ class PageSynthesizer:
                 elif edge == 47:  # truncated PDF (hits the scan fallback, then dies)
                     whole, _ = _pdf_doc(vid, text, giant=False)
                     payload, golden, status, kind = whole[:60], "", "parse_error", "pdf"
+                elif edge == 83:  # scanned page: image XObject, no text ops
+                    from ..fixtures.pdf_build import image_only_pdf
+
+                    payload, golden, status, kind = (
+                        image_only_pdf(), "", "image_only", "pdf",
+                    )
                 elif edge == 61:  # boilerplate-only HTML
                     payload = (
                         b"<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a>"

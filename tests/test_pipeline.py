@@ -174,3 +174,93 @@ def test_resume_replaces_stale_tmp_and_final(ray_session, sf_dir, tmp_path):
     t = pq.read_table(str(out_dir / "part-00000"), columns=["url"])
     urls = t.column("url").to_pylist()
     assert len(urls) == len(set(urls)) > 0
+
+
+def test_image_only_pdf_degrades_to_image_only_status(ray_session):
+    """A genuinely text-less PDF (single page drawing only an image
+    XObject) lands in extract_status='image_only' — NOT parse_error,
+    NOT empty (reference sniff analogue:
+    extractor/extractors/pdf_text_extractor.py:114-125)."""
+    import ray.data
+
+    from pdf_extractor_ray.fixtures.pdf_build import image_only_pdf
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    payload = image_only_pdf()
+    assert payload.startswith(b"%PDF-")
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["http://example.com/scan.pdf"], pa.string()),
+        "html": pa.array([payload], pa.binary()),
+    }))
+    df = extraction_pipeline(ds).to_pandas()
+    assert df.loc[0, "doc_kind"] == "pdf"
+    assert df.loc[0, "extract_status"] == "image_only"
+    assert df.loc[0, "extracted_text"] == ""
+    # a page record still exists (the page parsed; it just has no text)
+    assert df.loc[0, "n_pages"] == 1
+
+
+def test_image_xobject_does_not_shadow_text(ray_session):
+    """A page with BOTH an image and text stays 'ok'."""
+    import ray.data
+
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import simple_text_pdf
+
+    r = PdfCodec().extract(simple_text_pdf([["hello world from a text page"]]))
+    assert r.status == "ok"
+
+
+def test_doc_statistics_reference_parity(ray_session, sf_dir):
+    """doc_statistics emits the reference Statistics record per url,
+    page-summed (extractor/utils/helpers.py:67-86): independently
+    recomputed here from the emitted pages."""
+    from pdf_extractor_ray.pipelines.extraction import (
+        doc_statistics_pipeline,
+        extraction_pipeline,
+    )
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    stats = doc_statistics_pipeline(pages_dataset(sf_dir)).to_pandas()
+    pages_df = (
+        extraction_pipeline(pages_dataset(sf_dir), emit_pages=True)
+        .select_columns(["url", "pages"])
+        .to_pandas()
+    )
+    merged = stats.merge(pages_df, on="url")
+    assert len(merged) == len(stats) > 0
+    for _, row in merged.head(50).iterrows():
+        pages = row["pages"] if row["pages"] is not None else []
+        chars = [len(p["text"] or "") for p in pages]
+        words = [len((p["text"] or "").split()) for p in pages]
+        assert row["total_pages"] == len(pages)
+        assert row["total_characters"] == sum(chars)
+        assert row["total_words"] == sum(words)
+        want_ac = sum(chars) / len(pages) if len(pages) else 0.0
+        want_aw = sum(words) / len(pages) if len(pages) else 0.0
+        assert abs(row["avg_chars_per_page"] - want_ac) < 1e-9
+        assert abs(row["avg_words_per_page"] - want_aw) < 1e-9
+
+
+def test_standard_result_envelope(ray_session, sf_dir):
+    """standard_result composes the reference per-document record:
+    mode + full_text + six entity lists + statistics
+    (extractor/models/standard.py:28-71)."""
+    from pdf_extractor_ray.pipelines.extraction import standard_result_pipeline
+    from pdf_extractor_ray.sources.corpus import pages_dataset
+
+    df = standard_result_pipeline(pages_dataset(sf_dir)).to_pandas()
+    assert list(df.columns) == [
+        "url", "extraction_mode", "full_text",
+        "email", "phone", "date", "currency", "url_ref", "ssn",
+        "total_pages", "total_characters", "total_words",
+        "avg_chars_per_page", "avg_words_per_page",
+    ]
+    assert (df["extraction_mode"] == "standard").all()
+    # entity-bearing synthesized rows (doc_id % 7 == 3, HTML kind)
+    with_email = df[df["email"].map(len) > 0]
+    assert len(with_email) > 0
+    assert all("@example.com" in e for es in with_email["email"] for e in es)
+    # full_text is the combined page text for ok docs
+    ok = df[df["total_pages"] > 0].iloc[0]
+    assert isinstance(ok["full_text"], str)
