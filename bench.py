@@ -176,8 +176,14 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 32) -> dict:
              "--replicate", str(replicate)],
             env=env, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        runs[n] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling child run (num_cpus={n}) failed "
+                f"rc={out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-15:])
+            )
+        runs[n] = json.loads(lines[-1])
     thr_low = runs[low]["docs_per_sec"]
     thr_high = runs[high]["docs_per_sec"]
     eff = (thr_high / thr_low) / (high / low)

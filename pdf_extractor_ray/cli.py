@@ -87,15 +87,21 @@ def main(argv: List[str] | None = None) -> int:
 
             ds = pages_from_warc(args.input)
         out = get_pipeline(args.mode)(ds)
-        out.write_parquet(args.output)
-        import pyarrow.parquet as pq
+        if args.format == "json":
+            # honor the reference-compat JSON view here too (was
+            # silently ignored for files/warc inputs)
+            out.write_json(args.output)
+            metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
+        else:
+            out.write_parquet(args.output)
+            import pyarrow.parquet as pq
 
-        metrics = {
-            "rows": sum(
-                pq.read_metadata(f).num_rows
-                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
-            )
-        }
+            metrics = {
+                "rows": sum(
+                    pq.read_metadata(f).num_rows
+                    for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+                )
+            }
         print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
         ray.shutdown()
         return 0

@@ -69,7 +69,18 @@ class StreamObj:
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        # DecodeParms mirrors the Filter shape: a single dict, or an
+        # array paired entry-by-entry with the filter array (both forms
+        # are common; the array form previously skipped predictors and
+        # made xref/content streams decode to garbage)
+        parms_raw = self.dict.get("DecodeParms", self.dict.get("DP"))
+        parms_raw = resolver(parms_raw)
+        if isinstance(parms_raw, list):
+            parms_list = [resolver(p) for p in parms_raw]
+        else:
+            parms_list = [parms_raw]
+        parms_list += [None] * (len(filters) - len(parms_list))
+        for f, parm in zip(filters, parms_list):
             name = resolver(f)
             if name == "FlateDecode" or name == "Fl":
                 try:
@@ -104,15 +115,16 @@ class StreamObj:
                 pass
             else:
                 raise PdfParseError(f"unsupported filter {name!r}")
-        parms = resolver(self.dict.get("DecodeParms"))
-        if isinstance(parms, dict):
-            pred = resolver(parms.get("Predictor")) or 1
-            if pred >= 10:
-                raw = _png_unpredict(
-                    raw, resolver(parms.get("Columns")) or 1,
-                    resolver(parms.get("Colors")) or 1,
-                    (resolver(parms.get("BitsPerComponent")) or 8) // 8 or 1,
-                )
+            # predictor applies to THIS filter's output (per-entry
+            # pairing, PDF 32000-1 §7.4.4.4)
+            if isinstance(parm, dict):
+                pred = resolver(parm.get("Predictor")) or 1
+                if pred >= 10:
+                    raw = _png_unpredict(
+                        raw, resolver(parm.get("Columns")) or 1,
+                        resolver(parm.get("Colors")) or 1,
+                        (resolver(parm.get("BitsPerComponent")) or 8) // 8 or 1,
+                    )
         return raw
 
 
@@ -881,6 +893,7 @@ def _glyph_to_char(name: str) -> Optional[str]:
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[|\]")
 _CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
@@ -906,21 +919,38 @@ def _parse_tounicode(cmap: bytes) -> Tuple[Dict[int, str], int]:
         for i in range(0, len(pairs) - 1, 2):
             table[int(pairs[i], 16)] = u(pairs[i + 1])
     for block in _BFRANGE_RE.findall(cmap):
-        # contiguous form: <lo> <hi> <dst>; array form handled by
-        # consuming hex triplets / bracketed lists line-wise
-        for line in block.split(b"\n"):
-            hexes = _HEXPAIR_RE.findall(line)
-            if b"[" in line and len(hexes) >= 3:
-                lo = int(hexes[0], 16)
-                for j, dst in enumerate(hexes[2:]):
-                    table[lo + j] = u(dst)
-            elif len(hexes) == 3:
-                lo, hi = int(hexes[0], 16), int(hexes[1], 16)
-                base = u(hexes[2])
+        # token-stream parse (not line-wise): ranges split across lines
+        # and several ranges per line are both legal CMap layouts
+        toks: List[bytes] = []
+        for m2 in _BFTOK_RE.finditer(block):
+            toks.append(m2.group(1) if m2.group(1) is not None else m2.group(0))
+        i = 0
+        n = len(toks)
+        while i + 2 < n or (i + 2 == n and toks[-1] not in (b"[", b"]")):
+            if i + 2 >= n:
+                break
+            lo_t, hi_t, d = toks[i], toks[i + 1], toks[i + 2]
+            if lo_t in (b"[", b"]") or hi_t in (b"[", b"]"):
+                i += 1  # malformed prefix — resynchronize
+                continue
+            lo, hi = int(lo_t, 16), int(hi_t, 16)
+            if d == b"[":
+                # array destination: one string per code
+                j = i + 3
+                k = 0
+                while j < n and toks[j] != b"]":
+                    if toks[j] != b"[":
+                        table[lo + k] = u(toks[j])
+                        k += 1
+                    j += 1
+                i = j + 1
+            else:
+                base = u(d)
                 if base:
                     base_cp = ord(base[0])
-                    for j in range(hi - lo + 1):
-                        table[lo + j] = chr(base_cp + j) + base[1:]
+                    for j2 in range(hi - lo + 1):
+                        table[lo + j2] = chr(base_cp + j2) + base[1:]
+                i += 3
     return table, width
 
 
@@ -944,10 +974,40 @@ class _FontDecoder:
             except Exception:
                 continue
 
+    def _key_repr(self, v, depth: int = 0) -> str:
+        """Deterministic repr for the cache key with indirect refs
+        RESOLVED — a raw ``Ref(num, gen)`` repr would collide across
+        documents that reuse object numbering for different /Encoding
+        (or /Differences) content, silently reusing the wrong decoder.
+        Depth-capped against reference cycles; stream values key on
+        their raw bytes, not their object number."""
+        if depth > 4:
+            return "<deep>"
+        try:
+            v = self.doc.resolve(v)
+        except Exception:
+            return "<unresolvable>"
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ",".join(
+                    f"{k}:{self._key_repr(x, depth + 1)}"
+                    for k, x in sorted(v.items())
+                )
+                + "}"
+            )
+        if isinstance(v, list):
+            return "[" + ",".join(self._key_repr(x, depth + 1) for x in v) + "]"
+        if isinstance(v, StreamObj):
+            import hashlib as _hl
+
+            return "S" + _hl.md5(v.raw).hexdigest()
+        return repr(v)
+
     def _build(self, font: object):
         if not isinstance(font, dict):
             return None
-        key_src = repr(sorted((k, repr(v)) for k, v in font.items()))
+        key_src = self._key_repr(font)
         tu = font.get("ToUnicode")
         tu_bytes = b""
         if tu is not None:

@@ -232,3 +232,80 @@ def test_inline_image_skipped():
     )
     r = PdfCodec().extract(_filter_pdf(b"FlateDecode", __import__("zlib").compress(content)))
     assert r.text == "before image\nafter image"
+
+
+def test_bfrange_split_across_lines_and_multiple_per_line():
+    """bfrange bodies are a token stream, not lines: a range broken
+    across lines and two ranges on one line must both parse."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"3 beginbfrange\n"
+        b"<41>\n<43>\n<0061>\n"                      # split across lines: A-C -> a-c
+        b"<50> <51> <0070> <60> <60> [<007A>]\n"     # two ranges on one line
+        b"endbfrange\nendcmap\n"
+    )
+    table, width = _parse_tounicode(cmap)
+    assert width == 1
+    assert table[0x41] == "a" and table[0x42] == "b" and table[0x43] == "c"
+    assert table[0x50] == "p" and table[0x51] == "q"
+    assert table[0x60] == "z"
+
+
+def test_decodeparms_array_form_applies_predictor():
+    """/Filter [/FlateDecode] with /DecodeParms [<< /Predictor 12 >>]
+    (array form) must apply the PNG predictor — previously silently
+    skipped, decoding xref/content streams to garbage."""
+    from pdf_extractor_ray.codecs.pdf_codec import StreamObj
+
+    payload = bytes(range(10)) * 2  # two rows of 10 columns
+    # PNG Up predictor rows: filter byte 2 + delta vs previous row
+    rows, prev = [], bytes(10)
+    for i in range(0, 20, 10):
+        row = payload[i : i + 10]
+        rows.append(bytes([2]) + bytes((row[j] - prev[j]) & 0xFF for j in range(10)))
+        prev = row
+    compressed = zlib.compress(b"".join(rows))
+    obj = StreamObj(
+        dict={
+            "Filter": ["FlateDecode"],
+            "DecodeParms": [{"Predictor": 12, "Columns": 10}],
+            "Length": len(compressed),
+        },
+        raw=compressed,
+    )
+    resolve = lambda v: v  # noqa: E731 — no indirection in this fixture
+    assert obj.data(resolve) == payload
+
+
+def test_font_cache_key_resolves_indirect_encoding():
+    """Two documents with IDENTICAL font dicts referencing /Encoding as
+    the same object number but with DIFFERENT /Differences content must
+    NOT share a cache entry (round-1 keyed on the raw Ref repr)."""
+    from pdf_extractor_ray.codecs.pdf_codec import Ref, _FontDecoder
+
+    class _FakeDoc:
+        def __init__(self, enc):
+            self._enc = enc
+
+        def resolve(self, v):
+            if isinstance(v, Ref):
+                return self._enc
+            return v
+
+    font = {
+        "Type": "Font", "Subtype": "Type1", "BaseFont": "Helvetica",
+        "Encoding": Ref(9, 0),
+    }
+    doc_a = _FakeDoc({"Differences": [65, "bullet"]})
+    doc_b = _FakeDoc({"Differences": [65, "degree"]})
+    cache = {}
+    dec_a = _FontDecoder.__new__(_FontDecoder)
+    dec_a.doc, dec_a.cache, dec_a.fonts = doc_a, cache, {}
+    dec_b = _FontDecoder.__new__(_FontDecoder)
+    dec_b.doc, dec_b.cache, dec_b.fonts = doc_b, cache, {}
+    assert dec_a._key_repr(font) != dec_b._key_repr(font)
+    fn_a = dec_a._build(font)
+    fn_b = dec_b._build(font)
+    assert fn_a(b"A") == "•"  # bullet
+    assert fn_b(b"A") == "°"  # degree — not the cached bullet decoder
