@@ -201,56 +201,52 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int
 
 def candidate_shingles(docs_ds, cand_pairs_ds, k: int = 3):
     """(doc_id, shingles:list<uint32>) for ONLY the docs that appear in
-    candidate pairs — a distributed semi-join, no driver materialization.
+    candidate pairs.
 
-    Steps (all streaming):
-    1. pairs → distinct doc ids (tiny: ∝ candidate count)   [groupby]
-    2. docs ⋉ ids via ``hash_join`` (semi-join: empty right cols) —
-       text rows for non-candidates never move
-    3. shingle computation per batch → sorted-unique uint32 lists
+    The distinct candidate ID SET (8 bytes per candidate doc — ∝ dup
+    cluster count, never corpus-sized; the pairs are the query output
+    anyway) is broadcast once, and one streaming pass filters +
+    shingles the matching docs vectorized. Text for non-candidates
+    never moves; no text or shingles ever materialize on the driver.
     """
-    from ray.data.aggregate import Count
+    import pyarrow.compute as pc
+    import ray
 
-    from .joins import hash_join
-
-    def both_ids(batch: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays(
+    pairs_t = pa.concat_tables(
+        [ray.get(r) for r in cand_pairs_ds.to_arrow_refs()]
+    )
+    ids = np.unique(
+        np.concatenate(
             [
-                batch.column("doc_a").combine_chunks(),
-                batch.column("doc_b").combine_chunks(),
+                pairs_t.column("doc_a").to_numpy(zero_copy_only=False),
+                pairs_t.column("doc_b").to_numpy(zero_copy_only=False),
             ]
         )
-        return pa.table({"doc_id": ids})
-
-    cand_ids = (
-        cand_pairs_ds.map_batches(both_ids, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count())
-        .drop_columns(["count()"])
+        if pairs_t.num_rows
+        else np.array([], dtype=np.int64)
     )
-    cand_docs = hash_join(
-        docs_ds.select_columns(["doc_id", "text"]),
-        cand_ids,
-        "doc_id",
-        "doc_id",
-        ["doc_id", "text"],
-        [],
-        how="inner",
-    )
+    ids_ref = ray.put(ids.astype(np.int64))
 
     def shingle_batch(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(ids_ref)
+        mask = pc.is_in(
+            batch.column("doc_id"), value_set=pa.array(keep_ids, pa.int64())
+        )
+        kept = batch.filter(mask)
         out = []
-        for t in batch.column("text").to_pylist():
+        for t in kept.column("text").to_pylist():
             s = _word_shingles(t or "", k)
-            out.append(np.asarray(sorted(s), dtype=np.uint32))
+            out.append(sorted(s))
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "shingles": pa.array([a.tolist() for a in out], pa.list_(pa.uint32())),
+                "doc_id": kept.column("doc_id"),
+                "shingles": pa.array(out, pa.list_(pa.uint32())),
             }
         )
 
-    return cand_docs.map_batches(shingle_batch, batch_format="pyarrow")
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        shingle_batch, batch_format="pyarrow"
+    )
 
 
 def minhash_lsh_verified(
@@ -271,19 +267,26 @@ def minhash_lsh_verified(
     """
     from .joins import hash_join
 
-    cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, seed=seed)
-    sh_ds = candidate_shingles(docs_ds, cands, k=k)
+    # materialize the two candidate-sized intermediates: each is
+    # consumed by TWO downstream joins, and Ray Datasets re-execute
+    # their whole lineage per consumer — without this the band stage
+    # runs 4x (measured 59s vs 12s at sf0.1). Both are ∝ candidate
+    # count, never corpus-sized.
+    cands = minhash_lsh_candidates(
+        docs_ds, n_perm=n_perm, bands=bands, seed=seed
+    ).materialize()
+    sh_ds = candidate_shingles(docs_ds, cands, k=k).materialize()
 
     j1 = hash_join(
         cands, sh_ds, "doc_a", "doc_id", ["doc_a", "doc_b"], ["shingles"],
-        how="inner",
+        how="inner", num_partitions=8,  # candidate-sized join — few buckets
     ).map_batches(
         lambda b: b.rename_columns(["doc_a", "doc_b", "sh_a"]),
         batch_format="pyarrow",
     )
     j2 = hash_join(
         j1, sh_ds, "doc_b", "doc_id", ["doc_a", "doc_b", "sh_a"], ["shingles"],
-        how="inner",
+        how="inner", num_partitions=8,
     ).map_batches(
         lambda b: b.rename_columns(["doc_a", "doc_b", "sh_a", "sh_b"]),
         batch_format="pyarrow",

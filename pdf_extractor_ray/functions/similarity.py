@@ -161,9 +161,10 @@ def embedding_near_dups(
     1. multi-table hyperplane LSH buckets each vector L times; only
        (bucket_key, vec_id) pairs shuffle in the counting pass
     2. collision-first: buckets with >1 member (the small hot set) are
-       broadcast; the bucket stream is filtered down to hot rows
-    3. hot rows join back to their embeddings by vec_id (ONE
-       ``hash_join`` — embeddings ship only for hot-bucket members)
+       broadcast
+    3. a second streaming pass RECOMPUTES each vector's bucket keys
+       (one small matmul — cheaper than a join shuffle) and emits
+       (bucket_key, vec_id, embedding) only for hot-bucket memberships
     4. exact cosine verify runs IN-BUCKET: one vectorized matmul per
        bucket group, then a tiny distinct over verified pairs —
        nothing corpus-sized ever reaches the driver (round-1
@@ -180,44 +181,64 @@ def embedding_near_dups(
     Skew: bucket size is bounded by the 2^b split per table; raise
     ``n_planes`` if one bucket exceeds a worker heap.
     """
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count, Max
-
-    from .joins import hash_join
 
     if dim == 0:
         first = emb_ds.take(1)
         dim = len(first[0]["embedding"])
+    stage_kwargs = {
+        "dim": dim, "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+    }
 
     buckets = emb_ds.map_batches(
         MultiTableHyperplaneStage,
-        fn_constructor_kwargs={
-            "dim": dim, "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
-        },
+        fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).materialize()
+    )
 
     counts = buckets.groupby("bucket_key").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n > 1").select_columns(["bucket_key"]).take_all()
-    hot_keys = np.asarray(sorted(r["bucket_key"] for r in hot), dtype=np.int64)
+    hot_keys = np.sort(np.asarray([r["bucket_key"] for r in hot], dtype=np.int64))
     hot_ref = ray.put(hot_keys)
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = pc.is_in(batch.column("bucket_key"), value_set=pa.array(keys, pa.int64()))
-        return batch.filter(mask)
+    class HotMembershipStage:
+        """Second pass: recompute the L bucket keys per vector (one
+        matmul) and emit (bucket_key, vec_id, embedding) rows only for
+        hot buckets — replaces a join shuffle with cheap recompute."""
 
-    hot_rows = buckets.map_batches(only_hot, batch_format="pyarrow")
-    with_emb = hash_join(
-        hot_rows,
-        emb_ds.select_columns(["vec_id", "embedding"]),
-        "vec_id",
-        "vec_id",
-        ["bucket_key", "vec_id"],
-        ["embedding"],
-        how="inner",
+        def __init__(self) -> None:
+            self.stage = MultiTableHyperplaneStage(**stage_kwargs)
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _matrix(batch.column("embedding"))
+            empty = pa.table(
+                {"bucket_key": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], batch.column("embedding").type)}
+            )
+            if m.size == 0:
+                return empty
+            keys = self.stage.keys_for(m)  # (n, L)
+            is_hot = np.isin(keys, self.hot)
+            rows, tbls = np.nonzero(is_hot)
+            if len(rows) == 0:
+                return empty
+            taken = batch.take(pa.array(rows, pa.int64()))
+            return pa.table(
+                {
+                    "bucket_key": pa.array(keys[rows, tbls], pa.int64()),
+                    "vec_id": taken.column("vec_id"),
+                    "embedding": taken.column("embedding"),
+                }
+            )
+
+    with_emb = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        HotMembershipStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
 
     def verify_bucket(group: pa.Table) -> pa.Table:
