@@ -780,6 +780,70 @@ def _q_events_daily(sf_dir: str):
     )
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus top-25 word bigrams (token-statistics shape: per-block
+    partial counts → high-card hash groupby → deterministic top-k)."""
+    from pdf_extractor_ray.functions.text import top_ngrams
+
+    return top_ngrams(_docs(sf_dir), n=2, k=25)
+
+
+def _q_quantiles_chars(sf_dir: str):
+    """Exact distributed quantiles of document length via value-count
+    histogram partials (only (value,count) rows move)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles
+
+    def n_chars(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64())}
+        )
+
+    ds = _docs(sf_dir).map_batches(n_chars, batch_format="pyarrow")
+    return exact_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75, 0.9))
+
+
+def _q_top_doc_per_lang(sf_dir: str):
+    """Highest-quality document per language: single hash shuffle,
+    vectorized in-group argmax (score desc, doc_id asc ties)."""
+    from pdf_extractor_ray.functions.agg import argmax_per_group
+    from pdf_extractor_ray.functions.text import add_quality_score, add_text_features
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(add_text_features, batch_format="pyarrow")
+        .map_batches(add_quality_score, batch_format="pyarrow")
+        .select_columns(["lang", "doc_id", "quality_score"])
+    )
+    return argmax_per_group(ds, "lang", "quality_score", "doc_id")
+
+
+def _q_events_sessions(sf_dir: str):
+    """Session windows (gap > 1 day starts a new session per user) —
+    the sessionized-clickstream shape; vectorized in-group numpy."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=86400.0,
+                      tiebreak="event_id")
+
+
+def _q_image_phash_dups(sf_dir: str):
+    """Near-duplicate images by perceptual average-hash — multimodal
+    dedup on the shared Hamming-bucket machinery (4-band pigeonhole
+    bucketing: candidate recall 1.0 at Hamming ≤ 3). Rows-only: pixel
+    content is not SQL-derivable; planted-pair parity is pinned by
+    tests/test_multimodal.py."""
+    from pdf_extractor_ray.functions.multimodal import image_near_dups
+
+    return image_near_dups(sf_dir, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -832,6 +896,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3d": _q_events_sliding_3d,
         "asof_latest_order": _q_asof_latest_order,
         "approx_distinct_users": _q_approx_distinct_users,
+        # corpus statistics / windows / multimodal dedup (round 2)
+        "top_bigrams": _q_top_bigrams,
+        "quantiles_chars": _q_quantiles_chars,
+        "top_doc_per_lang": _q_top_doc_per_lang,
+        "events_sessions": _q_events_sessions,
+        "image_phash_dups": _q_image_phash_dups,
     }
 
 
@@ -1031,6 +1101,79 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_events_3d
             FROM d
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ),
+            u AS (
+                SELECT unnest([array_to_string(t[i:i+1], ' ')
+                               for i in range(1, len(t))]) AS ngram
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 25
+        """,
+        "quantiles_chars": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS value
+            FROM documents
+            UNION ALL SELECT CAST(0.5 AS DOUBLE),
+                   CAST(quantile_disc(length(text), 0.5) AS BIGINT) FROM documents
+            UNION ALL SELECT CAST(0.75 AS DOUBLE),
+                   CAST(quantile_disc(length(text), 0.75) AS BIGINT) FROM documents
+            UNION ALL SELECT CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(length(text), 0.9) AS BIGINT) FROM documents
+        """,
+        "top_doc_per_lang": """
+            WITH f AS (
+                SELECT doc_id, lang,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       round(least(n_tokens / 50.0, 1.0)
+                             * (1 - punct_ratio)
+                             * (0.5 + 0.5 * least(4 * stopword_ratio, 1.0)), 6)
+                           AS quality_score
+                FROM f
+            )
+            SELECT lang, doc_id, quality_score FROM (
+                SELECT lang, doc_id, quality_score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY quality_score DESC, doc_id) AS rn
+                FROM s
+            ) WHERE rn = 1
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) + 1
+                            AS BIGINT) AS session_id
+                FROM o
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
         """,
         "asof_latest_order": """
             SELECT event_id, user_id, o_orderkey FROM (

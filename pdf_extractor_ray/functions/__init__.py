@@ -3,7 +3,9 @@ from .text import (  # noqa: F401
     add_text_features,
     count_bpe_tokens,
     detect_language,
+    top_ngrams,
 )
+from .window import sessionize  # noqa: F401
 from .dedup import (  # noqa: F401
     add_exact_hash,
     bucket_collision_pairs,
@@ -22,11 +24,12 @@ from .similarity import (  # noqa: F401
     embedding_near_dups_allpairs,
     ivf_topk,
 )
-from .agg import lowcard_groupby_agg  # noqa: F401
+from .agg import argmax_per_group, exact_quantiles, lowcard_groupby_agg  # noqa: F401
 from .merge import merge_sources, merge_tagged  # noqa: F401
 from .multimodal import (  # noqa: F401
     audio_features,
     image_features,
+    image_near_dups,
     media_dataset,
     media_meta_stats,
     video_frames,

@@ -136,3 +136,60 @@ def lowcard_groupby_agg(
                 out[alias] = t.column(alias)
         t = pa.table(out)
     return t
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
+    """EXACT distributed quantiles for a discrete-valued column via a
+    value-count histogram.
+
+    Per-block ``(value, count)`` partials are the only payload that
+    moves (∝ distinct values per block, not rows); the driver folds the
+    distinct-value-sized histogram and reads each quantile off the
+    cumulative counts. Contract: ``distinct(col)`` is bounded (lengths,
+    sizes, small-int measures) — enforced by ``lowcard_groupby_agg``'s
+    partial-row cap underneath.
+
+    Quantile definition matches SQL ``quantile_disc``: the smallest
+    value v whose cumulative count ≥ ``ceil(q · n)``.
+    """
+    import math
+
+    import numpy as np
+
+    hist = lowcard_groupby_agg(ds, [col], [(col, "count", "n")])
+    vals = np.asarray(hist.column(col).to_pylist())
+    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(vals[idx])
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v),
+        }
+    )
+
+
+def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
+    """One row per key: the row with the LARGEST score (ties broken by
+    the smallest tiebreak value — deterministic).
+
+    Single hash shuffle (groupby key); the in-group pick is one numpy
+    lexsort, no per-row Python.
+    """
+    import numpy as np
+
+    def pick(group: pa.Table) -> pa.Table:
+        s = np.asarray(group.column(score_col).to_pylist(), dtype=np.float64)
+        t = np.asarray(group.column(tiebreak_col).to_pylist())
+        best = np.lexsort((t, -s))[0]
+        return group.slice(int(best), 1)
+
+    return ds.groupby(key).map_groups(pick, batch_format="pyarrow")

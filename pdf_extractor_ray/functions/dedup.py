@@ -427,10 +427,10 @@ def latest_by_key(ds, key: str, ts_col: str, tiebreak: str):
     """
 
     def take_latest(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).to_pylist()
-        tb = group.column(tiebreak).to_pylist()
-        best = max(range(len(ts)), key=lambda i: (ts[i], tb[i]))
-        return group.slice(best, 1)
+        ts = np.asarray(group.column(ts_col).to_pylist())
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        best = np.lexsort((tb, ts))[-1]  # max (ts, tiebreak), vectorized
+        return group.slice(int(best), 1)
 
     return ds.groupby(key).map_groups(take_latest, batch_format="pyarrow")
 
@@ -481,31 +481,48 @@ class SimHashStage:
         )
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3):
-    """Near-dup pairs by simhash: bucket groupby → in-bucket Hamming."""
+def hamming_bucket_pairs(sig_ds, max_hamming: int = 3, id_col: str = "doc_id",
+                         out_a: str = "doc_a", out_b: str = "doc_b"):
+    """(id, simhash:int64, bucket) stream → pairs with Hamming distance
+    ≤ ``max_hamming`` among same-bucket signatures.
+
+    Shared by text SimHash and image perceptual-hash dedup: the bucket
+    groupby is the single shuffle (16-bit signature prefix → ≤65k
+    buckets), in-bucket comparison is vectorized XOR+popcount over the
+    bucket's signature vector.
+    """
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sigs = group.column("simhash").to_pylist()
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        sigs = np.asarray(group.column("simhash").to_pylist(), dtype=np.uint64)
         order = np.argsort(ids)
-        a_out, b_out, dist = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                x, y = order[i], order[j]
-                d = bin(sigs[x] ^ sigs[y]).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    dist.append(d)
+        ids, sigs = ids[order], sigs[order]
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {out_a: pa.array([], pa.int64()),
+                 out_b: pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int32())}
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        x = sigs[ia] ^ sigs[ib]
+        # vectorized popcount: 8 unpacked bytes per uint64
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = d <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(dist, pa.int32()),
+                out_a: pa.array(ids[ia[keep]], pa.int64()),
+                out_b: pa.array(ids[ib[keep]], pa.int64()),
+                "hamming": pa.array(d[keep].astype(np.int32), pa.int32()),
             }
         )
 
-    return (
-        docs_ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    return sig_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3):
+    """Near-dup pairs by simhash: bucket groupby → in-bucket Hamming."""
+    sigs = docs_ds.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
     )
+    return hamming_bucket_pairs(sigs, max_hamming=max_hamming)

@@ -68,12 +68,29 @@ def _geometry(media_id: int) -> Tuple[str, dict]:
     return kind, {"width": 16, "height": 12, "channels": 3, "n_frames": 4 + media_id % 13}
 
 
+def _image_pixels(media_id: int, n: int) -> np.ndarray:
+    """Image pixel content — with PLANTED near-duplicates: images whose
+    id sits in an odd 240-block at offset ≡ 0 (mod 15) reuse the pixels
+    of the image 240 ids earlier (identical geometry: 240 ≡ 0 mod the
+    8/5/3 geometry moduli) with ~0.5% of bytes perturbed — the
+    re-encoded-thumbnail case image near-dup detection exists for."""
+    blk, off = media_id // 240, media_id % 240
+    if blk % 2 == 1 and off % 15 == 0:
+        px = _rng_bytes(media_id - 240, n).copy()
+        noise = np.random.default_rng(media_id ^ 0xA5A5).integers(
+            0, n, size=max(1, n // 200)
+        )
+        px[noise] ^= 0x80
+        return px
+    return _rng_bytes(media_id, n)
+
+
 def _build_payload(media_id: int) -> Tuple[str, bytes, dict]:
     kind, g = _geometry(media_id)
     if kind == "image":
         n = g["width"] * g["height"] * g["channels"]
         head = b"IMGR" + struct.pack("<HHB", g["width"], g["height"], g["channels"])
-        return kind, head + _rng_bytes(media_id, n).tobytes(), g
+        return kind, head + _image_pixels(media_id, n).tobytes(), g
     if kind == "audio":
         head = b"AUDR" + struct.pack("<II", g["sample_rate"], g["n_samples"])
         pcm = (_rng_bytes(media_id, g["n_samples"] * 2).view(np.int16)).tobytes()
@@ -350,4 +367,74 @@ def media_meta_stats(sf_dir: str):
             ("payload_bytes", "count", "n_media"),
             ("payload_bytes", "sum", "total_bytes"),
         ],
+    )
+
+
+# ------------------------------------------------------- image near-dup
+def average_hash(img: np.ndarray) -> int:
+    """64-bit perceptual average-hash: grayscale → 8×8 sample grid →
+    bit = sample > grid mean. Robust to small pixel perturbations;
+    Hamming distance between hashes ≈ visual difference."""
+    g = img.astype(np.float64).mean(axis=2)
+    ys = np.linspace(0, g.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, g.shape[1] - 1, 8).astype(int)
+    s = g[np.ix_(ys, xs)]
+    bits = (s > s.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class ImagePhashStage:
+    """image batch → 4 banded signature rows per image:
+    (media_id, simhash, bucket) with ``bucket = band_idx·2^16 + band``.
+
+    Four disjoint 16-bit bands give a PIGEONHOLE GUARANTEE: any pair
+    within Hamming ≤ 3 shares at least one intact band, so candidate
+    recall is 1.0 at the default threshold — no probabilistic miss.
+    Only (id, sig, bucket) rows shuffle; pixels stay in their block.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, sigs_out, buckets = [], [], []
+        for media_id, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            sig = average_hash(decode_image(payload)) & 0x7FFFFFFFFFFFFFFF
+            for band in range(4):
+                ids_out.append(media_id)
+                sigs_out.append(sig)
+                buckets.append((band << 16) | ((sig >> (band * 16)) & 0xFFFF))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "simhash": pa.array(sigs_out, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+
+def image_near_dups(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate image pairs by perceptual hash — multimodal dedup
+    on the same Hamming-bucket machinery as text SimHash
+    (functions/dedup.hamming_bucket_pairs); a final distinct folds
+    pairs that collide in several bands."""
+    from ray.data.aggregate import Min
+
+    from .dedup import hamming_bucket_pairs
+
+    images = media_dataset(sf_dir).filter(expr="kind == 'image'")
+    sigs = images.map_batches(
+        ImagePhashStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    pairs = hamming_bucket_pairs(
+        sigs, max_hamming=max_hamming,
+        id_col="media_id", out_a="media_a", out_b="media_b",
+    )
+    out = pairs.groupby(["media_a", "media_b"]).aggregate(Min("hamming"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["media_a", "media_b", "hamming"]),
+        batch_format="pyarrow",
     )

@@ -162,3 +162,41 @@ def detect_language(batch: pa.Table) -> pa.Table:
                 best, best_score = lang, score
         langs.append(best)
     return batch.append_column("detected_lang", pa.array(langs, pa.string()))
+
+
+def top_ngrams(docs_ds, n: int = 2, k: int = 25, text_col: str = "text"):
+    """Corpus-wide top-k word n-grams by occurrence count.
+
+    Plan (the canonical web-scale token-statistics shape):
+    1. per-block partial counts (Counter per batch — only the block's
+       DISTINCT (ngram, count) pairs leave the task, never token
+       streams)
+    2. native hash-shuffle ``groupby(ngram)`` sum — the key space is
+       unbounded, so this is the high-cardinality tool by contract
+       (see functions/agg.py docstring)
+    3. ``sort(count desc, ngram asc).limit(k)`` — deterministic ties.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(c.keys()), pa.string()),
+                "n_partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)

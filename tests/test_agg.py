@@ -82,3 +82,68 @@ def test_lowcard_contract_high_cardinality_raises(ray_session):
     }))
     with pytest.raises(ValueError, match="cardinality"):
         lowcard_groupby_agg(ds, ["key"], [("v", "sum", "s")], max_partial_rows=1000)
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 50, size=2000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    t = exact_quantiles(ds, "v", qs=(0.25, 0.5, 0.9)).to_pandas()
+    s = np.sort(vals)
+    import math
+    for _, row in t.iterrows():
+        want = s[max(1, math.ceil(row["q"] * len(s))) - 1]
+        assert row["value"] == want
+
+
+def test_argmax_per_group_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import argmax_per_group
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "score": pa.array([1.0, 2.0, 2.0, 5.0], pa.float64()),
+        "id": pa.array([30, 20, 10, 1], pa.int64()),
+    }))
+    df = argmax_per_group(ds, "k", "score", "id").to_pandas().sort_values("k")
+    # 'a': max score 2.0 tie between ids 20 and 10 -> smallest id wins
+    assert df[df.k == "a"]["id"].iloc[0] == 10
+    assert df[df.k == "b"]["id"].iloc[0] == 1
+
+
+def test_sessionize_semantics(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import sessionize
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    # user 1: events at 0h,1h, then a 30h gap, then 31h,32h -> 2 sessions
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([ts(0), ts(1), ts(31), ts(32), ts(5)], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    df = (
+        sessionize(ds, gap_seconds=86400.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert df["n_events"].tolist() == [2, 2, 1]
+    assert df["session_id"].tolist() == [1, 2, 1]
+    assert df.loc[0, "session_start"] == ts(0)
+    assert df.loc[0, "session_end"] == ts(1)
+    assert df.loc[1, "session_start"] == ts(31)

@@ -163,3 +163,18 @@ def test_embedding_near_dups_lsh_matches_allpairs(ray_session, sf_dir):
     key = lambda df: sorted(zip(df["vec_a"], df["vec_b"]))  # noqa: E731
     assert key(lsh) == key(exact)
     assert len(exact) > 0
+
+
+def test_top_ngrams_matches_counter(ray_session, docs):
+    from collections import Counter
+
+    from pdf_extractor_ray.functions.text import top_ngrams
+
+    got = top_ngrams(docs, n=2, k=10).to_pandas()
+    c = Counter()
+    for r in docs.select_columns(["text"]).take_all():
+        toks = (r["text"] or "").split()
+        for i in range(len(toks) - 1):
+            c[" ".join(toks[i : i + 2])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["ngram"], got["n"])) == want

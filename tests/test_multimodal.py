@@ -99,3 +99,36 @@ def test_media_pipeline_end_to_end(ray_session, sf_dir):
     vf = video_frames(sf_dir, stride=4).to_pandas()
     assert (vf["frame_idx"] % 4 == 0).all()
     assert vf["media_id"].nunique() > 0
+
+
+def test_image_phash_finds_planted_near_dups(ray_session, sf_dir):
+    """The synthesizer plants near-dup images ((i, i+240) for i % 15 == 0
+    with ~0.5% pixel noise); perceptual-hash dedup must find exactly
+    those pairs — no false positives among the ~14k random pairs."""
+    from pdf_extractor_ray.functions.multimodal import image_near_dups
+
+    found = image_near_dups(sf_dir, max_hamming=3).to_pandas()
+    got = set(zip(found["media_a"], found["media_b"]))
+    want = {(i, i + 240) for i in range(0, 240, 15) if (i + 240) < 500}
+    assert got == want
+    assert (found["hamming"] <= 3).all()
+
+
+def test_average_hash_stability():
+    """average_hash is deterministic and robust to sub-1% perturbation,
+    while distinct random images stay far apart."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.multimodal import average_hash
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    h1 = average_hash(img)
+    assert h1 == average_hash(img.copy())
+    noisy = img.copy()
+    idx = rng.integers(0, noisy.size, size=noisy.size // 200)
+    noisy.ravel()[idx] ^= 0x80
+    d_noise = bin(h1 ^ average_hash(noisy)).count("1")
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    d_other = bin(h1 ^ average_hash(other)).count("1")
+    assert d_noise <= 3 < d_other
