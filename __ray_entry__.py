@@ -844,6 +844,48 @@ def _q_image_phash_dups(sf_dir: str):
     return image_near_dups(sf_dir, max_hamming=3)
 
 
+def _q_token_df(sf_dir: str):
+    """Top-25 tokens by document frequency (per-doc distinct → partial
+    counts → high-card groupby) — the IDF building block."""
+    from pdf_extractor_ray.functions.text import token_df
+
+    return token_df(_docs(sf_dir), k=25)
+
+
+def _q_events_props_stats(sf_dir: str):
+    """Semi-structured payload parse: the JSON ``props`` column's ``k``
+    field extracted VECTORIZED (pc.extract_regex — no per-row json
+    loads) and aggregated per event_type."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+            }
+        )
+
+    return lowcard_groupby_agg(
+        ds.map_batches(parse, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            ("k", "count", "n_events"),
+            ("k", "sum", "sum_k"),
+            ("k", "min", "min_k"),
+            ("k", "max", "max_k"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -902,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_per_lang": _q_top_doc_per_lang,
         "events_sessions": _q_events_sessions,
         "image_phash_dups": _q_image_phash_dups,
+        "token_df": _q_token_df,
+        "events_props_stats": _q_events_props_stats,
     }
 
 
@@ -1174,6 +1218,29 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "token_df": """
+            WITH toks AS (
+                SELECT list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ),
+            u AS (SELECT unnest(t) AS token FROM toks)
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM u GROUP BY token
+            ORDER BY df DESC, token LIMIT 25
+        """,
+        "events_props_stats": """
+            WITH p AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM p GROUP BY event_type
         """,
         "asof_latest_order": """
             SELECT event_id, user_id, o_orderkey FROM (

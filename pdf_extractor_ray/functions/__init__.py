@@ -3,6 +3,7 @@ from .text import (  # noqa: F401
     add_text_features,
     count_bpe_tokens,
     detect_language,
+    token_df,
     top_ngrams,
 )
 from .window import sessionize  # noqa: F401

@@ -200,3 +200,34 @@ def top_ngrams(docs_ds, n: int = 2, k: int = 25, text_col: str = "text"):
         .aggregate(Sum("n_partial", alias_name="n"))
     )
     return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def token_df(docs_ds, k: int = 25, text_col: str = "text"):
+    """Top-k tokens by DOCUMENT FREQUENCY (the IDF building block).
+
+    Same partial-count plan as ``top_ngrams``, but each block
+    contributes each token at most once PER DOCUMENT (per-doc distinct
+    before counting) — only the block's (token, df) pairs shuffle.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(set((t or "").split()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df_partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+    return counts.sort(["df", "token"], descending=[True, False]).limit(k)

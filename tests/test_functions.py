@@ -178,3 +178,17 @@ def test_top_ngrams_matches_counter(ray_session, docs):
             c[" ".join(toks[i : i + 2])] += 1
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["ngram"], got["n"])) == want
+
+
+def test_token_df_counts_docs_not_occurrences(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import token_df
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a a a b", "a c", "c c d"], pa.string()),
+    }))
+    df = token_df(ds, k=10).to_pandas()
+    got = dict(zip(df["token"], df["df"]))
+    assert got == {"a": 2, "c": 2, "b": 1, "d": 1}
