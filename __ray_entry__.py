@@ -886,6 +886,114 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_customers_no_orders(sf_dir: str):
+    """Distributed ANTI-join: customers with no big-ticket order
+    (o_totalprice > 400k). Single hash shuffle; the orders side ships
+    only ``o_custkey`` (the membership set), never order rows — the
+    scale-safe shape for 'skip already-processed keys' filters at
+    100 TB."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000")
+    return semi_anti_join(
+        cust, orders, "c_custkey", "o_custkey",
+        ["c_custkey", "c_name", "c_acctbal"], how="anti",
+    )
+
+
+def _q_urgent_customer_segments(sf_dir: str):
+    """SEMI-join + aggregate: market-segment counts over customers with
+    at least one URGENT order. The semi-join keeps left rows without
+    duplicating them (unlike an inner join), then a low-card aggregate."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    kept = semi_anti_join(
+        cust, urgent, "c_custkey", "o_custkey",
+        ["c_custkey", "c_mktsegment"], how="semi",
+    )
+    return lowcard_groupby_agg(
+        kept, ["c_mktsegment"], [("c_custkey", "count", "n_customers")]
+    )
+
+
+def _q_event_gap_stats(sf_dir: str):
+    """LAG window reduced per user: count / sum / max of the gaps
+    between consecutive events, in exact int64 microseconds."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import lag_gap_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return lag_gap_stats(ds, key="user_id", ts_col="ts", tiebreak="event_id")
+
+
+def _q_top_suppliers_per_nation(sf_dir: str):
+    """Grouped top-k with rank (row_number PARTITION BY): top-3
+    suppliers by account balance per nation; nation names attached via
+    a broadcast lookup (nation is constant-size at every SF)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import topk_per_group
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    top = topk_per_group(sup, "s_nationkey", "s_acctbal", "s_suppkey", k=3)
+    nat = pa.Table.from_pandas(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+    )
+    keys = nat.column("n_nationkey").cast(pa.int32()).combine_chunks()
+    names = nat.column("n_name").combine_chunks()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("s_nationkey").cast(pa.int32()), value_set=keys)
+        return pa.table(
+            {
+                "n_name": names.take(idx),
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_acctbal": batch.column("s_acctbal"),
+                "rk": batch.column("rk"),
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def _q_sample_docs(sf_dir: str):
+    """Deterministic 1/8 hash sample of documents (md5 first hex digit
+    < '2') — reproducible across runs/retries and consistent across
+    tables, with the filter pushed right after the scan."""
+    from pdf_extractor_ray.functions.sample import hash_sample
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return hash_sample(ds, "doc_id", keep=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -946,6 +1054,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dups": _q_image_phash_dups,
         "token_df": _q_token_df,
         "events_props_stats": _q_events_props_stats,
+        "customers_no_orders": _q_customers_no_orders,
+        "urgent_customer_segments": _q_urgent_customer_segments,
+        "event_gap_stats": _q_event_gap_stats,
+        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
+        "sample_docs": _q_sample_docs,
     }
 
 
@@ -1253,5 +1366,54 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o
                   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
+        """,
+        "urgent_customer_segments": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "top_suppliers_per_nation": """
+            SELECT n_name, s_suppkey, s_acctbal, rk FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                       CAST(row_number() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey
+                       ) AS BIGINT) AS rk
+                FROM supplier
+            ) t JOIN nation ON t.s_nationkey = nation.n_nationkey
+            WHERE rk <= 3
+        """,
+        "sample_docs": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
         """,
     }

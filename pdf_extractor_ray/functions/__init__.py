@@ -6,7 +6,8 @@ from .text import (  # noqa: F401
     token_df,
     top_ngrams,
 )
-from .window import sessionize  # noqa: F401
+from .window import lag_gap_stats, sessionize, topk_per_group  # noqa: F401
+from .sample import hash_sample  # noqa: F401
 from .dedup import (  # noqa: F401
     add_exact_hash,
     bucket_collision_pairs,
@@ -18,7 +19,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from .joins import asof_join, hash_join  # noqa: F401
+from .joins import asof_join, hash_join, semi_anti_join  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_topk,
     embedding_near_dups,

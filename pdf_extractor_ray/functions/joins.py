@@ -173,6 +173,94 @@ def _bucket_of(col: pa.ChunkedArray, n: int) -> pa.Array:
     )
 
 
+def semi_anti_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    how: str = "semi",
+    num_partitions: int = 32,
+):
+    """Hash-partitioned semi / anti join: keep left rows whose key IS
+    (``semi``) / IS NOT (``anti``) present in the right side.
+
+    Same single-shuffle plan as :func:`hash_join`, but the right side
+    ships ONLY its key column (the membership set), so the shuffled
+    payload is minimal — at 100 TB the right side of an anti-join
+    (e.g. "already-processed doc_ids") moves as bare keys, never rows.
+    Inside a bucket membership is one vectorized ``pc.is_in``. SQL
+    semantics: a null left key matches nothing (kept by ``anti``,
+    dropped by ``semi``) and null right keys are ignored.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    left_cols = list(left_cols)
+
+    l_schema = left_ds.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    key_type = l_types[left_key]
+
+    fields = [
+        pa.field("__part", pa.int32()),
+        pa.field("__side", pa.int8()),
+        pa.field("__jk", key_type),
+    ]
+    fields += [pa.field(f"l_{c}", l_types[c]) for c in left_cols]
+    schema = pa.schema(fields)
+
+    def to_common(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            jk = batch.column(key_col).cast(key_type)
+            arrays = {
+                "__part": _bucket_of(jk, num_partitions),
+                "__side": pa.array([side] * n, pa.int8()),
+                "__jk": jk,
+            }
+            for f in schema:
+                if f.name.startswith("l_"):
+                    c = f.name[2:]
+                    arrays[f.name] = (
+                        batch.column(c) if side == 0 else pa.nulls(n, f.type)
+                    )
+            return pa.table(arrays, schema=schema)
+
+        return fn
+
+    both = left_ds.map_batches(to_common(0, left_key), batch_format="pyarrow").union(
+        right_ds.select_columns([right_key]).map_batches(
+            to_common(1, right_key), batch_format="pyarrow"
+        )
+    )
+
+    out_schema = pa.schema([pa.field(c, l_types[c]) for c in left_cols])
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        lefts = group.filter(pc.equal(side, 0))
+        if lefts.num_rows == 0:
+            return out_schema.empty_table()
+        rights = group.filter(pc.equal(side, 1))
+        l_keys = lefts.column("__jk").combine_chunks()
+        r_keys = rights.column("__jk").combine_chunks().drop_null()
+        if len(r_keys) == 0:
+            present = pa.array([False] * lefts.num_rows)
+        else:
+            present = pc.fill_null(pc.is_in(l_keys, value_set=r_keys), False)
+            # null left key never matches
+            present = pc.and_(present, pc.is_valid(l_keys))
+        keep = present if how == "semi" else pc.invert(present)
+        kept = lefts.filter(keep)
+        return pa.table(
+            {c: kept.column(f"l_{c}") for c in left_cols}, schema=out_schema
+        )
+
+    return both.groupby("__part").map_groups(filter_bucket, batch_format="pyarrow")
+
+
 def hash_join(
     left_ds,
     right_ds,

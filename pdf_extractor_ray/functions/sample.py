@@ -1,0 +1,45 @@
+"""Deterministic hash-based sampling.
+
+At 100 TB you never sample with a RNG: a hash-of-key predicate gives a
+sample that is (a) reproducible across runs and retries (a re-executed
+task keeps the same rows — required for resumable pipelines), (b)
+consistent across tables (sampling documents and their embeddings by
+the same key keeps them aligned), and (c) pushable to the read — the
+filter runs inside ``map_batches`` right after the scan, so non-sample
+rows never leave the first stage.
+
+The predicate is the first hex digit of ``md5(str(key))``: uniform,
+process-stable, and expressible in ANSI SQL (``substr(md5(..),1,1)``)
+so the sample is oracle-checkable. md5 here is a partitioner, not
+security. The reference has no sampling (single-document CLI); this is
+engine-side infrastructure for corpus-scale work.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+_HEX = "0123456789abcdef"
+
+
+def hash_sample(ds, col: str, keep: int = 2, out_of: int = 16):
+    """Keep rows whose ``md5(str(row[col]))`` first hex digit is one of
+    the first ``keep`` of ``out_of`` (must be 16) — a keep/16 sample,
+    deterministic in the key value alone."""
+    if out_of != 16 or not (0 < keep <= 16):
+        raise ValueError("hash_sample: out_of must be 16 and 0 < keep <= 16")
+    allowed = frozenset(_HEX[:keep])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        mask = pa.array(
+            [
+                v is not None
+                and hashlib.md5(str(v).encode()).hexdigest()[0] in allowed
+                for v in vals
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -58,3 +58,77 @@ def sessionize(
         )
 
     return events_ds.groupby(key).map_groups(sess, batch_format="pyarrow")
+
+
+def lag_gap_stats(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """Per-key LAG-window aggregate: gaps between consecutive events
+    (ordered by ``ts_col`` then ``tiebreak``) reduced to one row per
+    key — ``n_gaps``, ``sum_gap_us``, ``max_gap_us``. Gaps stay whole
+    int64 microseconds so results are exact (no float drift vs a SQL
+    oracle). Same single-shuffle plan as :func:`sessionize`; in-group
+    work is lexsort + diff, no per-event Python. Keys with a single
+    event produce no row (no gap exists — matches SQL ``LAG`` +
+    ``WHERE gap IS NOT NULL``)."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    key: group.column(key).slice(0, 0),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts))
+        d = np.diff(ts[order])
+        return pa.table(
+            {
+                key: group.column(key).slice(0, 1),
+                "n_gaps": pa.array([len(d)], pa.int64()),
+                "sum_gap_us": pa.array([int(d.sum())], pa.int64()),
+                "max_gap_us": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby(key).map_groups(gaps, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds,
+    key: str,
+    score_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    descending: bool = True,
+):
+    """Grouped top-k with rank — ``row_number() OVER (PARTITION BY key
+    ORDER BY score DESC, tiebreak) <= k``. One hash shuffle; in-group
+    lexsort + head. Output: all input columns plus int64 ``rk``
+    (1-based). Scale: only k rows per key survive the group task, so
+    the output is tiny regardless of input size; a hot key costs one
+    in-group sort, not a global one."""
+
+    def top(group: pa.Table) -> pa.Table:
+        score = np.asarray(group.column(score_col).to_pylist())
+        tb = np.asarray(group.column(tiebreak_col).to_pylist())
+        order = np.lexsort((tb, -score if descending else score))
+        head = order[:k]
+        out = group.take(pa.array(head, pa.int64()))
+        return out.append_column(
+            "rk", pa.array(np.arange(1, len(head) + 1), pa.int64())
+        )
+
+    return ds.groupby(key).map_groups(top, batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""Semi/anti join, lag-gap window, grouped top-k, hash sampling."""
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _cust(ray):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, None], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d", "e"]),
+    }))
+
+
+def _orders(ray):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 3, None], pa.int64()),
+    }))
+
+
+def test_semi_join_keeps_matching_without_duplicating(ray_session):
+    import ray
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    out = semi_anti_join(
+        _cust(ray), _orders(ray), "c_custkey", "o_custkey",
+        ["c_custkey", "c_name"], how="semi", num_partitions=4,
+    ).to_pandas().sort_values("c_name").reset_index(drop=True)
+    # custkey 1 has TWO orders but appears ONCE (semi, not inner)
+    assert list(out["c_name"]) == ["a", "c"]
+
+
+def test_anti_join_null_semantics(ray_session):
+    import ray
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    out = semi_anti_join(
+        _cust(ray), _orders(ray), "c_custkey", "o_custkey",
+        ["c_custkey", "c_name"], how="anti", num_partitions=4,
+    ).to_pandas().sort_values("c_name").reset_index(drop=True)
+    # NOT EXISTS semantics: null left key never matches → kept by anti;
+    # null right keys are ignored (don't match everything)
+    assert list(out["c_name"]) == ["b", "d", "e"]
+
+
+def test_semi_anti_join_bad_how():
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    with pytest.raises(ValueError):
+        semi_anti_join(None, None, "k", "k", ["k"], how="full")
+
+
+def test_lag_gap_stats(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import lag_gap_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(
+            [_ts(3), _ts(1), _ts(2), _ts(5), _ts(9)], pa.timestamp("us")
+        ),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    }))
+    out = (
+        lag_gap_stats(ds, key="user_id", ts_col="ts", tiebreak="event_id")
+        .to_pandas().set_index("user_id")
+    )
+    day_us = 86_400 * 1_000_000
+    # user 1: events sorted day1,2,3 → gaps [1d, 1d]
+    assert out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "sum_gap_us"] == 2 * day_us
+    assert out.loc[1, "max_gap_us"] == day_us
+    # single-event users produce no row (LAG is null)
+    assert 2 not in out.index and 3 not in out.index
+
+
+def test_topk_per_group_rank_and_ties(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import topk_per_group
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "score": pa.array([5.0, 9.0, 9.0, 1.0, 3.0]),
+        "id": pa.array([4, 3, 2, 1, 7], pa.int64()),
+    }))
+    out = (
+        topk_per_group(ds, "g", "score", "id", k=2)
+        .to_pandas().sort_values(["g", "rk"]).reset_index(drop=True)
+    )
+    # group 1: score 9 tie broken by smaller id first
+    assert list(out[out["g"] == 1]["id"]) == [2, 3]
+    assert list(out[out["g"] == 1]["rk"]) == [1, 2]
+    # group 2 has fewer than k rows — all kept
+    assert list(out[out["g"] == 2]["id"]) == [7]
+
+
+def test_hash_sample_deterministic_and_matches_md5(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import hash_sample
+
+    ids = list(range(1000))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    kept = sorted(hash_sample(ds, "doc_id", keep=2).to_pandas()["doc_id"])
+    expect = [
+        i for i in ids
+        if hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1")
+    ]
+    assert kept == expect
+    # ~1/8 rate, deterministic re-run identical
+    assert 60 < len(kept) < 190
+    kept2 = sorted(hash_sample(ds, "doc_id", keep=2).to_pandas()["doc_id"])
+    assert kept == kept2
+
+
+def test_hash_sample_validates():
+    from pdf_extractor_ray.functions.sample import hash_sample
+
+    with pytest.raises(ValueError):
+        hash_sample(None, "x", keep=0)
+    with pytest.raises(ValueError):
+        hash_sample(None, "x", keep=4, out_of=8)
