@@ -886,6 +886,32 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Per-event-type HLL approx distinct users — GROUPED sketch
+    aggregation: one 4 KiB register array per (block, type) moves,
+    never user ids. Rows-only (approximate by design); accuracy vs
+    exact is pinned by tests/test_joins_sketch.py (±2% at p=12)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct_by(ds, "event_type", "user_id", p=12)
+
+
+def _q_winnow_fingerprint_dups(sf_dir: str):
+    """Document fingerprinting by winnowing (rolling-hash k-grams,
+    Schleimer et al. 2003): near-dup pairs sharing ≥3 selected
+    fingerprints. Rows-only: fingerprint selection is not
+    SQL-expressible; parity vs exact n-gram Jaccard (recall 0.96,
+    precision 1.00 at sf0.01) is pinned by tests/test_fingerprint.py."""
+    from pdf_extractor_ray.functions.fingerprint import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs(sf_dir))
+
+
 def _q_customers_no_orders(sf_dir: str):
     """Distributed ANTI-join: customers with no big-ticket order
     (o_totalprice > 400k). Single hash shuffle; the orders side ships
@@ -1059,6 +1085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": _q_event_gap_stats,
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "sample_docs": _q_sample_docs,
+        "winnow_fingerprint_dups": _q_winnow_fingerprint_dups,
+        "approx_users_by_type": _q_approx_users_by_type,
     }
 
 

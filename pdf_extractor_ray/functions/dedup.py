@@ -129,6 +129,9 @@ def bucket_collision_pairs(
     id_col: str = "doc_id",
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    min_count: int = 1,
+    count_col: str | None = None,
+    max_bucket: int | None = None,
 ):
     """(bucket_key, id) stream → distinct candidate pairs (a < b).
 
@@ -147,13 +150,21 @@ def bucket_collision_pairs(
     The hot-key broadcast is proportional to the near-dup cluster
     count, not the corpus. ``bucket_ds`` should be materialized by the
     caller if producing it is expensive (it is consumed twice).
+
+    ``min_count`` keeps only pairs colliding in ≥ that many buckets
+    (fingerprint-overlap semantics); ``count_col`` additionally emits
+    the collision count under that name. ``max_bucket`` drops buckets
+    larger than that size entirely — keys so common (boilerplate
+    fingerprints, stop-phrases) they are non-discriminative AND would
+    cost O(size²) pairs; the winnowing literature's standard guard.
     """
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 
     counts = bucket_ds.groupby(key_col).aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n > 1").select_columns([key_col]).take_all()
+    hot_expr = "n > 1" if max_bucket is None else f"n > 1 and n <= {max_bucket}"
+    hot = counts.filter(expr=hot_expr).select_columns([key_col]).take_all()
     hot_keys = np.asarray(sorted(r[key_col] for r in hot), dtype=np.int64)
     hot_ref = ray.put(hot_keys)
 
@@ -177,7 +188,21 @@ def bucket_collision_pairs(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # distinct pairs (a pair can collide in several buckets)
-    return pairs.groupby([out_a, out_b]).aggregate(Count()).drop_columns(["count()"])
+    counted = pairs.groupby([out_a, out_b]).aggregate(Count(alias_name="__n"))
+    if min_count > 1:
+        counted = counted.filter(expr=f"__n >= {min_count}")
+    if count_col is not None:
+        import pyarrow.compute as pc2
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.column_names.index("__n"),
+                count_col,
+                pc2.cast(batch.column("__n"), pa.int64()),
+            )
+
+        return counted.map_batches(rename, batch_format="pyarrow")
+    return counted.drop_columns(["__n"])
 
 
 def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42):

@@ -78,3 +78,59 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
         for blob in t.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return round(_estimate(merged, p))
+
+
+def approx_distinct_by(ds, group_col: str, col: str, p: int = 12):
+    """Per-group HLL distinct estimate — ``approx_count_distinct(col)
+    GROUP BY group_col`` without shuffling the values.
+
+    Shape: per block, ONE register array per group present in the
+    block (a low-cardinality contract on ``group_col``, same as
+    ``lowcard_groupby_agg`` — enforced loudly); only (group, 2^p-byte
+    registers) rows leave the map stage, so the reduce is tiny and
+    independent of row count. Returns a pa.Table
+    (group_col, approx_distinct:int64) sorted by group.
+    """
+    import ray
+
+    max_groups = 1024
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+        hashes = _hash64(vals)
+        uniq = sorted(set(groups))
+        if len(uniq) > max_groups:
+            raise ValueError(
+                f"approx_distinct_by: {len(uniq)} groups in one block "
+                f"(> {max_groups}) — group_col is not low-cardinality; "
+                "use an exact shuffle-based distinct instead"
+            )
+        garr = np.asarray(groups)
+        out_g, out_r = [], []
+        for g in uniq:
+            out_g.append(g)
+            out_r.append(_registers(hashes[garr == g], p).tobytes())
+        return pa.table(
+            {group_col: pa.array(out_g), "regs": pa.array(out_r, pa.binary())}
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    merged: dict = {}
+    for t in parts:
+        for g, blob in zip(t.column(group_col).to_pylist(),
+                           t.column("regs").to_pylist()):
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            merged[g] = np.maximum(merged[g], regs) if g in merged else regs
+    keys = sorted(merged)
+    return pa.table(
+        {
+            group_col: pa.array(keys),
+            "approx_distinct": pa.array(
+                [round(_estimate(merged[g], p)) for g in keys], pa.int64()
+            ),
+        }
+    )

@@ -185,3 +185,43 @@ def test_asof_join_string_key(ray_session):
     ).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert df["crawl_id"].tolist()[0] == 101  # latest crawl ≤ ts(5)
     assert pd.isna(df["crawl_id"].tolist()[1])  # no crawl ≤ ts(2)
+
+
+def test_approx_distinct_by_accuracy(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # distinct user pools of very different sizes per type
+    users = np.where(
+        types == "a", rng.integers(0, 5000, n),
+        np.where(types == "b", rng.integers(0, 400, n), rng.integers(0, 37, n)),
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types.tolist()),
+        "user_id": pa.array(users.tolist(), pa.int64()),
+    }))
+    out = approx_distinct_by(ds, "event_type", "user_id", p=12).to_pandas()
+    exact = {
+        t: len(set(users[types == t].tolist())) for t in ("a", "b", "c")
+    }
+    for _, row in out.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.05, (row["event_type"], e)
+
+
+def test_approx_distinct_by_high_card_group_raises(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_distinct_by
+
+    n = 3000
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([f"g{i}" for i in range(n)]),
+        "v": pa.array(list(range(n)), pa.int64()),
+    })).repartition(1)
+    with pytest.raises(Exception):
+        approx_distinct_by(ds, "g", "v").to_pandas()
