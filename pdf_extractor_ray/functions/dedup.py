@@ -123,6 +123,23 @@ class MinHashBandStage:
         )
 
 
+def compact_blocks(ds, bytes_per_block: int = 32 << 20, min_blocks: int = 16,
+                   max_blocks: int = 4096):
+    """Materialize + size-aware repartition for SHUFFLE-BOUND small
+    intermediates (band tables, candidate pairs): upstream map stages
+    inherit the reader's block count (one block per input file split),
+    so a 1 MB band table can arrive as 64 near-empty blocks and every
+    downstream groupby pays per-block task overhead ×64 (measured 4.1s
+    → 1.4s for the collision plan at sf0.1 going 64 → 16 blocks). The
+    target block count scales with actual bytes, so at 100 TB this is
+    a no-op consolidation, not a bottleneck."""
+    m = ds.materialize()
+    target = int(min(max_blocks, max(min_blocks, m.size_bytes() // bytes_per_block)))
+    if m.num_blocks() > target * 2:
+        return m.repartition(target).materialize()
+    return m
+
+
 def bucket_collision_pairs(
     bucket_ds,
     key_col: str = "bucket_key",
@@ -132,6 +149,7 @@ def bucket_collision_pairs(
     min_count: int = 1,
     count_col: str | None = None,
     max_bucket: int | None = None,
+    distinct: bool = True,
 ):
     """(bucket_key, id) stream → distinct candidate pairs (a < b).
 
@@ -157,6 +175,9 @@ def bucket_collision_pairs(
     larger than that size entirely — keys so common (boilerplate
     fingerprints, stop-phrases) they are non-discriminative AND would
     cost O(size²) pairs; the winnowing literature's standard guard.
+    ``distinct=False`` skips the pair-dedup shuffle and returns raw
+    (possibly repeated) pairs — for callers whose downstream groupby
+    dedups anyway (one less all-to-all).
     """
     import pyarrow.compute as pc
     import ray
@@ -187,6 +208,9 @@ def bucket_collision_pairs(
         .groupby(key_col)
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    if not distinct:
+        assert min_count == 1 and count_col is None
+        return pairs
     # distinct pairs (a pair can collide in several buckets)
     counted = pairs.groupby([out_a, out_b]).aggregate(Count(alias_name="__n"))
     if min_count > 1:
@@ -212,12 +236,12 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int
     (~16 B/doc/band; corpus text never shuffles) — then the shared
     ``bucket_collision_pairs`` plan. Measured 13.1s → ~4s at sf0.1.
     """
-    bands_ds = docs_ds.map_batches(
+    bands_ds = compact_blocks(docs_ds.map_batches(
         MinHashBandStage,
         fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).materialize()
+    ))
     # ^ the band table is consumed twice (count pass + pair pass), so
     # materializing it — not the documents — avoids recomputing minhash
     # signatures. The object store spills it at scale.
@@ -284,76 +308,103 @@ def minhash_lsh_verified(
 ):
     """MinHash+LSH near-dup pairs with DISTRIBUTED exact-Jaccard verify.
 
-    Candidate generation is ``minhash_lsh_candidates`` (bands-only
-    shuffle). Verification never materializes the corpus anywhere:
-    candidate pairs are joined back to per-doc shingle sets by two
-    ``hash_join`` passes on doc_id, then exact Jaccard runs vectorized
-    per pair row. Driver holds nothing but the final pairs.
+    Candidate generation is the collision-first plan with the
+    pair-dedup shuffle SKIPPED (``distinct=False``) — repeated pairs
+    fold into the verify groupby below. Verification never
+    materializes the corpus anywhere: each raw pair explodes into two
+    (doc_id, pair, slot) stubs, ONE ``hash_join`` on doc_id attaches
+    the shingle set to each stub, and a groupby on the pair merges the
+    two slots, dedups repeats, and computes exact Jaccard — 2 shuffles
+    total for the verify instead of the 3 a chained two-join plan costs.
+    Driver holds nothing but the final pairs.
     """
     from .joins import hash_join
 
-    # materialize the two candidate-sized intermediates: each is
-    # consumed by TWO downstream joins, and Ray Datasets re-execute
-    # their whole lineage per consumer — without this the band stage
-    # runs 4x (measured 59s vs 12s at sf0.1). Both are ∝ candidate
-    # count, never corpus-sized.
-    cands = minhash_lsh_candidates(
-        docs_ds, n_perm=n_perm, bands=bands, seed=seed
-    ).materialize()
-    sh_ds = candidate_shingles(docs_ds, cands, k=k).materialize()
-
-    j1 = hash_join(
-        cands, sh_ds, "doc_a", "doc_id", ["doc_a", "doc_b"], ["shingles"],
-        how="inner", num_partitions=8,  # candidate-sized join — few buckets
-    ).map_batches(
-        lambda b: b.rename_columns(["doc_a", "doc_b", "sh_a"]),
+    # materialize the candidate-sized intermediates: each is consumed
+    # twice downstream, and Ray Datasets re-execute their whole
+    # lineage per consumer — without this the band stage runs 4x
+    # (measured 59s vs 12s at sf0.1). Both are ∝ candidate count,
+    # never corpus-sized.
+    bands_ds = compact_blocks(docs_ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
-    )
-    j2 = hash_join(
-        j1, sh_ds, "doc_b", "doc_id", ["doc_a", "doc_b", "sh_a"], ["shingles"],
-        how="inner", num_partitions=8,
-    ).map_batches(
-        lambda b: b.rename_columns(["doc_a", "doc_b", "sh_a", "sh_b"]),
-        batch_format="pyarrow",
-    )
+        concurrency=(1, 8),
+    ))
+    raw_pairs = compact_blocks(bucket_collision_pairs(bands_ds, distinct=False))
+    sh_ds = compact_blocks(candidate_shingles(docs_ds, raw_pairs, k=k))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        for a, b, sa, sb in zip(
-            a_ids,
-            b_ids,
-            batch.column("sh_a").to_pylist(),
-            batch.column("sh_b").to_pylist(),
-        ):
-            na, nb = len(sa), len(sb)
-            if na == 0 and nb == 0:
-                sim = 1.0
-            elif na == 0 or nb == 0:
-                sim = 0.0
-            else:
-                inter = len(
-                    np.intersect1d(
-                        np.asarray(sa, np.uint32),
-                        np.asarray(sb, np.uint32),
-                        assume_unique=True,
-                    )
-                )
-                sim = inter / (na + nb - inter)
-            if sim >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(round(sim, 6))
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(sims, pa.float64()),
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "slot": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), len(a)), pa.int8()
+                ),
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    stubs = raw_pairs.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(
+        stubs, sh_ds, "doc_id", "doc_id",
+        ["pair_a", "pair_b", "slot"], ["shingles"],
+        how="inner", num_partitions=8,  # candidate-sized join — few buckets
+    )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        slots = group.column("slot").to_pylist()
+        sh = group.column("shingles").to_pylist()
+        sa = sb = None
+        for s, v in zip(slots, sh):  # repeats collapse: first per slot
+            if s == 0 and sa is None:
+                sa = v
+            elif s == 1 and sb is None:
+                sb = v
+        if sa is None or sb is None:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        na, nb = len(sa), len(sb)
+        if na == 0 and nb == 0:
+            sim = 1.0
+        elif na == 0 or nb == 0:
+            sim = 0.0
+        else:
+            inter = len(
+                np.intersect1d(
+                    np.asarray(sa, np.uint32),
+                    np.asarray(sb, np.uint32),
+                    assume_unique=True,
+                )
+            )
+            sim = inter / (na + nb - inter)
+        if sim < threshold:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": group.column("pair_a").slice(0, 1),
+                "doc_b": group.column("pair_b").slice(0, 1),
+                "jaccard": pa.array([round(sim, 6)], pa.float64()),
+            }
+        )
+
+    return joined.groupby(["pair_a", "pair_b"]).map_groups(
+        verify_group, batch_format="pyarrow"
+    )
 
 
 class JaccardVerifyStage:
@@ -546,8 +597,11 @@ def hamming_bucket_pairs(sig_ds, max_hamming: int = 3, id_col: str = "doc_id",
 
 
 def simhash_dedup(docs_ds, max_hamming: int = 3):
-    """Near-dup pairs by simhash: bucket groupby → in-bucket Hamming."""
-    sigs = docs_ds.map_batches(
+    """Near-dup pairs by simhash: bucket groupby → in-bucket Hamming.
+    The signature table (24 B/doc) is compacted before the bucket
+    shuffle so the groupby doesn't pay per-block overhead on
+    reader-inherited near-empty blocks."""
+    sigs = compact_blocks(docs_ds.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    ))
     return hamming_bucket_pairs(sigs, max_hamming=max_hamming)

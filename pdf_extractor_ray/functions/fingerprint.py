@@ -97,12 +97,14 @@ def winnow_dup_pairs(docs_ds, k: int = 25, w: int = 50, min_shared: int = 3,
     synthetic corpus: recall 0.96, precision 1.00 — short grams (k≈8)
     over-fire on shared sentence fragments.
     """
-    fp_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+    from .dedup import compact_blocks
+
+    fp_ds = compact_blocks(docs_ds.select_columns(["doc_id", "text"]).map_batches(
         WinnowFingerprintStage,
         fn_constructor_kwargs={"k": k, "w": w},
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).materialize()
+    ))
     return bucket_collision_pairs(
         fp_ds, min_count=min_shared, count_col="n_shared", max_bucket=max_bucket
     )

@@ -191,12 +191,14 @@ def embedding_near_dups(
         "dim": dim, "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
     }
 
-    buckets = emb_ds.map_batches(
+    from .dedup import compact_blocks
+
+    buckets = compact_blocks(emb_ds.map_batches(
         MultiTableHyperplaneStage,
         fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         concurrency=(1, 8),
-    )
+    ))
 
     counts = buckets.groupby("bucket_key").aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n > 1").select_columns(["bucket_key"]).take_all()
@@ -235,11 +237,13 @@ def embedding_near_dups(
                 }
             )
 
-    with_emb = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+    with_emb = compact_blocks(emb_ds.select_columns(
+        ["vec_id", "embedding"]
+    ).map_batches(
         HotMembershipStage,
         batch_format="pyarrow",
         concurrency=(1, 8),
-    )
+    ))
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table(
