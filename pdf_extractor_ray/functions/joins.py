@@ -95,6 +95,9 @@ def asof_join(
             batch_format="pyarrow",
         )
     )
+    from .dedup import compact_blocks
+
+    both = compact_blocks(both)
 
     out_fields = [pa.field(c, l_types[c]) for c in left_cols]
     out_fields += [pa.field(c, r_types[c]) for c in right_cols]
@@ -233,6 +236,9 @@ def semi_anti_join(
             to_common(1, right_key), batch_format="pyarrow"
         )
     )
+    from .dedup import compact_blocks
+
+    both = compact_blocks(both)
 
     out_schema = pa.schema([pa.field(c, l_types[c]) for c in left_cols])
 
@@ -339,6 +345,12 @@ def hash_join(
     both = left_ds.map_batches(to_common(0, left_key), batch_format="pyarrow").union(
         right_ds.map_batches(to_common(1, right_key), batch_format="pyarrow")
     )
+    from .dedup import compact_blocks
+
+    both = compact_blocks(both)
+    # ^ the union inherits both readers' block counts; consolidating
+    # the (projected) join payload before the bucket groupby removes
+    # per-block shuffle overhead — size-aware, so a no-op at scale.
 
     out_fields = [pa.field(c, l_types[c]) for c in left_cols]
     out_fields += [pa.field(c, r_types[c]) for c in right_cols]
