@@ -255,6 +255,16 @@ def _q_simhash_dups(sf_dir: str):
     return simhash_dedup(_docs(sf_dir), max_hamming=10)
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the first row group's first row —
+    metadata-scale read, avoids a Dataset take(1) execution."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(t.column("embedding")[0])
+
+
 def _emb_queries(sf_dir: str, ids=(0, 1, 2)):
     import pyarrow.parquet as pq
 
@@ -302,7 +312,9 @@ def _q_embedding_near_dups(sf_dir: str):
     from pdf_extractor_ray.functions.similarity import embedding_near_dups
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dups(emb, threshold=0.45).drop_columns(["sim"])
+    return embedding_near_dups(
+        emb, threshold=0.45, dim=_emb_dim(sf_dir)
+    ).drop_columns(["sim"])
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -314,7 +326,7 @@ def _q_ivf_topk(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _emb_queries(sf_dir)
-    return ivf_topk(emb, q, k=10)
+    return ivf_topk(emb, q, k=10, dim=q.shape[1])
 
 
 def _q_page_previews(sf_dir: str):
