@@ -898,6 +898,36 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_rarest_token_per_doc(sf_dir: str):
+    """TF-IDF-style analytic: each document's lowest-df token via the
+    full high-cardinality pipeline (token explode → df groupby →
+    token-space hash join → per-doc argmin)."""
+    from pdf_extractor_ray.functions.text import rarest_token_per_doc
+
+    return rarest_token_per_doc(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
+def _q_quantiles_chars_by_lang(sf_dir: str):
+    """Per-language exact length quantiles — grouped histogram-partial
+    quantiles (only (lang, value, count) rows move)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles_by
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(proj, batch_format="pyarrow")
+    return exact_quantiles_by(ds, "lang", "n_chars", qs=(0.25, 0.5, 0.75, 0.9))
+
+
 def _q_approx_users_by_type(sf_dir: str):
     """Per-event-type HLL approx distinct users — GROUPED sketch
     aggregation: one 4 KiB register array per (block, type) moves,
@@ -1099,6 +1129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "winnow_fingerprint_dups": _q_winnow_fingerprint_dups,
         "approx_users_by_type": _q_approx_users_by_type,
+        "quantiles_chars_by_lang": _q_quantiles_chars_by_lang,
+        "rarest_token_per_doc": _q_rarest_token_per_doc,
     }
 
 
@@ -1455,5 +1487,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "rarest_token_per_doc": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+                           AS token
+                FROM documents
+            ),
+            df AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tok GROUP BY token
+            )
+            SELECT doc_id, token, df FROM (
+                SELECT t.doc_id, t.token, df.df,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY df.df, t.token) AS rn
+                FROM tok t JOIN df ON t.token = df.token
+            ) WHERE rn = 1
+        """,
+        "quantiles_chars_by_lang": """
+            SELECT lang, q, CAST(value AS BIGINT) AS value FROM (
+                SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+                       quantile_disc(length(text), 0.25) AS value
+                FROM documents GROUP BY lang
+                UNION ALL SELECT lang, CAST(0.5 AS DOUBLE),
+                       quantile_disc(length(text), 0.5) FROM documents GROUP BY lang
+                UNION ALL SELECT lang, CAST(0.75 AS DOUBLE),
+                       quantile_disc(length(text), 0.75) FROM documents GROUP BY lang
+                UNION ALL SELECT lang, CAST(0.9 AS DOUBLE),
+                       quantile_disc(length(text), 0.9) FROM documents GROUP BY lang
+            )
         """,
     }

@@ -3,6 +3,7 @@ from .text import (  # noqa: F401
     add_text_features,
     count_bpe_tokens,
     detect_language,
+    rarest_token_per_doc,
     token_df,
     top_ngrams,
 )
@@ -27,7 +28,12 @@ from .similarity import (  # noqa: F401
     embedding_near_dups_allpairs,
     ivf_topk,
 )
-from .agg import argmax_per_group, exact_quantiles, lowcard_groupby_agg  # noqa: F401
+from .agg import (  # noqa: F401
+    argmax_per_group,
+    exact_quantiles,
+    exact_quantiles_by,
+    lowcard_groupby_agg,
+)
 from .merge import merge_sources, merge_tagged  # noqa: F401
 from .multimodal import (  # noqa: F401
     audio_features,

@@ -177,6 +177,47 @@ def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     )
 
 
+def exact_quantiles_by(ds, key: str, col: str,
+                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
+    """EXACT per-group quantiles via (key, value)-count histogram
+    partials — the grouped form of :func:`exact_quantiles`.
+
+    Only ``(key, value, count)`` rows move (∝ groups × distinct
+    values, never rows); the driver folds the histogram per key and
+    reads quantiles off cumulative counts. Same bounded-cardinality
+    contract (loudly enforced underneath), same ``quantile_disc``
+    definition. Output: one row per (key, q)."""
+    import math
+
+    import numpy as np
+
+    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "n")])
+    keys = np.asarray(hist.column(key).to_pylist())
+    vals = np.asarray(hist.column(col).to_pylist())
+    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    out_k, out_q, out_v = [], [], []
+    for g in sorted(set(keys.tolist())):
+        m = keys == g
+        v, c = vals[m], cnts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_k.append(g)
+            out_q.append(float(q))
+            out_v.append(v[idx])
+    return pa.table(
+        {
+            key: pa.array(out_k),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v),
+        }
+    )
+
+
 def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
     """One row per key: the row with the LARGEST score (ties broken by
     the smallest tiebreak value — deterministic).

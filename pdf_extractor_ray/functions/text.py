@@ -231,3 +231,55 @@ def token_df(docs_ds, k: int = 25, text_col: str = "text"):
         .aggregate(Sum("df_partial", alias_name="df"))
     )
     return counts.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def rarest_token_per_doc(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per document, its token with the SMALLEST corpus document
+    frequency (ties → lexicographically smallest token) — the
+    TF-IDF-style analytic that exercises the high-cardinality
+    token join end-to-end:
+
+    1. explode each doc's DISTINCT tokens → (doc_id, token) rows
+    2. ``groupby(token)`` count → the df table (token-space shuffle —
+       vocabulary is unbounded at web scale, so no broadcast)
+    3. hash-shuffle join tokens ⋈ df on token
+    4. per-doc argmin by (df, token) — one doc-space shuffle,
+       in-group lexsort
+
+    Integer/string output only (doc_id, token, df) — exactly
+    SQL-reproducible. Token definition: whitespace split, matching
+    ``token_df``.
+    """
+    from ray.data.aggregate import Count
+
+    from .dedup import compact_blocks
+    from .joins import hash_join
+
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            s = sorted(set((t or "").split()))
+            ids.extend([d] * len(s))
+            toks.extend(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())}
+        )
+
+    tok = compact_blocks(docs_ds.map_batches(explode, batch_format="pyarrow"))
+    # ^ consumed twice: df count + join left side
+    df = tok.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(
+        tok, df, "token", "token", ["doc_id", "token"], ["df"], how="inner"
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        dfs = np.asarray(group.column("df").to_pylist(), dtype=np.int64)
+        toks = np.asarray(group.column("token").to_pylist())
+        order = np.lexsort((toks, dfs))
+        return group.take(pa.array([int(order[0])], pa.int64()))
+
+    return joined.groupby("doc_id").map_groups(pick, batch_format="pyarrow")

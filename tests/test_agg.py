@@ -147,3 +147,47 @@ def test_sessionize_semantics(ray_session):
     assert df.loc[0, "session_start"] == ts(0)
     assert df.loc[0, "session_end"] == ts(1)
     assert df.loc[1, "session_start"] == ts(31)
+
+
+def test_exact_quantiles_by_matches_numpy(ray_session):
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles_by
+
+    rng = np.random.default_rng(11)
+    keys = np.array(["x", "y"])[rng.integers(0, 2, 500)]
+    vals = rng.integers(0, 40, 500)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys.tolist()),
+        "v": pa.array(vals.tolist(), pa.int64()),
+    }))
+    out = exact_quantiles_by(ds, "k", "v", qs=(0.5, 0.9)).to_pandas()
+    for g in ("x", "y"):
+        sv = np.sort(vals[keys == g])
+        for q in (0.5, 0.9):
+            want = sv[max(1, math.ceil(q * len(sv))) - 1]  # quantile_disc
+            got = out[(out["k"] == g) & (out["q"] == q)]["value"].iloc[0]
+            assert got == want, (g, q, got, want)
+
+
+def test_rarest_token_per_doc(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import rarest_token_per_doc
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "apple banana cherry",     # cherry unique to doc1? no: see below
+            "apple banana durian",
+            "apple zzz durian",
+        ]),
+    }))
+    out = rarest_token_per_doc(ds).to_pandas().set_index("doc_id")
+    # df: apple=3, banana=2, durian=2, cherry=1, zzz=1
+    assert out.loc[1, "token"] == "cherry" and out.loc[1, "df"] == 1
+    assert out.loc[3, "token"] == "zzz" and out.loc[3, "df"] == 1
+    # doc2: min df=2, tie between banana and durian -> lexicographic
+    assert out.loc[2, "token"] == "banana" and out.loc[2, "df"] == 2
