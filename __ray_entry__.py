@@ -898,6 +898,15 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_stratified_sample_docs(sf_dir: str):
+    """Balanced per-language sample: 10 docs per lang in deterministic
+    md5 pseudo-random order — the equal-per-class selection shape."""
+    from pdf_extractor_ray.functions.sample import stratified_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, "lang", "doc_id", n_per_group=10)
+
+
 def _q_rarest_token_per_doc(sf_dir: str):
     """TF-IDF-style analytic: each document's lowest-df token via the
     full high-cardinality pipeline (token explode → df groupby →
@@ -1131,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_by_type": _q_approx_users_by_type,
         "quantiles_chars_by_lang": _q_quantiles_chars_by_lang,
         "rarest_token_per_doc": _q_rarest_token_per_doc,
+        "stratified_sample_docs": _q_stratified_sample_docs,
     }
 
 
@@ -1487,6 +1497,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "rarest_token_per_doc": """
             WITH tok AS (

@@ -8,7 +8,7 @@ from .text import (  # noqa: F401
     top_ngrams,
 )
 from .window import lag_gap_stats, sessionize, topk_per_group  # noqa: F401
-from .sample import hash_sample  # noqa: F401
+from .sample import hash_sample, stratified_sample  # noqa: F401
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
 from .dedup import (  # noqa: F401
     add_exact_hash,

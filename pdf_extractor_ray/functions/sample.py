@@ -43,3 +43,37 @@ def hash_sample(ds, col: str, keep: int = 2, out_of: int = 16):
         return batch.filter(mask)
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int):
+    """Deterministic stratified sample: the ``n_per_group`` rows per
+    group that rank first by ``(md5(str(key)), key)`` — a fixed,
+    reproducible pseudo-random order expressible in SQL
+    (``row_number() OVER (PARTITION BY g ORDER BY md5(..), key)``).
+
+    The balanced-per-class sampling a training-data pipeline needs
+    (equal docs per language, per source, ...). One hash shuffle on
+    the group key; in-group selection is a lexsort + head. The md5
+    rank column is computed per batch before the shuffle and dropped
+    after, so the shuffle payload grows by one 32-char column only.
+    """
+    import numpy as np
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ranks = [
+            hashlib.md5(str(v).encode()).hexdigest()
+            for v in batch.column(key_col).to_pylist()
+        ]
+        return batch.append_column("__rank", pa.array(ranks, pa.string()))
+
+    def head(group: pa.Table) -> pa.Table:
+        r = np.asarray(group.column("__rank").to_pylist())
+        k = np.asarray(group.column(key_col).to_pylist())
+        order = np.lexsort((k, r))[:n_per_group]
+        return group.take(pa.array(order, pa.int64())).drop_columns(["__rank"])
+
+    return (
+        ds.map_batches(add_rank, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(head, batch_format="pyarrow")
+    )

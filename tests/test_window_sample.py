@@ -135,3 +135,24 @@ def test_hash_sample_validates():
         hash_sample(None, "x", keep=0)
     with pytest.raises(ValueError):
         hash_sample(None, "x", keep=4, out_of=8)
+
+
+def test_stratified_sample_balanced_and_deterministic(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import stratified_sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 50 + ["b"] * 3, pa.string()),
+        "id": pa.array(list(range(53)), pa.int64()),
+    }))
+    out = stratified_sample(ds, "g", "id", n_per_group=5).to_pandas()
+    assert len(out[out["g"] == "a"]) == 5
+    # groups smaller than n keep all rows
+    assert sorted(out[out["g"] == "b"]["id"]) == [50, 51, 52]
+    # deterministic: exact md5-order expectation for group a
+    expect = sorted(range(50),
+                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+    assert sorted(out[out["g"] == "a"]["id"]) == sorted(expect)
+    # rank helper column is dropped
+    assert set(out.columns) == {"g", "id"}
