@@ -898,6 +898,20 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_exact_users_by_type(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event_type — the exact twin
+    of approx_users_by_type; block-distinct pairs → one value-space
+    shuffle → low-card fold."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_distinct_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return exact_distinct_by(ds, "event_type", "user_id", out_col="n_users")
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Balanced per-language sample: 10 docs per lang in deterministic
     md5 pseudo-random order — the equal-per-class selection shape."""
@@ -1141,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_chars_by_lang": _q_quantiles_chars_by_lang,
         "rarest_token_per_doc": _q_rarest_token_per_doc,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "exact_users_by_type": _q_exact_users_by_type,
     }
 
 
@@ -1497,6 +1512,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "exact_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang, n_chars FROM (

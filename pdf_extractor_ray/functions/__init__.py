@@ -30,6 +30,7 @@ from .similarity import (  # noqa: F401
 )
 from .agg import (  # noqa: F401
     argmax_per_group,
+    exact_distinct_by,
     exact_quantiles,
     exact_quantiles_by,
     lowcard_groupby_agg,

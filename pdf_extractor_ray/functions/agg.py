@@ -177,6 +177,30 @@ def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     )
 
 
+def exact_distinct_by(ds, key: str, col: str, out_col: str = "n_distinct"):
+    """EXACT ``count(DISTINCT col) GROUP BY key`` — the exact twin of
+    ``sketch.approx_distinct_by`` (use that when ±1-2% error is fine
+    and the value space is huge).
+
+    1. per-block distinct (key, value) pairs — vectorized Arrow
+       ``group_by``, so only each block's distinct pairs shuffle
+    2. global ``groupby([key, value])`` count — the one real
+       (value-space) shuffle that exactness fundamentally requires
+    3. per-key pair counts fold through the low-cardinality partial
+       aggregate (key cardinality is small by the same contract).
+    """
+    from ray.data.aggregate import Count
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([key, col]).group_by([key, col]).aggregate([])
+
+    pairs = ds.map_batches(block_distinct, batch_format="pyarrow")
+    global_pairs = pairs.groupby([key, col]).aggregate(Count(alias_name="__n"))
+    return lowcard_groupby_agg(
+        global_pairs.select_columns([key]), [key], [(key, "count", out_col)]
+    )
+
+
 def exact_quantiles_by(ds, key: str, col: str,
                        qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     """EXACT per-group quantiles via (key, value)-count histogram

@@ -191,3 +191,20 @@ def test_rarest_token_per_doc(ray_session):
     assert out.loc[3, "token"] == "zzz" and out.loc[3, "df"] == 1
     # doc2: min df=2, tie between banana and durian -> lexicographic
     assert out.loc[2, "token"] == "banana" and out.loc[2, "df"] == 2
+
+
+def test_exact_distinct_by(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_distinct_by
+
+    rng = np.random.default_rng(5)
+    keys = np.array(["a", "b"])[rng.integers(0, 2, 2000)]
+    vals = rng.integers(0, 150, 2000)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys.tolist()),
+        "v": pa.array(vals.tolist(), pa.int64()),
+    }))
+    out = exact_distinct_by(ds, "k", "v", out_col="n").to_pandas().set_index("k")
+    for g in ("a", "b"):
+        assert out.loc[g, "n"] == len(set(vals[keys == g].tolist()))
