@@ -116,3 +116,63 @@ def test_codecs_never_raise_on_garbage(payload):
     assert r.status in ("ok", "empty", "parse_error")
     p = PdfCodec().extract(b"%PDF-" + payload)
     assert p.status in ("ok", "empty", "parse_error")
+
+
+# ------------------------------------------------------------------ round 2
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcdef gh", min_size=60, max_size=200),
+    st.text(alphabet="qrstuv wx", min_size=10, max_size=60),
+    st.text(alphabet="klmnop yz", min_size=10, max_size=60),
+)
+def test_winnowing_shared_substring_guarantee(shared, pre, post):
+    """Any shared substring of length >= w + k - 1 yields >= 1 shared
+    fingerprint (Schleimer et al. 2003, Theorem 1) — for every input."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.fingerprint import winnow_fingerprints
+
+    k, w = 8, 16
+    # normalization collapses whitespace; require the NORMALIZED shared
+    # run to clear the guarantee length
+    import re
+    norm = re.sub(r"\s+", " ", shared.lower().strip())
+    if len(norm) < w + k - 1:
+        return
+    fa = winnow_fingerprints(pre + " " + shared + " " + post, k, w)
+    fb = winnow_fingerprints(post + " " + shared + " " + pre, k, w)
+    assert len(np.intersect1d(fa, fb)) >= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    st.lists(st.integers(0, 30), min_size=0, max_size=40),
+)
+def test_semi_anti_partition_property(left_keys, right_keys):
+    """semi(L,R) ∪ anti(L,R) == L exactly (disjoint, complete) for any
+    key multisets — the algebraic definition of the pair."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(left_keys, pa.int64()),
+        "rowid": pa.array(list(range(len(left_keys))), pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(right_keys, pa.int64()),
+    }))
+    semi = semi_anti_join(left, right, "k", "k", ["k", "rowid"],
+                          how="semi", num_partitions=4).to_pandas()
+    anti = semi_anti_join(left, right, "k", "k", ["k", "rowid"],
+                          how="anti", num_partitions=4).to_pandas()
+    rset = set(right_keys)
+    want_semi = [i for i, k in enumerate(left_keys) if k in rset]
+    want_anti = [i for i, k in enumerate(left_keys) if k not in rset]
+    got_semi = sorted(semi["rowid"]) if len(semi) else []
+    got_anti = sorted(anti["rowid"]) if len(anti) else []
+    assert got_semi == want_semi
+    assert got_anti == want_anti
