@@ -898,6 +898,41 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_user_order_pairs(sf_dir: str):
+    """MANY-to-many equi-join (full SQL semantics): every (event,
+    order) pair for the same user, aggregated per order priority —
+    n_pairs + exact distinct users. In-bucket expansion is
+    sort+searchsorted+repeat, no per-key Python."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_distinct_by, lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase'")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        events, orders, "user_id", "o_custkey",
+        ["event_id", "user_id"], ["o_orderpriority"],
+        how="inner", validate="many",
+    ).materialize()  # consumed by two aggregates below
+    pairs = lowcard_groupby_agg(
+        joined, ["o_orderpriority"], [("event_id", "count", "n_pairs")]
+    )
+    users = exact_distinct_by(joined, "o_orderpriority", "user_id",
+                              out_col="n_users")
+    # merge the two ≤5-row aggregate tables on the driver
+    idx = pc.index_in(
+        pairs.column("o_orderpriority"),
+        value_set=users.column("o_orderpriority").combine_chunks(),
+    )
+    return pairs.append_column("n_users", users.column("n_users").take(idx))
+
+
 def _q_exact_users_by_type(sf_dir: str):
     """Exact count(DISTINCT user_id) per event_type — the exact twin
     of approx_users_by_type; block-distinct pairs → one value-space
@@ -1156,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarest_token_per_doc": _q_rarest_token_per_doc,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "exact_users_by_type": _q_exact_users_by_type,
+        "user_order_pairs": _q_user_order_pairs,
     }
 
 
@@ -1512,6 +1548,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "user_order_pairs": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            WHERE e.event_type = 'purchase'
+            GROUP BY o_orderpriority
         """,
         "exact_users_by_type": """
             SELECT event_type,

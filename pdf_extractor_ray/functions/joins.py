@@ -285,10 +285,17 @@ def hash_join(
     co-locates each bucket; inside a bucket the match is one
     ``pc.index_in`` — no per-key Python. Output columns are
     ``left_cols + right_cols`` (must be disjoint; the join key appears
-    only if listed in ``left_cols``). Right side must be unique per key
-    (validated per bucket, raises ValueError) — first-match semantics
-    would otherwise silently drop rows. Null join keys never match
+    only if listed in ``left_cols``). Null join keys never match
     (SQL semantics).
+
+    ``validate`` picks the match semantics: ``unique_right`` (default,
+    dimension-join contract — duplicate right keys raise loudly so
+    first-match never silently drops rows) or ``many`` (full SQL
+    many-to-many: every (left, right) key pair joins; in-bucket
+    expansion is sort + searchsorted + repeat, no per-key Python).
+    With ``many``, output size is Σ_k |L_k|·|R_k| — a hot key's cross
+    product lands in one task; pre-aggregate or salt if a key
+    dominates.
 
     Scale: the only payload that shuffles is the two projected column
     sets; size ``num_partitions`` so a bucket (≈ total/P of both sides)
@@ -297,6 +304,10 @@ def hash_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if validate not in ("unique_right", "many"):
+        raise ValueError(
+            f"validate must be 'unique_right' or 'many', got {validate!r}"
+        )
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     overlap = set(left_cols) & set(right_cols)
@@ -380,8 +391,62 @@ def hash_join(
                 raise ValueError(
                     "hash_join: right side has duplicate join keys "
                     f"({n_valid - n_distinct} dup rows in one bucket); "
-                    "dedupe the right side or use a per-key join"
+                    "dedupe the right side, use validate='many', or a "
+                    "per-key join"
                 )
+        if validate == "many":
+            # many-to-many: expand every (left, right) key pair.
+            # Sort rights by key; per left row searchsorted gives its
+            # match range [lo, hi); np.repeat + range-arithmetic builds
+            # both take-index vectors fully vectorized.
+            n_l = len(l_keys)
+            l_valid = np.asarray(pc.is_valid(l_keys).to_pylist(), dtype=bool)
+            r_valid = np.asarray(pc.is_valid(r_keys).to_pylist(), dtype=bool)
+            l_np = np.asarray(l_keys.to_pylist(), dtype=object)
+            r_np = np.asarray(r_keys.to_pylist(), dtype=object)
+            l_idx_v = np.nonzero(l_valid)[0]
+            r_idx_v = np.nonzero(r_valid)[0]
+            r_sorted_order = r_idx_v[np.argsort(r_np[r_idx_v], kind="stable")]
+            r_sorted_keys = r_np[r_sorted_order]
+            lo_v = np.searchsorted(r_sorted_keys, l_np[l_idx_v], side="left")
+            hi_v = np.searchsorted(r_sorted_keys, l_np[l_idx_v], side="right")
+            counts = np.zeros(n_l, dtype=np.int64)
+            counts[l_idx_v] = hi_v - lo_v
+            lo = np.zeros(n_l, dtype=np.int64)
+            lo[l_idx_v] = lo_v
+            matched_left = np.repeat(np.arange(n_l), counts)
+            # offsets within each left row's [lo, hi) range
+            starts = np.repeat(lo, counts)
+            seq = np.arange(len(matched_left)) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            matched_right = (
+                r_sorted_order[starts + seq]
+                if len(matched_left)
+                else np.array([], dtype=np.int64)
+            )
+            out_lefts = lefts.take(pa.array(matched_left, pa.int64()))
+            out_rights = rights.take(pa.array(matched_right, pa.int64()))
+            cols = {c: out_lefts.column(f"l_{c}") for c in left_cols}
+            for c in right_cols:
+                cols[c] = out_rights.column(f"r_{c}")
+            if how == "left":
+                # left rows with no match emit one null-extended row
+                miss = np.nonzero(counts == 0)[0]
+                if len(miss):
+                    m_lefts = lefts.take(pa.array(miss, pa.int64()))
+                    miss_cols = {c: m_lefts.column(f"l_{c}") for c in left_cols}
+                    for c in right_cols:
+                        miss_cols[c] = pa.nulls(
+                            len(miss), out_schema.field(c).type
+                        )
+                    return pa.concat_tables(
+                        [
+                            pa.table(cols, schema=out_schema),
+                            pa.table(miss_cols, schema=out_schema),
+                        ]
+                    )
+            return pa.table(cols, schema=out_schema)
         idx = pc.index_in(l_keys, value_set=r_keys)
         # SQL semantics: a null join key matches nothing
         idx = pc.if_else(pc.is_valid(l_keys), idx, pa.nulls(len(l_keys), pa.int32()))

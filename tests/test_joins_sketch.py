@@ -225,3 +225,44 @@ def test_approx_distinct_by_high_card_group_raises(ray_session):
     })).repartition(1)
     with pytest.raises(Exception):
         approx_distinct_by(ds, "g", "v").to_pandas()
+
+
+def test_hash_join_many_to_many_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 2, 3, None, 5], pa.int64()),
+        "lv": pa.array(list(range(6)), pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([1, 1, 1, 3, 3, None, 9], pa.int64()),
+        "rv": pa.array(list(range(7)), pa.int64()),
+    })
+    for how, n_expect in (("inner", 8), ("left", 11)):
+        got = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k2", ["k", "lv"], ["rv"],
+            how=how, validate="many", num_partitions=4,
+        ).to_pandas().sort_values(["lv", "rv"], na_position="last").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        jw = "JOIN" if how == "inner" else "LEFT JOIN"
+        want = con.execute(
+            f"SELECT l.k, l.lv, r.rv FROM l {jw} r ON l.k = r.k2 "
+            "ORDER BY lv, rv NULLS LAST"
+        ).df()
+        assert len(got) == n_expect
+        assert got[["k", "lv", "rv"]].astype("float").fillna(-1).equals(
+            want[["k", "lv", "rv"]].astype("float").fillna(-1)
+        ), how
+
+
+def test_hash_join_validate_rejects_unknown():
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    with pytest.raises(ValueError):
+        hash_join(None, None, "k", "k", ["k"], [], validate="nope")
