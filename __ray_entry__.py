@@ -898,6 +898,51 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_events_running_total(sf_dir: str):
+    """Per-user cumulative value (running total) — the unbounded-
+    preceding window; in-group cumsum accumulates in SQL frame order
+    so floats match a sequential window engine bit-for-bit."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import running_total
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return running_total(ds, key="user_id", ts_col="ts", val_col="value",
+                         tiebreak="event_id")
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Pivot/crosstab: events per (day × event_type) as a WIDE table —
+    one int64 column per type via vectorized conditional partials, then
+    the low-card day fold. The columnar pivot shape dashboards read."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        cols = {"day": day}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(batch.column("event_type"), t), pa.int64()
+            )
+        return pa.table(cols)
+
+    return lowcard_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["day"],
+        [(f"n_{t}", "sum", f"n_{t}") for t in types],
+    )
+
+
 def _q_user_order_pairs(sf_dir: str):
     """MANY-to-many equi-join (full SQL semantics): every (event,
     order) pair for the same user, aggregated per order priority —
@@ -1192,6 +1237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "exact_users_by_type": _q_exact_users_by_type,
         "user_order_pairs": _q_user_order_pairs,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "events_running_total": _q_events_running_total,
     }
 
 
@@ -1548,6 +1595,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ), 6) AS running_value
+            FROM events
+        """,
+        "events_pivot_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY day
         """,
         "user_order_pairs": """
             SELECT o_orderpriority,

@@ -264,7 +264,10 @@ def semi_anti_join(
             {c: kept.column(f"l_{c}") for c in left_cols}, schema=out_schema
         )
 
-    return both.groupby("__part").map_groups(filter_bucket, batch_format="pyarrow")
+    import ray.data
+
+    kept = both.groupby("__part").map_groups(filter_bucket, batch_format="pyarrow")
+    return ray.data.from_arrow(out_schema.empty_table()).union(kept)
 
 
 def hash_join(
@@ -462,4 +465,10 @@ def hash_join(
             cols[c] = matched.column(f"r_{c}")
         return pa.table(cols, schema=out_schema)
 
-    return both.groupby("__part").map_groups(join_bucket, batch_format="pyarrow")
+    import ray.data
+
+    joined = both.groupby("__part").map_groups(join_bucket, batch_format="pyarrow")
+    # union with a typed empty block so an all-empty result still
+    # carries the output schema (downstream .to_pandas()/oracle
+    # comparisons see named columns, not a schemaless empty dataset)
+    return ray.data.from_arrow(out_schema.empty_table()).union(joined)

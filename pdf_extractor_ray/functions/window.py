@@ -106,6 +106,45 @@ def lag_gap_stats(
     return events_ds.groupby(key).map_groups(gaps, batch_format="pyarrow")
 
 
+def running_total(
+    events_ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    out_col: str = "running_value",
+):
+    """Per-key cumulative sum in (ts, tiebreak) order — ``sum(val)
+    OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS UNBOUNDED
+    PRECEDING)``. One hash shuffle; in-group lexsort + ``np.cumsum``
+    accumulates in exactly the SQL frame order, so float results are
+    bit-identical to a sequential window engine. Emits one row per
+    input row: (key, tiebreak, out_col)."""
+
+    def cum(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        vals = np.asarray(group.column(val_col).to_pylist(), dtype=np.float64)
+        order = np.lexsort((tb, ts))
+        run = np.cumsum(vals[order])
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(
+                    pa.array(order, pa.int64())
+                ),
+                out_col: pa.array(np.round(run, 6), pa.float64()),
+            }
+        )
+
+    return events_ds.groupby(key).map_groups(cum, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds,
     key: str,
