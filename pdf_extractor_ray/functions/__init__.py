@@ -7,7 +7,12 @@ from .text import (  # noqa: F401
     token_df,
     top_ngrams,
 )
-from .window import lag_gap_stats, sessionize, topk_per_group  # noqa: F401
+from .window import (  # noqa: F401
+    lag_gap_stats,
+    running_total,
+    sessionize,
+    topk_per_group,
+)
 from .sample import hash_sample, stratified_sample  # noqa: F401
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
 from .dedup import (  # noqa: F401
