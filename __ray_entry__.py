@@ -898,6 +898,28 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_events_value_histogram(sf_dir: str):
+    """Fixed-width value histogram (bin = floor(value/50)) — the
+    distribution-profiling shape; vectorized bin assignment + low-card
+    partial fold, only (bin, count) rows move."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def bin_col(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch.column("value"), 50.0)), pa.int64())
+        return pa.table({"bin": b})
+
+    return lowcard_groupby_agg(
+        ds.map_batches(bin_col, batch_format="pyarrow"),
+        ["bin"],
+        [("bin", "count", "n_events")],
+    )
+
+
 def _q_events_running_total(sf_dir: str):
     """Per-user cumulative value (running total) — the unbounded-
     preceding window; in-group cumsum accumulates in SQL frame order
@@ -1239,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_pairs": _q_user_order_pairs,
         "events_pivot_daily": _q_events_pivot_daily,
         "events_running_total": _q_events_running_total,
+        "events_value_histogram": _q_events_value_histogram,
     }
 
 
@@ -1595,6 +1618,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY bin
         """,
         "events_running_total": """
             SELECT user_id, event_id,

@@ -156,3 +156,20 @@ def test_stratified_sample_balanced_and_deterministic(ray_session):
     assert sorted(out[out["g"] == "a"]["id"]) == sorted(expect)
     # rank helper column is dropped
     assert set(out.columns) == {"g", "id"}
+
+
+def test_semi_anti_join_string_keys(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    left = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a.com", "b.com", "c.com"]),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "seen": pa.array(["b.com", "z.com"]),
+    }))
+    anti = semi_anti_join(left, right, "url", "seen", ["url", "v"],
+                          how="anti", num_partitions=4).to_pandas()
+    assert sorted(anti["url"]) == ["a.com", "c.com"]
