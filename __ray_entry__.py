@@ -898,6 +898,32 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_bloom_semi_customers(sf_dir: str):
+    """Bloom-prefiltered semi-join: customers with ≥1 URGENT order.
+    The 128 KiB bloom (built from urgent o_custkeys, OR-merged
+    constant-size bitmaps) prunes non-matching customers BEFORE the
+    exact semi-join shuffle — same result as the exact plan (no false
+    negatives), a fraction of the shuffle volume at scale."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+    from pdf_extractor_ray.functions.sketch import bloom_build, bloom_prefilter
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").materialize()
+    # ^ consumed twice: bloom build + exact verify
+    bloom = bloom_build(urgent, "o_custkey")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pruned = bloom_prefilter(cust, "c_custkey", bloom)
+    return semi_anti_join(
+        pruned, urgent, "c_custkey", "o_custkey", ["c_custkey", "c_name"],
+        how="semi",
+    )
+
+
 def _q_events_value_histogram(sf_dir: str):
     """Fixed-width value histogram (bin = floor(value/50)) — the
     distribution-profiling shape; vectorized bin assignment + low-card
@@ -1262,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": _q_events_pivot_daily,
         "events_running_total": _q_events_running_total,
         "events_value_histogram": _q_events_value_histogram,
+        "bloom_semi_customers": _q_bloom_semi_customers,
     }
 
 
@@ -1618,6 +1645,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "bloom_semi_customers": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
         """,
         "events_value_histogram": """
             SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,

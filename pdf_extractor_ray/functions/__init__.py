@@ -40,6 +40,13 @@ from .agg import (  # noqa: F401
     exact_quantiles_by,
     lowcard_groupby_agg,
 )
+from .sketch import (  # noqa: F401
+    approx_distinct,
+    approx_distinct_by,
+    bloom_build,
+    bloom_contains,
+    bloom_prefilter,
+)
 from .merge import merge_sources, merge_tagged  # noqa: F401
 from .multimodal import (  # noqa: F401
     audio_features,

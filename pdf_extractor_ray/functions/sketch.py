@@ -80,6 +80,75 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
     return round(_estimate(merged, p))
 
 
+def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Distributed Bloom filter over an integer key column.
+
+    Per block: k salted splitmix64 hashes set bits in a LOCAL bitmap;
+    only the fixed-size bitmap (n_bits/8 bytes, 128 KiB at the
+    default) leaves each task, and merge is a bitwise OR — the same
+    constant-size mergeable-sketch shape as HLL. False-positive rate
+    ≈ (1 - e^(-k·n/m))^k; size m for your n accordingly.
+
+    Use as a shuffle pre-filter: at 100 TB, ship the 128 KiB filter to
+    every task instead of hash-shuffling the big side against a
+    membership set — rows that fail the bloom never enter the exact
+    join. No false negatives, so a bloom-then-exact-verify plan is
+    exactly semi-join semantics at a fraction of the shuffle volume.
+    """
+    import ray
+
+    words = n_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64).astype(
+            np.uint64
+        )
+        bits = np.zeros(words, dtype=np.uint64)
+        for i in range(k):
+            h = _hash64(vals + np.uint64(0x9E37 * (i + 1))) % np.uint64(n_bits)
+            np.bitwise_or.at(bits, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    merged = np.zeros(words, dtype=np.uint64)
+    for t in parts:
+        for blob in t.column("bits").to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint64)
+    return merged
+
+
+def bloom_contains(bloom: np.ndarray, vals: np.ndarray, n_bits: int, k: int = 4):
+    """Vectorized membership test (bool array); no false negatives."""
+    vals = vals.astype(np.uint64)
+    ok = np.ones(len(vals), dtype=bool)
+    for i in range(k):
+        h = _hash64(vals + np.uint64(0x9E37 * (i + 1))) % np.uint64(n_bits)
+        word = bloom[(h >> np.uint64(6)).astype(np.int64)]
+        ok &= (word >> (h & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_prefilter(ds, col: str, bloom: np.ndarray, n_bits: int = 1 << 20,
+                    k: int = 4):
+    """Keep only rows whose key MIGHT be in the bloom (broadcast via
+    ``ray.put`` once, zero-copy read per task). Pair with an exact
+    semi-join downstream for exact semantics."""
+    import ray
+
+    bloom_ref = ray.put(bloom)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(bloom_contains(b, vals, n_bits, k)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def approx_distinct_by(ds, group_col: str, col: str, p: int = 12):
     """Per-group HLL distinct estimate — ``approx_count_distinct(col)
     GROUP BY group_col`` without shuffling the values.

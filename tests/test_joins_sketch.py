@@ -266,3 +266,28 @@ def test_hash_join_validate_rejects_unknown():
 
     with pytest.raises(ValueError):
         hash_join(None, None, "k", "k", ["k"], [], validate="nope")
+
+
+def test_bloom_no_false_negatives_and_fp_bound(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_prefilter,
+    )
+
+    rng = np.random.default_rng(9)
+    members = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(members.tolist(), pa.int64())}))
+    bloom = bloom_build(ds, "k", n_bits=1 << 18, k=4)
+    # zero false negatives
+    assert bloom_contains(bloom, members, 1 << 18, 4).all()
+    # false-positive rate near theory: (1-e^(-kn/m))^k ≈ 0.24% here
+    non = rng.choice(10_000_000, size=20_000, replace=False)
+    non = non[~np.isin(non, members)].astype(np.int64)
+    fp = bloom_contains(bloom, non, 1 << 18, 4).mean()
+    assert fp < 0.02, fp
+    # prefilter keeps every member row
+    kept = bloom_prefilter(ds, "k", bloom, n_bits=1 << 18).to_pandas()
+    assert len(kept) == len(members)
