@@ -898,6 +898,19 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """Approximate quantiles of the unbounded-cardinality event value
+    column — two constant-payload passes (min/max + 32 KiB bincount
+    partials). Rows-only (approximate by design); error ≤ range/4096
+    is pinned by tests/test_joins_sketch.py against exact numpy."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles(ds, "value", qs=(0.25, 0.5, 0.75, 0.9))
+
+
 def _q_bloom_semi_customers(sf_dir: str):
     """Bloom-prefiltered semi-join: customers with ≥1 URGENT order.
     The 128 KiB bloom (built from urgent o_custkeys, OR-merged
@@ -1289,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_value_histogram": _q_events_value_histogram,
         "bloom_semi_customers": _q_bloom_semi_customers,
+        "approx_value_quantiles": _q_approx_value_quantiles,
     }
 
 

@@ -43,6 +43,7 @@ from .agg import (  # noqa: F401
 from .sketch import (  # noqa: F401
     approx_distinct,
     approx_distinct_by,
+    approx_quantiles,
     bloom_build,
     bloom_contains,
     bloom_prefilter,

@@ -80,6 +80,66 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
     return round(_estimate(merged, p))
 
 
+def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9),
+                     n_bins: int = 4096) -> pa.Table:
+    """Approximate quantiles for an UNBOUNDED-cardinality numeric
+    column (``agg.exact_quantiles`` requires bounded distinct values).
+
+    Two streaming passes, both constant-size payloads:
+    1. global min/max (native aggregate)
+    2. per-block fixed-width ``np.bincount`` histogram — one 32 KiB
+       int64[n_bins] array per block, summed on the driver
+
+    Deterministic, mergeable, error ≤ (max-min)/n_bins in VALUE space
+    (the returned value is the lower edge of the quantile's bin,
+    linearly interpolated within the bin by rank). The classic
+    distributed-quantile shape when a t-digest dependency isn't
+    available.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if hi == lo:
+        return pa.table(
+            {"q": pa.array([float(q) for q in qs], pa.float64()),
+             "value": pa.array([lo] * len(qs), pa.float64())}
+        )
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        c = np.bincount(idx, minlength=n_bins).astype(np.int64)
+        return pa.table({"counts": pa.array([c.tobytes()], pa.binary())})
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for t in parts:
+        for blob in t.column("counts").to_pylist():
+            counts += np.frombuffer(blob, dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        b = int(np.searchsorted(cum, rank, side="left"))
+        prev = int(cum[b - 1]) if b else 0
+        frac = (rank - prev) / max(int(counts[b]), 1)
+        out_q.append(float(q))
+        out_v.append(lo + (b + frac) * width)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
+
+
 def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
     """Distributed Bloom filter over an integer key column.
 

@@ -291,3 +291,31 @@ def test_bloom_no_false_negatives_and_fp_bound(ray_session):
     # prefilter keeps every member row
     kept = bloom_prefilter(ds, "k", bloom, n_bits=1 << 18).to_pandas()
     assert len(kept) == len(members)
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([
+        rng.normal(100, 20, 20_000),
+        rng.exponential(50, 5_000),  # skewed tail
+    ])
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(vals.tolist())}))
+    out = approx_quantiles(ds, "value", qs=(0.1, 0.5, 0.9, 0.99)).to_pandas()
+    bound = (vals.max() - vals.min()) / 4096
+    for _, row in out.iterrows():
+        exact = np.quantile(vals, row["q"])
+        assert abs(row["value"] - exact) <= bound * 2, (row["q"], row["value"], exact)
+
+
+def test_approx_quantiles_constant_column(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"value": pa.array([7.0] * 100)}))
+    out = approx_quantiles(ds, "value").to_pandas()
+    assert (out["value"] == 7.0).all()
