@@ -898,6 +898,15 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_top_tokens_approx(sf_dir: str):
+    """Approximate heavy hitters: top-25 tokens with bounded per-block
+    state (local top-1000 truncation) — rows-only; agreement with the
+    exact shuffle is pinned by tests/test_functions.py."""
+    from pdf_extractor_ray.functions.text import top_tokens_approx
+
+    return top_tokens_approx(_docs(sf_dir), k=25)
+
+
 def _q_approx_value_quantiles(sf_dir: str):
     """Approximate quantiles of the unbounded-cardinality event value
     column — two constant-payload passes (min/max + 32 KiB bincount
@@ -1303,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _q_events_value_histogram,
         "bloom_semi_customers": _q_bloom_semi_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
+        "top_tokens_approx": _q_top_tokens_approx,
     }
 
 

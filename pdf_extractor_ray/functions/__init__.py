@@ -6,6 +6,7 @@ from .text import (  # noqa: F401
     rarest_token_per_doc,
     token_df,
     top_ngrams,
+    top_tokens_approx,
 )
 from .window import (  # noqa: F401
     lag_gap_stats,

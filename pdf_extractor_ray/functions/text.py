@@ -233,6 +233,43 @@ def token_df(docs_ds, k: int = 25, text_col: str = "text"):
     return counts.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
+def top_tokens_approx(docs_ds, k: int = 25, per_block: int = 1000,
+                      text_col: str = "text"):
+    """Approximate heavy hitters: corpus top-k tokens with BOUNDED
+    per-block state — each block emits only its local top
+    ``per_block`` (token, count) pairs (SpaceSaving-style truncation)
+    instead of its full vocabulary, so shuffle volume is
+    blocks × per_block regardless of vocabulary size.
+
+    Exact twin: ``top_ngrams``(n=1) / ``token_df``. A true heavy
+    hitter (frequency ≥ total/per_block in every block) can never be
+    truncated out; rarer tokens may be under-counted — the standard
+    trade. Deterministic: local truncation ties break by token.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update((t or "").split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:per_block]
+        return pa.table(
+            {
+                "token": pa.array([t for t, _ in top], pa.string()),
+                "n_partial": pa.array([n for _, n in top], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def rarest_token_per_doc(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per document, its token with the SMALLEST corpus document
     frequency (ties → lexicographically smallest token) — the

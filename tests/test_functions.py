@@ -192,3 +192,33 @@ def test_token_df_counts_docs_not_occurrences(ray_session):
     df = token_df(ds, k=10).to_pandas()
     got = dict(zip(df["token"], df["df"]))
     assert got == {"a": 2, "c": 2, "b": 1, "d": 1}
+
+
+def test_top_tokens_approx_agrees_with_exact(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import top_ngrams, top_tokens_approx
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = top_ngrams(docs, n=1, k=10).to_pandas()
+    approx = top_tokens_approx(docs, k=10, per_block=1000).to_pandas()
+    # true heavy hitters survive bounded truncation with exact counts
+    assert list(approx["token"]) == list(exact["ngram"])
+    assert list(approx["n"]) == list(exact["n"])
+
+
+def test_top_tokens_approx_truncation_is_bounded(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import top_tokens_approx
+
+    # tiny per_block forces truncation; top-1 (the single dominant
+    # token) must still be found with its full count
+    docs = ray.data.from_arrow(__import__("pyarrow").table({
+        "text": ["dominant " * 50 + "rare%d unique%d" % (i, i) for i in range(40)],
+    }))
+    out = top_tokens_approx(docs, k=1, per_block=2).to_pandas()
+    assert out["token"].iloc[0] == "dominant"
+    assert out["n"].iloc[0] == 2000
