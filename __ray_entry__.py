@@ -898,6 +898,16 @@ def _q_events_props_stats(sf_dir: str):
     )
 
 
+def _q_corpus_prep(sf_dir: str):
+    """The composed end-to-end corpus-prep pipeline: quality/language
+    gate → exact dedup → MinHash near-dup removal. Rows-only (the
+    near-dup stage is probabilistic); survivor invariants are pinned
+    by tests/test_corpus_prep.py."""
+    from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+    return corpus_prep_pipeline(_docs(sf_dir))
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1313,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_customers": _q_bloom_semi_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "top_tokens_approx": _q_top_tokens_approx,
+        "corpus_prep": _q_corpus_prep,
     }
 
 

@@ -1,0 +1,54 @@
+"""End-to-end corpus-prep pipeline invariants."""
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def test_corpus_prep_invariants(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    out = corpus_prep_pipeline(docs).to_pandas()
+    raw = docs.to_pandas()
+
+    # survivors are a subset of the input, no duplicates
+    assert out["doc_id"].is_unique
+    assert set(out["doc_id"]).issubset(set(raw["doc_id"]))
+    # gates hold for every survivor
+    assert (out["quality_score"] >= 0.3).all()
+    assert set(out["lang"]).issubset({"en", "de", "fr", "es"})
+    # something was actually filtered and something survived
+    assert 0 < len(out) < len(raw)
+    # text column is dropped from the write-ready output
+    assert "text" not in out.columns
+    # deterministic: second run identical
+    out2 = corpus_prep_pipeline(docs).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_corpus_prep_drops_planted_dups(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+    base = ("high quality natural language content with enough tokens "
+            "to clear the quality gate and then some more words here "
+            "the a of and to in is it flowing onward through text " * 3)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "en"]),
+        "text": pa.array([
+            base,                      # kept (smallest id of dup cluster)
+            base,                      # exact dup of 1 → dropped
+            base + " tiny tail edit",  # near dup of 1 → dropped
+            "completely different but equally long and fluent prose "
+            "about gardens rivers mountains the a of and to in is it "
+            "wandering beyond the horizon line " * 3,  # kept
+        ]),
+    })
+    out = corpus_prep_pipeline(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
