@@ -496,11 +496,29 @@ def latest_by_key(ds, key: str, ts_col: str, tiebreak: str):
     """Keep the newest row per key (recrawl dedup, SURVEY §2.7: "exact
     dedup by url, last-write-wins per warc_ts").
 
-    High-cardinality key → the hash-partitioned ``groupby`` shuffle is
-    the right tool (every key's rows must co-locate once); within a
-    group the winner is picked vectorized by (ts, tiebreak) argmax, so
-    per-group work is O(rows).
+    Argmax is ASSOCIATIVE, so a per-block partial pass first reduces
+    every block to one winner per key present in the block — a hot key
+    (one url recrawled millions of times) therefore contributes at
+    most ONE row per block to the shuffle instead of co-locating all
+    its rows in a single group task. No salting needed; skew is
+    structurally impossible after the partial. The global groupby then
+    picks the final winner among ≤ n_blocks rows per key.
     """
+
+    def partial_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = np.asarray(batch.column(key).to_pylist())
+        ts = np.asarray(batch.column(ts_col).to_pylist())
+        tb = np.asarray(batch.column(tiebreak).to_pylist())
+        # sort by (key, ts, tiebreak); the LAST row of each key run is
+        # that key's block-local winner
+        order = np.lexsort((tb, ts, keys))
+        sk = keys[order]
+        last_of_run = np.nonzero(
+            np.concatenate([sk[1:] != sk[:-1], [True]])
+        )[0]
+        return batch.take(pa.array(order[last_of_run], pa.int64()))
 
     def take_latest(group: pa.Table) -> pa.Table:
         ts = np.asarray(group.column(ts_col).to_pylist())
@@ -508,7 +526,11 @@ def latest_by_key(ds, key: str, ts_col: str, tiebreak: str):
         best = np.lexsort((tb, ts))[-1]  # max (ts, tiebreak), vectorized
         return group.slice(int(best), 1)
 
-    return ds.groupby(key).map_groups(take_latest, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial_latest, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(take_latest, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------------ simhash

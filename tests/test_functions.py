@@ -222,3 +222,33 @@ def test_top_tokens_approx_truncation_is_bounded(ray_session):
     out = top_tokens_approx(docs, k=1, per_block=2).to_pandas()
     assert out["token"].iloc[0] == "dominant"
     assert out["n"].iloc[0] == 2000
+
+
+def test_latest_by_key_hot_key_partial(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import latest_by_key
+
+    # one hot key with many rows across blocks + a normal key
+    n = 500
+    rows = pa.table({
+        "url": pa.array(["hot"] * n + ["cold"], pa.string()),
+        "warc_ts": pa.array(
+            [dt.datetime(2024, 1, 1 + (i % 28)) for i in range(n)]
+            + [dt.datetime(2024, 2, 1)],
+            pa.timestamp("us"),
+        ),
+        "rid": pa.array(list(range(n)) + [9999], pa.int64()),
+    })
+    ds = ray.data.from_arrow(rows).repartition(8)
+    out = (
+        latest_by_key(ds, "url", "warc_ts", "rid")
+        .to_pandas().set_index("url")
+    )
+    # hot winner: max ts day 28, tie -> max rid among day-28 rows
+    day28 = [i for i in range(n) if i % 28 == 27]
+    assert out.loc["hot", "rid"] == max(day28)
+    assert out.loc["cold", "rid"] == 9999
