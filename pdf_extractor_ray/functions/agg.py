@@ -246,10 +246,29 @@ def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
     """One row per key: the row with the LARGEST score (ties broken by
     the smallest tiebreak value — deterministic).
 
-    Single hash shuffle (groupby key); the in-group pick is one numpy
-    lexsort, no per-row Python.
+    Argmax is associative, so a per-block partial pass first reduces
+    each block to one candidate per key present in it — with a
+    low-cardinality key every key is hot, and without the partial all
+    of a key's rows would co-locate in one group task; after it, the
+    shuffle carries ≤ n_blocks rows per key. In-group and in-block
+    picks are numpy lexsorts, no per-row Python.
     """
     import numpy as np
+
+    def partial_pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        k = np.asarray(batch.column(key).to_pylist())
+        s = np.asarray(batch.column(score_col).to_pylist(), dtype=np.float64)
+        t = np.asarray(batch.column(tiebreak_col).to_pylist())
+        # per key run: best = max score, tie -> min tiebreak ⇒ sort by
+        # (key, -score, tiebreak) ascending and take each run's FIRST
+        order = np.lexsort((t, -s, k))
+        sk = k[order]
+        first_of_run = np.nonzero(
+            np.concatenate([[True], sk[1:] != sk[:-1]])
+        )[0]
+        return batch.take(pa.array(order[first_of_run], pa.int64()))
 
     def pick(group: pa.Table) -> pa.Table:
         s = np.asarray(group.column(score_col).to_pylist(), dtype=np.float64)
@@ -257,4 +276,8 @@ def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
         best = np.lexsort((t, -s))[0]
         return group.slice(int(best), 1)
 
-    return ds.groupby(key).map_groups(pick, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial_pick, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(pick, batch_format="pyarrow")
+    )
