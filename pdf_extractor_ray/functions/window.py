@@ -154,11 +154,26 @@ def topk_per_group(
     descending: bool = True,
 ):
     """Grouped top-k with rank — ``row_number() OVER (PARTITION BY key
-    ORDER BY score DESC, tiebreak) <= k``. One hash shuffle; in-group
-    lexsort + head. Output: all input columns plus int64 ``rk``
-    (1-based). Scale: only k rows per key survive the group task, so
-    the output is tiny regardless of input size; a hot key costs one
-    in-group sort, not a global one."""
+    ORDER BY score DESC, tiebreak) <= k``. Top-k is associative, so a
+    per-block partial first trims each block to its local top-k per
+    key — the shuffle then carries ≤ n_blocks·k rows per key no matter
+    how hot the key. In-group/in-block work is lexsort + head. Output:
+    all input columns plus int64 ``rk`` (1-based)."""
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        kk = np.asarray(batch.column(key).to_pylist())
+        s = np.asarray(batch.column(score_col).to_pylist())
+        t = np.asarray(batch.column(tiebreak_col).to_pylist())
+        order = np.lexsort((t, -s if descending else s, kk))
+        sk = kk[order]
+        # rank within each key run; keep ranks < k
+        run_start = np.concatenate([[True], sk[1:] != sk[:-1]])
+        run_idx = np.arange(len(sk)) - np.maximum.accumulate(
+            np.where(run_start, np.arange(len(sk)), 0)
+        )
+        return batch.take(pa.array(order[run_idx < k], pa.int64()))
 
     def top(group: pa.Table) -> pa.Table:
         score = np.asarray(group.column(score_col).to_pylist())
@@ -170,4 +185,8 @@ def topk_per_group(
             "rk", pa.array(np.arange(1, len(head) + 1), pa.int64())
         )
 
-    return ds.groupby(key).map_groups(top, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial_top, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(top, batch_format="pyarrow")
+    )

@@ -173,3 +173,23 @@ def test_semi_anti_join_string_keys(ray_session):
     anti = semi_anti_join(left, right, "url", "seen", ["url", "v"],
                           how="anti", num_partitions=4).to_pandas()
     assert sorted(anti["url"]) == ["a.com", "c.com"]
+
+
+def test_topk_per_group_partial_matches_across_blocks(ray_session):
+    import numpy as np
+    import ray.data
+
+    # 1000 rows of ONE key spread over 8 blocks: the partial must not
+    # change the global top-k result
+    rng = np.random.default_rng(21)
+    scores = rng.permutation(1000).astype(float)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([1] * 1000, pa.int64()),
+        "score": pa.array(scores.tolist()),
+        "id": pa.array(list(range(1000)), pa.int64()),
+    })).repartition(8)
+    from pdf_extractor_ray.functions.window import topk_per_group
+
+    out = topk_per_group(ds, "g", "score", "id", k=5).to_pandas()
+    want_ids = np.argsort(-scores)[:5]
+    assert list(out.sort_values("rk")["id"]) == list(want_ids)
