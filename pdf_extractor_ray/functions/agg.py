@@ -194,7 +194,9 @@ def exact_distinct_by(ds, key: str, col: str, out_col: str = "n_distinct"):
     def block_distinct(batch: pa.Table) -> pa.Table:
         return batch.select([key, col]).group_by([key, col]).aggregate([])
 
-    pairs = ds.map_batches(block_distinct, batch_format="pyarrow")
+    from .dedup import compact_blocks
+
+    pairs = compact_blocks(ds.map_batches(block_distinct, batch_format="pyarrow"))
     global_pairs = pairs.groupby([key, col]).aggregate(Count(alias_name="__n"))
     return lowcard_groupby_agg(
         global_pairs.select_columns([key]), [key], [(key, "count", out_col)]
