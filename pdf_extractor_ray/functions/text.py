@@ -129,39 +129,60 @@ _TRIGRAM_PROFILES = {
 }
 
 
+def _pick_langs(scores: "np.ndarray", lang_names) -> pa.Array:
+    """(n, L) score matrix → lang of the strictly-max score per row,
+    'unknown' where every score is 0 (ties keep the earlier profile —
+    same semantics as the sequential `score > best` loop)."""
+    import numpy as np
+
+    best = np.argmax(scores, axis=1)  # first max wins ties
+    maxv = scores[np.arange(len(scores)), best]
+    names = np.asarray(list(lang_names))
+    out = np.where(maxv > 0, names[best], "unknown")
+    return pa.array(out.tolist(), pa.string())
+
+
 def detect_language_ngram(batch: pa.Table) -> pa.Table:
     """Character-trigram language id: score = count of profile trigrams
     present in the text, weighted by profile rank (earlier = more
-    distinctive). Deterministic tie-break by profile order."""
-    texts = batch.column("text").to_pylist()
-    langs = []
-    for t in texts:
-        s = " " + (t or "").lower() + " "
-        best, best_score = "unknown", 0.0
-        for lang, grams in _TRIGRAM_PROFILES.items():
-            score = sum(
-                (len(grams) - rank) * s.count(g)
-                for rank, g in enumerate(grams)
-            )
-            if score > best_score:
-                best, best_score = lang, score
-        langs.append(best)
-    return batch.append_column("detected_lang_ngram", pa.array(langs, pa.string()))
+    distinctive). Deterministic tie-break by profile order. Fully
+    vectorized: one ``pc.count_substring`` kernel per profile trigram
+    over the whole batch, no per-row Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    padded = pc.binary_join_element_wise(
+        " ", pc.utf8_lower(pc.fill_null(batch.column("text"), "")), " ", ""
+    )
+    scores = np.zeros((batch.num_rows, len(_TRIGRAM_PROFILES)), dtype=np.int64)
+    for j, grams in enumerate(_TRIGRAM_PROFILES.values()):
+        for rank, g in enumerate(grams):
+            c = pc.count_substring(padded, g).to_numpy(zero_copy_only=False)
+            scores[:, j] += (len(grams) - rank) * c
+    return batch.append_column(
+        "detected_lang_ngram", _pick_langs(scores, _TRIGRAM_PROFILES)
+    )
 
 
 def detect_language(batch: pa.Table) -> pa.Table:
-    """Stopword-profile language id (heuristic; not SQL-expressible)."""
-    texts = batch.column("text").to_pylist()
-    langs = []
-    for t in texts:
-        toks = set((t or "").lower().split())
-        best, best_score = "unknown", 0
-        for lang, profile in _LANG_PROFILES.items():
-            score = len(toks & profile)
-            if score > best_score:
-                best, best_score = lang, score
-        langs.append(best)
-    return batch.append_column("detected_lang", pa.array(langs, pa.string()))
+    """Stopword-profile language id (heuristic; not SQL-expressible).
+    Vectorized: whitespace-normalize once, then one substring-presence
+    kernel per profile word (`` word ``-in-padded ⟺ token membership)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(batch.column("text"), "")), r"\s+", " "
+    )
+    padded = pc.binary_join_element_wise(" ", t, " ", "")
+    scores = np.zeros((batch.num_rows, len(_LANG_PROFILES)), dtype=np.int64)
+    for j, profile in enumerate(_LANG_PROFILES.values()):
+        for w in profile:
+            present = pc.greater(pc.count_substring(padded, f" {w} "), 0)
+            scores[:, j] += present.to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column(
+        "detected_lang", _pick_langs(scores, _LANG_PROFILES)
+    )
 
 
 def top_ngrams(docs_ds, n: int = 2, k: int = 25, text_col: str = "text"):

@@ -252,3 +252,51 @@ def test_latest_by_key_hot_key_partial(ray_session):
     day28 = [i for i in range(n) if i % 28 == 27]
     assert out.loc["hot", "rid"] == max(day28)
     assert out.loc["cold", "rid"] == 9999
+
+
+def test_detect_language_vectorized_matches_reference():
+    """The vectorized detectors must agree with a per-row reference."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.text import (
+        _LANG_PROFILES,
+        _TRIGRAM_PROFILES,
+        detect_language,
+        detect_language_ngram,
+    )
+
+    texts = [
+        "the cat and the dog of it is in that",
+        "der hund und die katze ist nicht ein zu",
+        "le chat et la les est un une que",
+        "el perro y la los es un una que",
+        "zzz qqq xxx",               # no profile hits -> unknown
+        "",                          # empty
+        None,                        # null
+        "the\nand\tof to is in it",  # whitespace variants
+        "the the the und und und",   # cross-language tie material
+    ]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+
+    def ref_stop(t):
+        toks = set((t or "").lower().split())
+        best, score0 = "unknown", 0
+        for lang, prof in _LANG_PROFILES.items():
+            s = len(toks & prof)
+            if s > score0:
+                best, score0 = lang, s
+        return best
+
+    def ref_ngram(t):
+        s = " " + (t or "").lower() + " "
+        best, score0 = "unknown", 0.0
+        for lang, grams in _TRIGRAM_PROFILES.items():
+            sc = sum((len(grams) - r) * s.count(g) for r, g in enumerate(grams))
+            if sc > score0:
+                best, score0 = lang, sc
+        return best
+
+    got_stop = detect_language(batch).column("detected_lang").to_pylist()
+    got_ng = detect_language_ngram(batch).column("detected_lang_ngram").to_pylist()
+    assert got_stop == [ref_stop(t) for t in texts]
+    assert got_ng == [ref_ngram(t) for t in texts]
