@@ -35,22 +35,29 @@ _LANG_PROFILES = {
 
 
 def add_text_features(batch: pa.Table) -> pa.Table:
-    texts: List[str] = batch.column("text").to_pylist()
-    n_tokens = []
-    n_stop = []
-    n_punct = []
-    fingerprints = []
-    for t in texts:
-        t = t or ""
-        toks = t.split()
-        n_tokens.append(len(toks))
-        n_stop.append(sum(tok in STOPWORDS for tok in toks))
-        n_punct.append(len(_PUNCT_RE.sub("", t)))
-        fingerprints.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-    tok_arr = pa.array(n_tokens, pa.int64())
+    # vectorized counts: token / punct / stopword tallies are Arrow
+    # regex-count kernels over the whole column. Token-occurrence
+    # counting uses the double-space trick (every single space becomes
+    # two) so consecutive stopwords never share a delimiter and the
+    # non-overlapping substring count equals the true token count.
+    text_col = pc.fill_null(batch.column("text"), "")
+    tok_arr = pc.cast(pc.count_substring_regex(text_col, r"\S+"), pa.int64())
+    punct_arr = pc.cast(
+        pc.count_substring_regex(text_col, r"[^A-Za-z0-9\s]"), pa.int64()
+    )
+    norm = pc.replace_substring_regex(text_col, r"\s", "  ")
+    padded = pc.binary_join_element_wise(" ", norm, " ", "")
+    n_stop_np = None
+    for w in STOPWORDS:
+        c = pc.count_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+        n_stop_np = c if n_stop_np is None else n_stop_np + c
+    stop_arr = pa.array(n_stop_np.astype("int64"), pa.int64())
+    # md5 fingerprint stays per-row (C-speed digest; no Arrow kernel)
+    fingerprints = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
     chars = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
-    punct_arr = pa.array(n_punct, pa.int64())
-    stop_arr = pa.array(n_stop, pa.int64())
     safe_chars = pc.max_element_wise(chars, pa.scalar(1, pa.int64()))
     safe_toks = pc.max_element_wise(tok_arr, pa.scalar(1, pa.int64()))
     punct_ratio = pc.round(

@@ -300,3 +300,41 @@ def test_detect_language_vectorized_matches_reference():
     got_ng = detect_language_ngram(batch).column("detected_lang_ngram").to_pylist()
     assert got_stop == [ref_stop(t) for t in texts]
     assert got_ng == [ref_ngram(t) for t in texts]
+
+
+def test_add_text_features_vectorized_matches_reference():
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.text import STOPWORDS, add_text_features
+
+    texts = [
+        "The the the and and to, in. it is",
+        "no stops here whatsoever",
+        "",
+        None,
+        "a  b\t\tthe\nthe  (x) [y]!! 42",
+        "the",
+        " leading and trailing the ",
+    ]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = add_text_features(batch)
+    punct_re = re.compile(r"[A-Za-z0-9\s]")
+    for i, t in enumerate(texts):
+        s = t or ""
+        toks = s.split()
+        assert out.column("n_tokens")[i].as_py() == len(toks), (i, t)
+        want_stop = sum(tok in STOPWORDS for tok in toks)
+        n_chars = max(len(s), 1) if t is not None else None
+        want_punct = len(punct_re.sub("", s))
+        if t is not None:
+            got_pr = out.column("punct_ratio")[i].as_py()
+            assert got_pr == round(want_punct / max(len(s), 1), 6), (i, t)
+        got_sr = out.column("stopword_ratio")[i].as_py()
+        assert got_sr == round(want_stop / max(len(toks), 1), 6), (i, t)
+        assert (
+            out.column("fingerprint")[i].as_py()
+            == hashlib.md5(s.encode()).hexdigest()
+        )
