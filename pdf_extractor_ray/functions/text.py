@@ -15,13 +15,10 @@ SQL-mirrorable so the driver's DuckDB oracle can verify them exactly
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import List
 
 import pyarrow as pa
 import pyarrow.compute as pc
-
-_PUNCT_RE = re.compile(r"[A-Za-z0-9\s]")
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -108,7 +105,6 @@ def add_quality_score(batch: pa.Table) -> pa.Table:
     return batch.append_column("quality_score", score)
 
 
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
 def count_bpe_tokens(batch: pa.Table) -> pa.Table:
@@ -116,9 +112,14 @@ def count_bpe_tokens(batch: pa.Table) -> pa.Table:
     single punctuation) — the pre-tokenization split GPT-style BPE
     vocabularies apply before merges; SQL-mirrorable via
     ``regexp_extract_all``."""
-    texts = batch.column("text").to_pylist()
-    counts = [len(_BPE_RE.findall(t or "")) for t in texts]
-    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+    counts = pc.cast(
+        pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""),
+            r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]",
+        ),
+        pa.int64(),
+    )
+    return batch.append_column("n_bpe_tokens", counts)
 
 
 # character-trigram profiles (top distinctive trigrams incl. spaces, per
