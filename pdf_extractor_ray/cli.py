@@ -49,7 +49,8 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--input", nargs="+", required=True,
                     help="parquet files/dirs/globs of pages (url, warc_ts, html, text, lang)")
     ap.add_argument("--output", required=True, help="output directory")
-    ap.add_argument("--mode", choices=("extract", "construction", "standard"),
+    ap.add_argument("--mode",
+                    choices=("extract", "construction", "standard", "corpus-prep"),
                     default="construction")
     ap.add_argument("--input-format", choices=("parquet", "files", "warc"),
                     default="parquet",
@@ -66,11 +67,37 @@ def main(argv: List[str] | None = None) -> int:
 
     import ray
 
+    started_ray = False
     if not ray.is_initialized():
         kw = {"include_dashboard": False}
         if args.num_cpus:
             kw["num_cpus"] = args.num_cpus
         ray.init(address="local", **kw)
+        started_ray = True
+
+    if args.mode == "corpus-prep":
+        # training-corpus preparation over a documents table
+        # (doc_id, text, lang): quality gate -> exact dedup -> MinHash
+        # near-dup removal, written as partitioned parquet
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+        docs = ray.data.read_parquet(_expand(args.input))
+        out = corpus_prep_pipeline(docs)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+
+        metrics = {
+            "rows": sum(
+                pq.read_metadata(f).num_rows
+                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+            )
+        }
+        print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
+        if started_ray:
+            ray.shutdown()
+        return 0
 
     if args.input_format in ("files", "warc"):
         # raw .pdf/.html files (the reference's input shape) or WARC
@@ -103,7 +130,8 @@ def main(argv: List[str] | None = None) -> int:
                 )
             }
         print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
-        ray.shutdown()
+        if started_ray:
+            ray.shutdown()
         return 0
 
     files = _expand(args.input)
@@ -137,7 +165,8 @@ def main(argv: List[str] | None = None) -> int:
             }
 
     print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
-    ray.shutdown()
+    if started_ray:
+        ray.shutdown()
     return 0
 
 

@@ -52,3 +52,25 @@ def test_corpus_prep_drops_planted_dups(ray_session):
     })
     out = corpus_prep_pipeline(ray.data.from_arrow(t)).to_pandas()
     assert sorted(out["doc_id"]) == [1, 4]
+
+
+def test_cli_corpus_prep_mode(ray_session, tmp_path):
+    import glob
+    import json
+
+    from pdf_extractor_ray.cli import main
+
+    out_dir = str(tmp_path / "prep")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--mode", "corpus-prep",
+    ])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out_dir}/*.parquet"))
+    assert files
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    assert 0 < n < 500
+    cols = set(pq.read_schema(files[0]).names)
+    assert {"doc_id", "lang", "quality_score"} <= cols and "text" not in cols
