@@ -332,6 +332,17 @@ def minhash_lsh_verified(
         concurrency=(1, 8),
     ))
     raw_pairs = compact_blocks(bucket_collision_pairs(bands_ds, distinct=False))
+    out_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+         pa.field("jaccard", pa.float64())]
+    )
+    if raw_pairs.count() == 0:
+        # no candidates (e.g. an empty or all-unique corpus): a
+        # fully-empty Dataset has no schema, which would break the
+        # join below — return a typed empty result instead
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
     sh_ds = compact_blocks(candidate_shingles(docs_ds, raw_pairs, k=k))
 
     def explode(batch: pa.Table) -> pa.Table:

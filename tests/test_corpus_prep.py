@@ -74,3 +74,32 @@ def test_cli_corpus_prep_mode(ray_session, tmp_path):
     assert 0 < n < 500
     cols = set(pq.read_schema(files[0]).names)
     assert {"doc_id", "lang", "quality_score"} <= cols and "text" not in cols
+
+
+def test_corpus_prep_survives_fully_filtered_input(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["zz", "qq"]),  # nothing passes the lang gate
+        "text": pa.array(["hello world", "foo bar"]),
+    }))
+    out = corpus_prep_pipeline(docs).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_verified_no_candidates(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["totally unique alpha beta gamma",
+                          "different words entirely here now"]),
+    }))
+    out = minhash_lsh_verified(docs).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_a", "doc_b", "jaccard"] or len(out.columns) == 0
