@@ -908,6 +908,32 @@ def _q_corpus_prep(sf_dir: str):
     return corpus_prep_pipeline(_docs(sf_dir))
 
 
+_CONTAMINATION_PROBES = ("key agg row", "window spark order", "slow filter value")
+
+
+def _q_contamination_check(sf_dir: str):
+    """Benchmark-contamination screening: documents containing any of a
+    fixed probe-phrase blocklist, with per-probe hit flags — the
+    eval-set leakage scan a training corpus needs. One vectorized
+    ``match_substring`` kernel per probe over the whole batch; the
+    probe list broadcasts in the task closure (tiny by contract)."""
+    import pyarrow.compute as pc
+
+    def flags(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch.column("doc_id")}
+        hit = None
+        for i, p in enumerate(_CONTAMINATION_PROBES):
+            m = pc.match_substring(batch.column("text"), p)
+            cols[f"hit_{i}"] = pc.cast(m, pa.int64())
+            hit = m if hit is None else pc.or_(hit, m)
+        t = pa.table(cols)
+        return t.filter(hit)
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow"
+    )
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1323,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_customers": _q_bloom_semi_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "top_tokens_approx": _q_top_tokens_approx,
+        "contamination_check": _q_contamination_check,
         "corpus_prep": _q_corpus_prep,
     }
 
@@ -1680,6 +1707,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "contamination_check": """
+            SELECT doc_id,
+                   CAST(CASE WHEN text LIKE '%key agg row%' THEN 1 ELSE 0 END AS BIGINT) AS hit_0,
+                   CAST(CASE WHEN text LIKE '%window spark order%' THEN 1 ELSE 0 END AS BIGINT) AS hit_1,
+                   CAST(CASE WHEN text LIKE '%slow filter value%' THEN 1 ELSE 0 END AS BIGINT) AS hit_2
+            FROM documents
+            WHERE text LIKE '%key agg row%'
+               OR text LIKE '%window spark order%'
+               OR text LIKE '%slow filter value%'
         """,
         "bloom_semi_customers": """
             SELECT c_custkey, c_name
