@@ -338,3 +338,24 @@ def test_add_text_features_vectorized_matches_reference():
             out.column("fingerprint")[i].as_py()
             == hashlib.md5(s.encode()).hexdigest()
         )
+
+
+def test_compact_blocks_consolidates_small_and_keeps_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import compact_blocks
+
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(list(range(10_000)), pa.int64()),
+    })).repartition(64)
+    out = compact_blocks(ds)
+    # tiny data: 64 near-empty blocks consolidate to the floor
+    assert out.num_blocks() <= 32
+    assert sorted(out.to_pandas()["x"]) == list(range(10_000))
+
+    # already-compact data is returned as-is (no extra shuffle)
+    small = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    m = compact_blocks(small)
+    assert m.num_blocks() <= 2
+    assert sorted(m.to_pandas()["x"]) == [1, 2]
