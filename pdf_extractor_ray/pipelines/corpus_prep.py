@@ -61,22 +61,34 @@ def corpus_prep_pipeline(
     # ^ consumed three times below (exact-dup pass, near-dup pass,
     #   final filter); the gated corpus is the working set
 
-    # exact dedup: survivors = min doc_id per distinct text
+    # exact dedup: survivors = min doc_id per distinct text. Broadcast
+    # ONLY the duplicated hashes' representatives (∝ dup-cluster
+    # count) — never the full representative set, which is
+    # corpus-sized. A doc survives iff its text hash is not duplicated
+    # OR it is the cluster's min doc_id.
     reps = exact_dedup(gated)
-    rep_ids = np.sort(
-        np.asarray(
-            [r["min(doc_id)"] for r in reps.select_columns(["min(doc_id)"]).take_all()],
-            dtype=np.int64,
-        )
-    )
-    rep_ref = ray.put(rep_ids)
+    def only_dup_clusters(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("count()"), 1))
+
+    dup_reps = {
+        r["text_hash"]: r["min(doc_id)"]
+        for r in reps.map_batches(
+            only_dup_clusters, batch_format="pyarrow"
+        ).take_all()
+    }
+    rep_ref = ray.put(dup_reps)
 
     def keep_reps(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(
-            batch.column("doc_id"),
-            value_set=pa.array(ray.get(rep_ref), pa.int64()),
-        )
-        return batch.filter(keep)
+        import hashlib
+
+        lookup = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = []
+        for i, t in zip(ids, texts):
+            rep = lookup.get(hashlib.md5((t or "").encode("utf-8")).hexdigest())
+            keep.append(rep is None or rep == i)
+        return batch.filter(pa.array(keep))
 
     exact_unique = gated.map_batches(keep_reps, batch_format="pyarrow").materialize()
 
