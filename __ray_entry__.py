@@ -982,6 +982,34 @@ def _q_bloom_semi_customers(sf_dir: str):
     )
 
 
+def _q_events_weekday_profile(sf_dir: str):
+    """Date-part extraction (§2.8 temporal scalars): events per ISO
+    weekday (Mon=1..Sun=7) with value sums — vectorized
+    ``pc.day_of_week`` (Arrow counts Mon=0, hence the +1 to match SQL
+    ISODOW) + low-card fold. Values sum in exact int64 CENTS so the
+    aggregate hash-matches SQL regardless of float summation order."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def dow(batch: pa.Table) -> pa.Table:
+        d = pc.add(pc.day_of_week(batch.column("ts")), 1)  # Mon=1..Sun=7
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table({"isodow": pc.cast(d, pa.int64()), "cents": cents})
+
+    return lowcard_groupby_agg(
+        ds.map_batches(dow, batch_format="pyarrow"),
+        ["isodow"],
+        [("cents", "count", "n_events"), ("cents", "sum", "sum_cents")],
+    )
+
+
 def _q_events_value_histogram(sf_dir: str):
     """Fixed-width value histogram (bin = floor(value/50)) — the
     distribution-profiling shape; vectorized bin assignment + low-card
@@ -1346,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": _q_events_pivot_daily,
         "events_running_total": _q_events_running_total,
         "events_value_histogram": _q_events_value_histogram,
+        "events_weekday_profile": _q_events_weekday_profile,
         "bloom_semi_customers": _q_bloom_semi_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "top_tokens_approx": _q_top_tokens_approx,
@@ -1707,6 +1736,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "events_weekday_profile": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY isodow
         """,
         "contamination_check": """
             SELECT doc_id,
