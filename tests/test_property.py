@@ -176,3 +176,48 @@ def test_semi_anti_partition_property(left_keys, right_keys):
     got_anti = sorted(anti["rowid"]) if len(anti) else []
     assert got_semi == want_semi
     assert got_anti == want_anti
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 6)),
+                       st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 6)),
+                       st.integers(0, 100)), min_size=1, max_size=25),
+)
+def test_many_to_many_join_matches_duckdb_property(left_rows, right_rows):
+    """hash_join(validate='many') == SQL JOIN for arbitrary key
+    multisets including nulls, for both inner and left-outer."""
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    left = pa.table({
+        "k": pa.array([r[0] for r in left_rows], pa.int64()),
+        "lv": pa.array([r[1] for r in left_rows], pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([r[0] for r in right_rows], pa.int64()),
+        "rv": pa.array([r[1] for r in right_rows], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, jw in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        got = hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k2", ["k", "lv"], ["rv"],
+            how=how, validate="many", num_partitions=4,
+        ).to_pandas()
+        want = con.execute(
+            f"SELECT l.k, l.lv, r.rv FROM l {jw} r ON l.k = r.k2"
+        ).df()
+        assert len(got) == len(want), (how, len(got), len(want))
+        if len(want) == 0:
+            continue
+        g = got.fillna(-1).groupby(["k", "lv", "rv"]).size().sort_index()
+        w = want.fillna(-1).groupby(["k", "lv", "rv"]).size().sort_index()
+        assert g.equals(w), how
