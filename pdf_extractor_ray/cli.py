@@ -52,11 +52,13 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--mode",
                     choices=("extract", "construction", "standard", "corpus-prep"),
                     default="construction")
-    ap.add_argument("--input-format", choices=("parquet", "files", "warc"),
+    ap.add_argument("--input-format",
+                    choices=("parquet", "files", "warc", "csv", "jsonl"),
                     default="parquet",
                     help="'files' = directories of raw .pdf/.html files "
                     "(the reference's input shape, reference: main.py:65); "
-                    "'warc' = Common-Crawl-style .warc/.warc.gz archives")
+                    "'warc' = Common-Crawl-style .warc/.warc.gz archives; "
+                    "'csv'/'jsonl' = document tables (corpus-prep mode)")
     ap.add_argument("--files-per-partition", type=int, default=16)
     ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
                     help="output format for construction/standard modes "
@@ -83,7 +85,16 @@ def main(argv: List[str] | None = None) -> int:
 
         from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
 
-        docs = ray.data.read_parquet(_expand(args.input))
+        if args.input_format == "csv":
+            from pdf_extractor_ray.sources.text_table import documents_from_csv
+
+            docs = documents_from_csv(args.input)
+        elif args.input_format == "jsonl":
+            from pdf_extractor_ray.sources.text_table import documents_from_jsonl
+
+            docs = documents_from_jsonl(args.input)
+        else:
+            docs = ray.data.read_parquet(_expand(args.input))
         out = corpus_prep_pipeline(docs)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq

@@ -261,8 +261,16 @@ def candidate_shingles(docs_ds, cand_pairs_ds, k: int = 3):
     import pyarrow.compute as pc
     import ray
 
-    pairs_t = pa.concat_tables(
-        [ray.get(r) for r in cand_pairs_ds.to_arrow_refs()]
+    blocks = [
+        t for t in (ray.get(r) for r in cand_pairs_ds.to_arrow_refs())
+        if t.num_rows > 0  # empty shuffle partitions yield schemaless blocks
+    ]
+    pairs_t = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
     )
     ids = np.unique(
         np.concatenate(

@@ -45,3 +45,32 @@ def test_source_missing_columns_raises(ray_session, tmp_path):
     p.write_text("id,body\n1,x\n")
     with pytest.raises(Exception):
         documents_from_csv(str(p)).to_pandas()
+
+
+def test_cli_corpus_prep_from_jsonl(ray_session, tmp_path):
+    import glob
+    import json
+    import random
+
+    from pdf_extractor_ray.cli import main
+
+    rnd = random.Random(3)
+    base = ("the quality of the corpus and the text it holds is in the "
+            "flow of a whole document full of words " * 3)
+    rows = [
+        {"doc_id": i, "text": base + " ".join(
+            "".join(rnd.choices("abcdefgh", k=5)) for _ in range(10)),
+         "lang": "en"}
+        for i in range(20)
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out_dir = str(tmp_path / "prep")
+    rc = main(["--input", str(p), "--output", out_dir,
+               "--mode", "corpus-prep", "--input-format", "jsonl"])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(f"{out_dir}/*.parquet"))
+    assert 0 < n <= 20
