@@ -1126,6 +1126,16 @@ def _q_exact_users_by_type(sf_dir: str):
     return exact_distinct_by(ds, "event_type", "user_id", out_col="n_users")
 
 
+def _q_fixed_sample_docs(sf_dir: str):
+    """Exactly-100 deterministic global sample by md5 rank — fixed
+    output size (vs hash_sample's fixed rate); associative per-block
+    top-n so only blocks×n rows shuffle."""
+    from pdf_extractor_ray.functions.sample import fixed_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return fixed_sample(ds, "doc_id", n=100)
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Balanced per-language sample: 10 docs per lang in deterministic
     md5 pseudo-random order — the equal-per-class selection shape."""
@@ -1369,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_chars_by_lang": _q_quantiles_chars_by_lang,
         "rarest_token_per_doc": _q_rarest_token_per_doc,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "fixed_sample_docs": _q_fixed_sample_docs,
         "exact_users_by_type": _q_exact_users_by_type,
         "user_order_pairs": _q_user_order_pairs,
         "events_pivot_daily": _q_events_pivot_daily,
@@ -1797,6 +1808,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "fixed_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang, n_chars FROM (

@@ -14,7 +14,7 @@ from .window import (  # noqa: F401
     sessionize,
     topk_per_group,
 )
-from .sample import hash_sample, stratified_sample  # noqa: F401
+from .sample import fixed_sample, hash_sample, stratified_sample  # noqa: F401
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
 from .dedup import (  # noqa: F401
     add_exact_hash,

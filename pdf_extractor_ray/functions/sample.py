@@ -45,6 +45,42 @@ def hash_sample(ds, col: str, keep: int = 2, out_of: int = 16):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def fixed_sample(ds, key_col: str, n: int):
+    """EXACTLY-n deterministic global sample: the n rows ranking first
+    by ``(md5(str(key)), key)`` — SQL ``ORDER BY md5(..) LIMIT n``.
+
+    Unlike a rate sample (``hash_sample``) the output size is fixed,
+    and unlike a RNG reservoir it is reproducible and merge-friendly:
+    top-n-by-rank is ASSOCIATIVE, so each block emits only its local
+    top n (blocks×n rows total shuffle) and a final head pass picks
+    the global n. No full sort, no corpus materialization.
+    """
+    import heapq
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ranks = [
+            hashlib.md5(str(v).encode()).hexdigest()
+            for v in batch.column(key_col).to_pylist()
+        ]
+        keep = heapq.nsmallest(
+            n, range(len(ranks)),
+            key=lambda i: (ranks[i], batch.column(key_col)[i].as_py()),
+        )
+        out = batch.take(pa.array(sorted(keep), pa.int64()))
+        return out.append_column(
+            "__rank",
+            pa.array([ranks[i] for i in sorted(keep)], pa.string()),
+        )
+
+    partials = ds.map_batches(local_top, batch_format="pyarrow")
+    # final head over blocks×n candidate rows — tiny by construction
+    return (
+        partials.sort(["__rank", key_col])
+        .limit(n)
+        .drop_columns(["__rank"])
+    )
+
+
 def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int):
     """Deterministic stratified sample: the ``n_per_group`` rows per
     group that rank first by ``(md5(str(key)), key)`` — a fixed,

@@ -193,3 +193,23 @@ def test_topk_per_group_partial_matches_across_blocks(ray_session):
     out = topk_per_group(ds, "g", "score", "id", k=5).to_pandas()
     want_ids = np.argsort(-scores)[:5]
     assert list(out.sort_values("rk")["id"]) == list(want_ids)
+
+
+def test_fixed_sample_exact_n_and_deterministic(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import fixed_sample
+
+    ids = list(range(500))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+    })).repartition(8)
+    got = sorted(fixed_sample(ds, "doc_id", n=20).to_pandas()["doc_id"])
+    expect = sorted(sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:20])
+    assert got == expect
+    # n larger than the corpus: everything survives
+    allr = fixed_sample(ds, "doc_id", n=1000).to_pandas()
+    assert sorted(allr["doc_id"]) == ids
+    assert "__rank" not in allr.columns
