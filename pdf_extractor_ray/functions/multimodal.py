@@ -384,43 +384,35 @@ def average_hash(img: np.ndarray) -> int:
 
 
 class ImagePhashStage:
-    """image batch → 4 banded signature rows per image:
-    (media_id, simhash, bucket) with ``bucket = band_idx·2^16 + band``.
-
-    Four disjoint 16-bit bands give a PIGEONHOLE GUARANTEE: any pair
-    within Hamming ≤ 3 shares at least one intact band, so candidate
-    recall is 1.0 at the default threshold — no probabilistic miss.
-    Only (id, sig, bucket) rows shuffle; pixels stay in their block.
+    """image batch → (media_id, simhash): the 64-bit perceptual hash
+    per image. Candidate buckets come from the shared pigeonhole
+    banding (``functions/dedup.hamming_bands`` — at Hamming ≤ 3 that is
+    four disjoint 16-bit bands, candidate recall exactly 1.0). Only
+    (id, sig) rows leave this stage; pixels stay in their block.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, sigs_out, buckets = [], [], []
+        ids_out, sigs_out = [], []
         for media_id, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            sig = average_hash(decode_image(payload)) & 0x7FFFFFFFFFFFFFFF
-            for band in range(4):
-                ids_out.append(media_id)
-                sigs_out.append(sig)
-                buckets.append((band << 16) | ((sig >> (band * 16)) & 0xFFFF))
+            ids_out.append(media_id)
+            sigs_out.append(average_hash(decode_image(payload)) & 0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
                 "media_id": pa.array(ids_out, pa.int64()),
                 "simhash": pa.array(sigs_out, pa.int64()),
-                "bucket": pa.array(buckets, pa.int64()),
             }
         )
 
 
 def image_near_dups(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate image pairs by perceptual hash — multimodal dedup
-    on the same Hamming-bucket machinery as text SimHash
-    (functions/dedup.hamming_bucket_pairs); a final distinct folds
-    pairs that collide in several bands."""
-    from ray.data.aggregate import Min
-
-    from .dedup import hamming_bucket_pairs
+    on the same pigeonhole banding + collision-first Hamming-bucket
+    machinery as text SimHash (functions/dedup.hamming_bands /
+    hamming_bucket_pairs); pair dedup across bands happens inside."""
+    from .dedup import hamming_bands, hamming_bucket_pairs
 
     images = media_dataset(sf_dir).filter(expr="kind == 'image'")
     sigs = images.map_batches(
@@ -429,12 +421,8 @@ def image_near_dups(sf_dir: str, max_hamming: int = 3):
         batch_size=32,
         concurrency=(1, 8),
     )
-    pairs = hamming_bucket_pairs(
-        sigs, max_hamming=max_hamming,
+    return hamming_bucket_pairs(
+        hamming_bands(sigs, max_hamming, id_col="media_id"),
+        max_hamming=max_hamming,
         id_col="media_id", out_a="media_a", out_b="media_b",
-    )
-    out = pairs.groupby(["media_a", "media_b"]).aggregate(Min("hamming"))
-    return out.map_batches(
-        lambda b: b.rename_columns(["media_a", "media_b", "hamming"]),
-        batch_format="pyarrow",
     )

@@ -74,6 +74,50 @@ def test_simhash_deterministic(ray_session, docs):
     assert key(a) == key(b)
 
 
+@pytest.mark.parametrize("max_hamming", [3, 10])
+def test_simhash_recall_one_vs_exhaustive(ray_session, docs, max_hamming):
+    """Pigeonhole banding must find EVERY pair at Hamming ≤ max_hamming
+    (recall 1.0 — the round-2 prefix bucket measured 0.48 at 10), with
+    exact distances (precision 1.0)."""
+    from pdf_extractor_ray.functions.dedup import SimHashStage, _word_shingles, simhash_dedup
+
+    rows = docs.select_columns(["doc_id", "text"]).take_all()
+    ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+    sigs = np.asarray(
+        [SimHashStage._signature(_word_shingles(r["text"] or "", 3)) for r in rows],
+        dtype=np.uint64,
+    )
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    d = np.unpackbits((sigs[ia] ^ sigs[ib]).view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    keep = d <= max_hamming
+    expect = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(ids[ia[keep]], ids[ib[keep]], d[keep])
+    )
+
+    got_df = simhash_dedup(docs, max_hamming=max_hamming).to_pandas()
+    got = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(got_df["doc_a"], got_df["doc_b"], got_df["hamming"])
+    )
+    assert got == expect
+    assert len(expect) > 0  # the corpus really contains near pairs
+
+
+def test_band_layout_covers_all_bits():
+    from pdf_extractor_ray.functions.dedup import band_layout
+
+    for n_bands in (1, 4, 11, 64):
+        layout = band_layout(64, n_bands)
+        assert len(layout) == n_bands
+        covered = sorted(
+            bit for shift, width in layout for bit in range(shift, shift + width)
+        )
+        assert covered == list(range(64))  # disjoint and complete
+
+
 def test_ann_topk_matches_numpy_bruteforce(ray_session, sf_dir):
     import pyarrow.parquet as pq
     import ray.data
