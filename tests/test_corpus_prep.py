@@ -76,6 +76,40 @@ def test_cli_corpus_prep_mode(ray_session, tmp_path):
     assert {"doc_id", "lang", "quality_score"} <= cols and "text" not in cols
 
 
+def test_corpus_prep_high_dup_rate_stress(ray_session):
+    """≥50% duplicates (the realistic crawl regime): every removal
+    decision flows through the dedup groupby / anti-join — no
+    O(dup-count) driver or broadcast structure exists to overflow."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(4000)]
+    bases = [
+        ("the a of and to in is it "  # stopwords clear the quality gate
+         + " ".join(rng.choice(vocab) for _ in range(60)))
+        for _ in range(30)
+    ]
+    ids, texts = [], []
+    doc_id = 0
+    for i, b in enumerate(bases):
+        for _ in range(5):  # 5 exact clones each → 80% exact dups
+            ids.append(doc_id)
+            texts.append(b)
+            doc_id += 1
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(["en"] * len(ids)),
+        "text": pa.array(texts),
+    })
+    out = corpus_prep_pipeline(ray.data.from_arrow(t)).to_pandas()
+    # exactly one survivor per cluster, the smallest doc_id (i*5)
+    assert sorted(out["doc_id"]) == [i * 5 for i in range(30)]
+
+
 def test_corpus_prep_survives_fully_filtered_input(ray_session):
     import ray.data
 
