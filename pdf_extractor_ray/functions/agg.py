@@ -69,10 +69,7 @@ def lowcard_groupby_agg(
     keys = list(keys)
     flat = _expand(specs)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or not set(keys) <= set(batch.column_names):
-            # empty upstream block (e.g. an empty join bucket) — drop it
-            return pa.table({})
+    def partial_core(batch: pa.Table) -> pa.Table:
         batch = batch.append_column(
             "__ones", pa.array([1] * batch.num_rows, pa.int64())
         )
@@ -95,13 +92,39 @@ def lowcard_groupby_agg(
             cols[f"__p_{alias}"] = g.column(matches[idx] if idx < len(matches) else matches[0])
         return pa.table(cols)
 
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty upstream block (e.g. an empty join bucket) — drop it
+            return pa.table({})
+        missing = set(keys) - set(batch.column_names)
+        if missing:
+            # a caller-side column typo must fail loudly, not become
+            # silent data loss in the aggregate
+            raise KeyError(
+                f"lowcard_groupby_agg: non-empty batch is missing key "
+                f"column(s) {sorted(missing)} (has {batch.column_names})"
+            )
+        return partial_core(batch)
+
     tables = [
         ray.get(r)
         for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     ]
     tables = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
     if not tables:
-        raise ValueError("lowcard_groupby_agg: input dataset is empty")
+        # no rows anywhere (e.g. a filter matched nothing): return a
+        # TYPED empty result — derive the schema by running the same
+        # aggregation machinery over a 0-row table of the input schema
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                "lowcard_groupby_agg: input dataset is empty AND "
+                "schemaless — cannot derive the output schema"
+            )
+        empty_in = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        ).empty_table()
+        tables = [partial_core(empty_in)]
     total_partial = sum(t.num_rows for t in tables)
     if total_partial > max_partial_rows:
         raise ValueError(

@@ -228,18 +228,25 @@ def approx_distinct_by(ds, group_col: str, col: str, p: int = 12):
         groups = batch.column(group_col).to_pylist()
         vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64)
         hashes = _hash64(vals)
-        uniq = sorted(set(groups))
-        if len(uniq) > max_groups:
+        # SQL GROUP BY semantics: null keys form their own group (a
+        # None among strings breaks sorted(); bucket it explicitly)
+        uniq = sorted({g for g in groups if g is not None})
+        has_null = any(g is None for g in groups)
+        if len(uniq) + has_null > max_groups:
             raise ValueError(
-                f"approx_distinct_by: {len(uniq)} groups in one block "
-                f"(> {max_groups}) — group_col is not low-cardinality; "
+                f"approx_distinct_by: {len(uniq) + has_null} groups in one "
+                f"block (> {max_groups}) — group_col is not low-cardinality; "
                 "use an exact shuffle-based distinct instead"
             )
-        garr = np.asarray(groups)
+        garr = np.asarray(groups, dtype=object)
         out_g, out_r = [], []
         for g in uniq:
             out_g.append(g)
             out_r.append(_registers(hashes[garr == g], p).tobytes())
+        if has_null:
+            out_g.append(None)
+            null_mask = np.asarray([g is None for g in groups])
+            out_r.append(_registers(hashes[null_mask], p).tobytes())
         return pa.table(
             {group_col: pa.array(out_g), "regs": pa.array(out_r, pa.binary())}
         )
@@ -254,7 +261,9 @@ def approx_distinct_by(ds, group_col: str, col: str, p: int = 12):
                            t.column("regs").to_pylist()):
             regs = np.frombuffer(blob, dtype=np.uint8)
             merged[g] = np.maximum(merged[g], regs) if g in merged else regs
-    keys = sorted(merged)
+    keys = sorted(k for k in merged if k is not None)
+    if None in merged:
+        keys.append(None)
     return pa.table(
         {
             group_col: pa.array(keys),

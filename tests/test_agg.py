@@ -4,6 +4,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
@@ -208,3 +209,38 @@ def test_exact_distinct_by(ray_session):
     out = exact_distinct_by(ds, "k", "v", out_col="n").to_pandas().set_index("k")
     for g in ("a", "b"):
         assert out.loc[g, "n"] == len(set(vals[keys == g].tolist()))
+
+
+def test_lowcard_agg_empty_input_returns_typed_empty(ray_session):
+    """A filter matching nothing must yield a 0-row table with the
+    right schema, not a crash (VERDICT r2 item 4)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b"]),
+        "v": pa.array([1.5, 2.5], pa.float64()),
+    })).filter(expr="v > 100")
+    out = lowcard_groupby_agg(
+        ds, ["k"],
+        [("v", "count", "n"), ("v", "sum", "s"), ("v", "mean", "m")],
+    )
+    assert out.num_rows == 0
+    assert out.column_names == ["k", "n", "s", "m"]
+    assert out.schema.field("k").type == pa.string()
+    assert out.schema.field("n").type == pa.int64()
+    assert out.schema.field("m").type == pa.float64()
+
+
+def test_lowcard_agg_missing_key_column_raises(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"]), "v": pa.array([1], pa.int64()),
+    }))
+    with pytest.raises(Exception) as ei:
+        lowcard_groupby_agg(ds, ["key_typo"], [("v", "sum", "s")])
+    assert "key_typo" in str(ei.value)

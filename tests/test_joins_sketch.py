@@ -319,3 +319,21 @@ def test_approx_quantiles_constant_column(ray_session):
     ds = ray.data.from_arrow(pa.table({"value": pa.array([7.0] * 100)}))
     out = approx_quantiles(ds, "value").to_pandas()
     assert (out["value"] == 7.0).all()
+
+
+def test_approx_distinct_by_null_group(ray_session):
+    """Null group keys form their own group (SQL GROUP BY semantics)
+    instead of crashing the partial's sort."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_distinct_by
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a", None, "a", None, "b"]),
+        "v": pa.array([1, 2, 3, 2, 9], pa.int64()),
+    }))
+    out = approx_distinct_by(ds, "g", "v", p=12).to_pandas()
+    got = {(
+        None if g is None or (isinstance(g, float) and g != g) else g
+    ): n for g, n in zip(out["g"], out["approx_distinct"])}
+    assert got == {"a": 2, None: 1, "b": 1}
