@@ -125,16 +125,52 @@ class MinHashBandStage:
         )
 
 
+def _lazy_read_size_estimate(ds) -> "int | None":
+    """Sum of the logical plan's Read-op in-memory size estimates —
+    pure datasource metadata (parquet footers already sampled at plan
+    time; column pruning reflected), NO execution. Returns None when
+    the lineage has no estimable read (e.g. from_arrow test inputs)."""
+    try:
+        ops = [ds._logical_plan.dag]
+        total, seen = 0, False
+        while ops:
+            op = ops.pop()
+            ops.extend(op.input_dependencies)
+            if hasattr(op, "_datasource"):
+                est = op._datasource.estimate_inmemory_data_size()
+                if est is None:
+                    return None
+                total += est
+                seen = True
+        return total if seen else None
+    except Exception:
+        return None
+
+
 def compact_blocks(ds, bytes_per_block: int = 32 << 20, min_blocks: int = 16,
-                   max_blocks: int = 4096):
+                   max_blocks: int = 4096, skip_above_bytes: "int | None" = None):
     """Materialize + size-aware repartition for SHUFFLE-BOUND small
     intermediates (band tables, candidate pairs): upstream map stages
     inherit the reader's block count (one block per input file split),
     so a 1 MB band table can arrive as 64 near-empty blocks and every
     downstream groupby pays per-block task overhead ×64 (measured 4.1s
-    → 1.4s for the collision plan at sf0.1 going 64 → 16 blocks). The
-    target block count scales with actual bytes, so at 100 TB this is
-    a no-op consolidation, not a bottleneck."""
+    → 1.4s for the collision plan at sf0.1 going 64 → 16 blocks).
+
+    The materialize itself is gated on CHEAP LAZY METADATA: when the
+    lineage's read-size estimate exceeds ``skip_above_bytes`` the
+    dataset is returned untouched — at that scale upstream blocks are
+    full (no inflation to fix) and pinning the payload in the object
+    store would defeat read→shuffle pipelining. Block-count inflation
+    is strictly a small-input artifact, so the gate loses nothing.
+
+    ``skip_above_bytes=None`` (default) always compacts — REQUIRED for
+    multi-consumer intermediates (minhash bands/pairs/shingles), where
+    the materialize also prevents lineage re-execution per consumer.
+    Single-consumer callers (the join unions) pass a byte gate."""
+    if skip_above_bytes is not None:
+        est = _lazy_read_size_estimate(ds)
+        if est is not None and est > skip_above_bytes:
+            return ds
     m = ds.materialize()
     target = int(min(max_blocks, max(min_blocks, m.size_bytes() // bytes_per_block)))
     if m.num_blocks() > target * 2:

@@ -97,7 +97,10 @@ def asof_join(
     )
     from .dedup import compact_blocks
 
-    both = compact_blocks(both)
+    both = compact_blocks(both, skip_above_bytes=4 << 30)
+    # ^ single-consumer shuffle feed: the block-count consolidation is
+    # gated on lazy read-size metadata so a corpus-scale join payload
+    # is never pinned in the object store (ADVICE r2)
 
     out_fields = [pa.field(c, l_types[c]) for c in left_cols]
     out_fields += [pa.field(c, r_types[c]) for c in right_cols]
@@ -155,13 +158,54 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _bucket_of(col: pa.ChunkedArray, n: int) -> pa.Array:
-    """Deterministic hash-bucket id per value.  Integer keys are mixed
-    vectorized (splitmix64); string/binary keys crc32 per value (C loop
-    via zlib — cheap relative to the shuffle it feeds). Null → bucket 0."""
-    if pa.types.is_integer(col.type):
-        import pyarrow.compute as pc
+_POLY_P = np.uint64(1099511628211)  # FNV-1a prime, wraps mod 2^64
 
+
+def _hash_binlike(arr: pa.Array) -> np.ndarray:
+    """uint64 BUCKETING hash per row of a large_binary array — three
+    8-byte windows (head, middle, tail) gathered straight off the raw
+    value buffer plus the length, folded through splitmix64. O(rows)
+    numpy gathers, no per-row Python (the round-2 crc32 loop was the
+    only per-row hot path left in the join family).
+
+    Contract: this is a PARTITIONING hash, not an equality fingerprint
+    — distinct values that agree on all three windows and length
+    simply co-locate in one bucket (harmless: in-bucket matching is
+    exact). For url/id/name-shaped keys the sampled 24 bytes + length
+    spread near-uniformly (distribution pinned by tests)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    if len(data) == 0:
+        data = np.zeros(1, np.uint8)  # all-empty column: safe gather base
+
+    def window(pos0: np.ndarray) -> np.ndarray:
+        w = np.zeros(n, dtype=np.uint64)
+        for k in range(8):
+            idx = pos0 + k
+            m = idx < ends
+            b = np.where(m, data[np.where(m, idx, 0)], 0).astype(np.uint64)
+            w |= b << np.uint64(8 * k)
+        return w
+
+    head = window(starts)
+    mid = window(starts + np.maximum(lens // 2 - 4, 0))
+    tail = window(np.maximum(ends - 8, starts))
+    return mix64(head ^ mix64(mid ^ mix64(tail ^ lens.astype(np.uint64))))
+
+
+def _bucket_of(col: pa.ChunkedArray, n: int) -> pa.Array:
+    """Deterministic hash-bucket id per value. Integer/temporal keys
+    are mixed vectorized (splitmix64); string/binary keys go through
+    the vectorized buffer-polynomial hash. Null → bucket 0."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
         v = (
             pc.fill_null(col.cast(pa.int64()), 0)
             .to_numpy(zero_copy_only=False)
@@ -169,6 +213,20 @@ def _bucket_of(col: pa.ChunkedArray, n: int) -> pa.Array:
         )
         b = (mix64(v) % np.uint64(n)).astype(np.int32)
         return pa.array(b, pa.int32())
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # 64-bit offsets so one code path reads the buffer
+        arr = arr.cast(pa.large_binary())
+        b = (_hash_binlike(arr) % np.uint64(n)).astype(np.int32)
+        if arr.null_count:
+            b[np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))] = 0
+        return pa.array(b, pa.int32())
+    # rare fallback (decimals, structs): stable per-value crc32
     vals = col.to_pylist()
     return pa.array(
         [0 if v is None else zlib.crc32(str(v).encode()) % n for v in vals],
@@ -238,7 +296,10 @@ def semi_anti_join(
     )
     from .dedup import compact_blocks
 
-    both = compact_blocks(both)
+    both = compact_blocks(both, skip_above_bytes=4 << 30)
+    # ^ single-consumer shuffle feed: the block-count consolidation is
+    # gated on lazy read-size metadata so a corpus-scale join payload
+    # is never pinned in the object store (ADVICE r2)
 
     out_schema = pa.schema([pa.field(c, l_types[c]) for c in left_cols])
 
@@ -361,7 +422,10 @@ def hash_join(
     )
     from .dedup import compact_blocks
 
-    both = compact_blocks(both)
+    both = compact_blocks(both, skip_above_bytes=4 << 30)
+    # ^ single-consumer shuffle feed: the block-count consolidation is
+    # gated on lazy read-size metadata so a corpus-scale join payload
+    # is never pinned in the object store (ADVICE r2)
     # ^ the union inherits both readers' block counts; consolidating
     # the (projected) join payload before the bucket groupby removes
     # per-block shuffle overhead — size-aware, so a no-op at scale.

@@ -337,3 +337,22 @@ def test_approx_distinct_by_null_group(ray_session):
         None if g is None or (isinstance(g, float) and g != g) else g
     ): n for g, n in zip(out["g"], out["approx_distinct"])}
     assert got == {"a": 2, None: 1, "b": 1}
+
+
+def test_string_key_bucketing_vectorized_stable_and_uniform():
+    """The sampled-window bucketing hash: same value → same bucket
+    across chunk layouts/slices; near-uniform spread on url keys."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.joins import _bucket_of
+
+    vals = [f"https://site{i % 97}.example.com/p/{i}" for i in range(20000)]
+    whole = pa.chunked_array([pa.array(vals)])
+    split = pa.chunked_array([pa.array(vals[:7000]), pa.array(vals[7000:])])
+    sliced = pa.chunked_array([pa.array(["x", "y"] + vals).slice(2)])
+    w = _bucket_of(whole, 32).to_pylist()
+    assert w == _bucket_of(split, 32).to_pylist() == _bucket_of(sliced, 32).to_pylist()
+    counts = np.bincount(np.asarray(w), minlength=32)
+    assert counts.min() > 0.5 * counts.max()  # no pathological skew
+    # empty + null edge rows
+    assert _bucket_of(pa.chunked_array([pa.array([None, ""])]), 8)[0].as_py() == 0
