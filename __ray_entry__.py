@@ -1080,12 +1080,15 @@ def _q_events_pivot_daily(sf_dir: str):
 def _q_user_order_pairs(sf_dir: str):
     """MANY-to-many equi-join (full SQL semantics): every (event,
     order) pair for the same user, aggregated per order priority —
-    n_pairs + exact distinct users. In-bucket expansion is
-    sort+searchsorted+repeat, no per-key Python."""
-    import pyarrow.compute as pc
+    n_pairs + exact distinct users in ONE pass: per-block partial
+    (priority, user, count) → single (priority, user) value-space
+    shuffle → low-card fold where n_pairs = Σcount and n_users = row
+    count. The join output is consumed once (no materialize)."""
     import ray.data
+    from ray.data.aggregate import Sum
 
-    from pdf_extractor_ray.functions.agg import exact_distinct_by, lowcard_groupby_agg
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.dedup import compact_blocks
     from pdf_extractor_ray.functions.joins import hash_join
 
     events = ray.data.read_parquet(
@@ -1098,18 +1101,24 @@ def _q_user_order_pairs(sf_dir: str):
         events, orders, "user_id", "o_custkey",
         ["event_id", "user_id"], ["o_orderpriority"],
         how="inner", validate="many",
-    ).materialize()  # consumed by two aggregates below
-    pairs = lowcard_groupby_agg(
-        joined, ["o_orderpriority"], [("event_id", "count", "n_pairs")]
     )
-    users = exact_distinct_by(joined, "o_orderpriority", "user_id",
-                              out_col="n_users")
-    # merge the two ≤5-row aggregate tables on the driver
-    idx = pc.index_in(
-        pairs.column("o_orderpriority"),
-        value_set=users.column("o_orderpriority").combine_chunks(),
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["o_orderpriority", "user_id"])
+            .group_by(["o_orderpriority", "user_id"])
+            .aggregate([("user_id", "count")])
+        )
+        return g.rename_columns(["o_orderpriority", "user_id", "n"])
+
+    per_user = compact_blocks(
+        joined.map_batches(partial, batch_format="pyarrow")
+    ).groupby(["o_orderpriority", "user_id"]).aggregate(Sum("n", alias_name="n"))
+    return lowcard_groupby_agg(
+        per_user,
+        ["o_orderpriority"],
+        [("n", "sum", "n_pairs"), ("n", "count", "n_users")],
     )
-    return pairs.append_column("n_users", users.column("n_users").take(idx))
 
 
 def _q_exact_users_by_type(sf_dir: str):
