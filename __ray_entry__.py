@@ -159,6 +159,16 @@ def _q_standard_result(sf_dir: str):
     return standard_result_pipeline(_pages(sf_dir))
 
 
+def _q_construction_result(sf_dir: str):
+    """Composed construction-mode envelope: one record per document
+    with items (JSON), G2 summary counts and statistics (reference
+    extractor/models/construction.py:125-154). Rows/schema check —
+    items content parity is pinned by golden tests."""
+    from pdf_extractor_ray.pipelines.extraction import construction_result_pipeline
+
+    return construction_result_pipeline(_pages(sf_dir))
+
+
 def _q_doc_stats(sf_dir: str):
     """G1 statistics analogue, grouped by lang (SQL-checkable); partial
     aggregation — lang cardinality is tiny at every scale."""
@@ -1328,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
+        "construction_result": _q_construction_result,
         # corpus-scale text analysis
         "doc_stats": _q_doc_stats,
         "text_features": _q_text_features,

@@ -44,6 +44,64 @@ def _expand(patterns: List[str]) -> List[str]:
     return out
 
 
+def _load_pages(args):
+    """Input args → pages Dataset (parquet / raw files / warc)."""
+    import ray.data
+
+    if args.input_format == "files":
+        from pdf_extractor_ray.sources.files import pages_from_files
+
+        return pages_from_files(args.input)
+    if args.input_format == "warc":
+        from pdf_extractor_ray.sources.warc import pages_from_warc
+
+        return pages_from_warc(args.input)
+    return ray.data.read_parquet(
+        _expand(args.input), columns=["url", "warc_ts", "html", "lang"]
+    )
+
+
+def _envelope_pipeline(mode: str):
+    """Per-document RESULT-ENVELOPE pipeline for a mode (what one JSON
+    file / one inspection holds), vs the exploded analysis tables the
+    default pipelines emit."""
+    from pdf_extractor_ray.pipelines.extraction import (
+        construction_result_pipeline,
+        extraction_pipeline,
+        standard_result_pipeline,
+    )
+
+    return {
+        "construction": construction_result_pipeline,
+        "standard": standard_result_pipeline,
+        "extract": extraction_pipeline,
+    }[mode]
+
+
+def _inspect(args) -> int:
+    """Print ONE document's composed envelope to stdout — the engine's
+    replacement for the demo's per-document tabbed inspection."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.pipelines.extraction import _envelope_dict
+
+    url = args.inspect
+    ds = _load_pages(args)
+
+    def only_url(batch):
+        return batch.filter(pc.equal(batch.column("url"), url))
+
+    one = ds.map_batches(only_url, batch_format="pyarrow")
+    mode = args.mode if args.mode != "corpus-prep" else "standard"
+    rows = _envelope_pipeline(mode)(one).take(1)
+    if not rows:
+        print(json.dumps({"error": "url not found", "url": url}))
+        return 2
+    print(json.dumps(_envelope_dict(rows[0]), indent=2, ensure_ascii=False,
+                     default=str))
+    return 0
+
+
 def main(argv: List[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extractor_ray")
     ap.add_argument("--input", nargs="+", required=True,
@@ -63,6 +121,14 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
                     help="output format for construction/standard modes "
                     "(json = reference-compat view, reference: extractor/utils/helpers.py:9-21)")
+    ap.add_argument("--per-doc", action="store_true",
+                    help="with --format json: write ONE '<stem>_extracted.json' "
+                    "per document (reference filename parity, reference: "
+                    "main.py:27-39) holding the composed result envelope")
+    ap.add_argument("--inspect", metavar="URL", default=None,
+                    help="print one document's composed result envelope as JSON "
+                    "to stdout and exit (the demo_streamlit per-document "
+                    "inspection surface, reference: demo_streamlit.py:117-225)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="override ray.init num_cpus (default: all)")
     args = ap.parse_args(argv)
@@ -76,6 +142,12 @@ def main(argv: List[str] | None = None) -> int:
             kw["num_cpus"] = args.num_cpus
         ray.init(address="local", **kw)
         started_ray = True
+
+    if args.inspect is not None:
+        rc = _inspect(args)
+        if started_ray:
+            ray.shutdown()
+        return rc
 
     if args.mode == "corpus-prep":
         # training-corpus preparation over a documents table
@@ -124,13 +196,19 @@ def main(argv: List[str] | None = None) -> int:
             from pdf_extractor_ray.sources.warc import pages_from_warc
 
             ds = pages_from_warc(args.input)
-        out = get_pipeline(args.mode)(ds)
-        if args.format == "json":
+        if args.format == "json" and args.per_doc:
+            from pdf_extractor_ray.pipelines.extraction import write_per_doc_json
+
+            n = write_per_doc_json(_envelope_pipeline(args.mode)(ds), args.output)
+            metrics = {"files": n}
+        elif args.format == "json":
+            out = get_pipeline(args.mode)(ds)
             # honor the reference-compat JSON view here too (was
             # silently ignored for files/warc inputs)
             out.write_json(args.output)
             metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
         else:
+            out = get_pipeline(args.mode)(ds)
             out.write_parquet(args.output)
             import pyarrow.parquet as pq
 
@@ -159,11 +237,17 @@ def main(argv: List[str] | None = None) -> int:
         from pdf_extractor_ray.pipelines.registry import get_pipeline
 
         ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
-        out = get_pipeline(args.mode)(ds)
-        if args.format == "json":
+        if args.format == "json" and args.per_doc:
+            from pdf_extractor_ray.pipelines.extraction import write_per_doc_json
+
+            n = write_per_doc_json(_envelope_pipeline(args.mode)(ds), args.output)
+            metrics = {"files": n}
+        elif args.format == "json":
+            out = get_pipeline(args.mode)(ds)
             out.write_json(args.output)
             metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
         else:
+            out = get_pipeline(args.mode)(ds)
             out.write_parquet(args.output)
             # row count from the written footers — never re-executes
             import pyarrow.parquet as pq

@@ -253,6 +253,204 @@ def standard_result_pipeline(pages_ds, **kw):
     return extracted.map_batches(_standard_result_batch, batch_format="pyarrow")
 
 
+def _coerce_quantity(q):
+    """Reference quantity validator semantics (Union[int,str] — re-parse
+    plain int strings, keep decimal/comma spec refs verbatim;
+    reference: extractor/models/construction.py:69-88)."""
+    if isinstance(q, str) and "." not in q and "," not in q:
+        try:
+            return int(q)
+        except ValueError:
+            return q
+    return q
+
+
+def _construction_result_batch(batch: pa.Table) -> pa.Table:
+    """One composed construction-mode record per document: items list
+    (as JSON), G2 summary counts and statistics — the per-document
+    ConstructionExtractionResult envelope the reference writes as JSON
+    (extractor/models/construction.py:125-154; summary semantics
+    extractor/services/extraction_service.py:176-191)."""
+    import json as _json
+
+    stage = _STAGES.get("items")
+    if stage is None:
+        stage = _STAGES["items"] = ItemsStage()
+    parser = stage.parser
+
+    n = batch.num_rows
+    cols: Dict[str, list] = {k: [] for k in (
+        "items_json", "total_items_found", "with_quantity", "with_model",
+        "with_dimensions", "with_mounting", "pages_processed", "tables_found",
+        "total_pages", "total_characters", "total_words",
+        "avg_chars_per_page", "avg_words_per_page",
+    )}
+    for pages, page_tables in zip(
+        batch.column("pages").to_pylist(), batch.column("tables").to_pylist()
+    ):
+        doc_items = []
+        tables_found = 0
+        for i, page in enumerate(pages or []):
+            page_num = page["page_num"]
+            doc_items.extend(parser.extract_items(page["text"] or "", page_num))
+            tables = (
+                (page_tables or [])[i]
+                if page_tables and i < len(page_tables) else []
+            )
+            tables_found += len(tables or [])
+            if tables:
+                doc_items.extend(parser.parse_tables(tables, page_num))
+        items = [
+            {
+                "fixture_type": it.get("fixture_type"),
+                "quantity": _coerce_quantity(it.get("quantity")),
+                "model_number": (
+                    it.get("model_number").strip().upper()
+                    if it.get("model_number") else None
+                ),
+                "dimensions": it.get("dimensions"),
+                "mounting_type": it.get("mounting_type"),
+                "spec_reference": it.get("spec_reference"),
+                "page_number": it.get("page_number", 1),
+                "table_number": it.get("table_number"),
+                "row_number": it.get("row_number"),
+                "raw_text": it.get("raw_text"),
+                "line_number": it.get("line_number"),
+            }
+            for it in doc_items
+        ]
+        cols["items_json"].append(_json.dumps(items, ensure_ascii=False))
+        cols["total_items_found"].append(len(items))
+        cols["with_quantity"].append(
+            sum(it["quantity"] is not None for it in items)
+        )
+        cols["with_model"].append(sum(it["model_number"] is not None for it in items))
+        cols["with_dimensions"].append(sum(it["dimensions"] is not None for it in items))
+        cols["with_mounting"].append(sum(it["mounting_type"] is not None for it in items))
+        cols["pages_processed"].append(len(pages or []))
+        cols["tables_found"].append(tables_found)
+        np_, tc, tw, ac, aw = _page_stats(pages)
+        cols["total_pages"].append(np_)
+        cols["total_characters"].append(tc)
+        cols["total_words"].append(tw)
+        cols["avg_chars_per_page"].append(ac)
+        cols["avg_words_per_page"].append(aw)
+
+    out = {
+        "url": batch.column("url"),
+        "extraction_mode": pa.array(["construction"] * n, pa.string()),
+    }
+    for k in ("total_items_found", "with_quantity", "with_model",
+              "with_dimensions", "with_mounting", "pages_processed",
+              "tables_found", "total_pages", "total_characters", "total_words"):
+        out[k] = pa.array(cols[k], pa.int64())
+    out["avg_chars_per_page"] = pa.array(cols["avg_chars_per_page"], pa.float64())
+    out["avg_words_per_page"] = pa.array(cols["avg_words_per_page"], pa.float64())
+    out["items_json"] = pa.array(cols["items_json"], pa.string())
+    return pa.table(out)
+
+
+def construction_result_pipeline(pages_ds, **kw):
+    """pages Dataset → composed ConstructionExtractionResult records,
+    one row per document (the construction twin of
+    ``standard_result_pipeline``)."""
+    extracted = extraction_pipeline(pages_ds, emit_pages=True, **kw)
+    return extracted.map_batches(_construction_result_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- per-doc JSON output (M17)
+def derive_output_filename(url: str) -> str:
+    """Reference output-filename parity (reference main.py:27-39):
+    ``Path(input).stem + '_extracted.json'`` — applied to the url
+    path's basename. Two inputs with the same stem overwrite each
+    other, exactly as two same-stem CLI runs into one directory do in
+    the reference."""
+    from pathlib import PurePosixPath
+    from urllib.parse import urlparse
+
+    path = urlparse(url).path or url
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    stem = PurePosixPath(base).stem if base else ""
+    return f"{stem or 'document'}_extracted.json"
+
+
+def _envelope_dict(row: Dict) -> Dict:
+    """Flat envelope row → nested reference-shaped JSON payload; the
+    url is scrubbed like the reference scrubs ``source_pdf``
+    (reference: main.py:130-135)."""
+    import json as _json
+
+    row = dict(row)
+    row.pop("url", None)
+    mode = row.get("extraction_mode")
+    if mode == "construction":
+        return {
+            "extraction_mode": mode,
+            "total_items_found": row["total_items_found"],
+            "items": _json.loads(row["items_json"]),
+            "summary": {
+                "total_items": row["total_items_found"],
+                "items_with_quantity": row["with_quantity"],
+                "items_with_model": row["with_model"],
+                "items_with_dimensions": row["with_dimensions"],
+                "items_with_mounting": row["with_mounting"],
+                "pages_processed": row["pages_processed"],
+                "tables_found": row["tables_found"],
+            },
+            "statistics": {
+                k: row[k]
+                for k in ("total_pages", "total_characters", "total_words",
+                          "avg_chars_per_page", "avg_words_per_page")
+            },
+        }
+    if mode == "standard":
+        return {
+            "extraction_mode": mode,
+            "full_text": row["full_text"],
+            "entities": {
+                k: row[k]
+                for k in ("email", "phone", "date", "currency", "url_ref", "ssn")
+                if row.get(k)
+            },
+            "statistics": {
+                k: row[k]
+                for k in ("total_pages", "total_characters", "total_words",
+                          "avg_chars_per_page", "avg_words_per_page")
+            },
+        }
+    return row  # extract mode: the record itself
+
+
+def write_per_doc_json(result_ds, out_dir: str, url_col: str = "url") -> int:
+    """Write ONE JSON file per document named by
+    :func:`derive_output_filename` — the reference-workflow compat view
+    for users whose tooling globs ``*_extracted.json``. Writes happen
+    inside ``map_batches`` on the workers (shared filesystem contract,
+    same as ``write_parquet``); returns the number of rows written.
+
+    Scale note: file-per-document is the REFERENCE's output contract,
+    not the engine's (partitioned parquet is canonical) — use this
+    compat path for reference-sized runs, not 10^12-doc corpora."""
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        n_written = 0
+        for row in batch.to_pylist():
+            name = derive_output_filename(row[url_col])
+            payload = _envelope_dict(row)
+            tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                _json.dump(payload, f, indent=2, ensure_ascii=False)
+            os.replace(tmp, os.path.join(out_dir, name))  # atomic commit
+            n_written += 1
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    t = result_ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    return int(t["n"].sum())
+
+
 # ---------------------------------------------------------------- job runner
 def run_extraction_job(
     input_files: Sequence[str],
