@@ -921,6 +921,61 @@ def _q_corpus_prep(sf_dir: str):
 _CONTAMINATION_PROBES = ("key agg row", "window spark order", "slow filter value")
 
 
+def _q_pii_redact(sf_dir: str):
+    """Training-data PII scrub: emails/SSNs/phones → type tokens, one
+    vectorized regex kernel per pattern; per-kind counts + redacted-text
+    md5 (the write-ready scrub stage every released corpus needs)."""
+    from pdf_extractor_ray.functions.text import redact_pii
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(redact_pii, batch_format="pyarrow")
+    )
+
+
+def _q_normalize_docs(sf_dir: str):
+    """C4-style text normalization (whitespace collapse + trim + lower)
+    as md5 fingerprints — the normalized-dedup key derivation."""
+    from pdf_extractor_ray.functions.text import normalize_text
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(normalize_text, batch_format="pyarrow")
+    )
+
+
+def _q_line_quality(sf_dir: str):
+    """C4-style line-gate statistics per document (lines kept iff
+    terminal punctuation + ≥3 words) — fully vectorized over the
+    flattened line set of each batch."""
+    from pdf_extractor_ray.functions.text import line_quality_stats
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(line_quality_stats, batch_format="pyarrow")
+    )
+
+
+def _q_contamination_ngram(sf_dir: str):
+    """Decontamination by word-bigram OVERLAP against the probe set —
+    catches eval leakage that substring probes miss (line breaks,
+    punctuation edits). Probe gram set is built in the task closure
+    (tiny by contract)."""
+    from pdf_extractor_ray.functions.text import ngram_overlap_vs_probes
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return ngram_overlap_vs_probes(batch, _CONTAMINATION_PROBES, n=2)
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
 def _q_contamination_check(sf_dir: str):
     """Benchmark-contamination screening: documents containing any of a
     fixed probe-phrase blocklist, with per-probe hit flags — the
@@ -1411,6 +1466,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_approx": _q_top_tokens_approx,
         "contamination_check": _q_contamination_check,
         "corpus_prep": _q_corpus_prep,
+        # cleaning / decontamination (round 3)
+        "pii_redact": _q_pii_redact,
+        "normalize_docs": _q_normalize_docs,
+        "line_quality": _q_line_quality,
+        "contamination_ngram": _q_contamination_ngram,
     }
 
 
@@ -1861,6 +1921,75 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY df.df, t.token) AS rn
                 FROM tok t JOIN df ON t.token = df.token
             ) WHERE rn = 1
+        """,
+        "pii_redact": r"""
+            WITH s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b'))
+                           AS BIGINT) AS n_email,
+                       regexp_replace(text,
+                           '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b',
+                           '[EMAIL]', 'g') AS t
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}'))
+                           AS BIGINT) AS n_ssn,
+                       regexp_replace(t, '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS t
+                FROM s1
+            )
+            SELECT doc_id, n_email, n_ssn,
+                   CAST(len(regexp_extract_all(t,
+                       '(\+?\d{1,3}[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}'))
+                       AS BIGINT) AS n_phone,
+                   md5(regexp_replace(t,
+                       '(\+?\d{1,3}[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}',
+                       '[PHONE]', 'g')) AS redacted_md5
+            FROM s2
+        """,
+        "normalize_docs": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS t
+                FROM documents
+            )
+            SELECT doc_id, md5(t) AS norm_md5,
+                   CAST(length(t) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
+        "line_quality": r"""
+            WITH l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$')
+                                  AND len(regexp_extract_all(line, '\S+')) >= 3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM l GROUP BY doc_id
+        """,
+        "contamination_ngram": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+1], ' ')
+                                      for i in range(1, len(t))]) AS grams
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT doc_id,
+                   CAST(len(list_intersect(grams,
+                       ['key agg', 'agg row', 'window spark', 'spark order',
+                        'slow filter', 'filter value'])) AS BIGINT)
+                       AS n_shared_ngrams
+            FROM g
+            WHERE len(list_intersect(grams,
+                      ['key agg', 'agg row', 'window spark', 'spark order',
+                       'slow filter', 'filter value'])) >= 1
         """,
         "quantiles_chars_by_lang": """
             SELECT lang, q, CAST(value AS BIGINT) AS value FROM (

@@ -349,3 +349,129 @@ def rarest_token_per_doc(docs_ds, text_col: str = "text", id_col: str = "doc_id"
         return group.take(pa.array([int(order[0])], pa.int64()))
 
     return joined.groupby("doc_id").map_groups(pick, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- cleaning / redaction
+# PII patterns shared with the entity extractor (parsers/standard.py —
+# reference extractor/parsers/standard.py:12-36); RE2 syntax so the
+# Arrow kernel and a SQL engine's regexp_replace agree exactly.
+PII_PATTERNS: tuple = (
+    ("email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b", "[EMAIL]"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("phone", r"(\+?\d{1,3}[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}", "[PHONE]"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Training-data PII scrub: emails, SSNs, phone numbers replaced by
+    type tokens — one vectorized ``replace_substring_regex`` kernel per
+    pattern over the whole batch, applied in frozen order (SSN before
+    phone so the 3-2-4 digit shape is never half-eaten by the phone
+    pattern). Emits per-kind match counts and the redacted text.
+    """
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    out = {"doc_id": batch.column("doc_id")}
+    red = col
+    for kind, pat, token in PII_PATTERNS:
+        out[f"n_{kind}"] = pc.cast(
+            pc.count_substring_regex(red, pat), pa.int64()
+        )
+        red = pc.replace_substring_regex(red, pat, token)
+    out["redacted_md5"] = _md5_col(red)
+    return pa.table(out)
+
+
+def _md5_col(col) -> pa.Array:
+    import hashlib
+
+    return pa.array(
+        [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in col.to_pylist()],
+        pa.string(),
+    )
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style normalization: collapse all whitespace runs to one
+    space, trim, lowercase — three Arrow kernels, zero per-row Python.
+    Emits the md5 fingerprint (join/dedup key for normalized dedup)
+    plus the normalized length."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    collapsed = pc.replace_substring_regex(col, r"\s+", " ")
+    norm = pc.utf8_lower(pc.utf8_trim(collapsed, " "))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_md5": _md5_col(norm),
+            "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+        }
+    )
+
+
+def line_quality_stats(batch: pa.Table, text_col: str = "text",
+                       min_words: int = 3) -> pa.Table:
+    """C4-style line gate statistics: a line is KEPT iff it ends with
+    terminal punctuation (., !, ?, or a closing quote) and has at least
+    ``min_words`` words. Fully vectorized: split → flatten → two regex
+    kernels over ALL lines of the batch at once → per-doc fold by list
+    offsets (np.add.reduceat shape, no per-row Python)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col).combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(col, ""), "\n")
+    offs = np.asarray(lines.offsets, dtype=np.int64)
+    flat = lines.flatten()
+    ends_ok = pc.match_substring_regex(flat, r'[.!?"]\s*$')
+    word_n = pc.count_substring_regex(flat, r"\S+")
+    keep = pc.and_(ends_ok, pc.greater_equal(word_n, min_words))
+    keep_np = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(keep_np)])
+    n_kept = csum[offs[1:] - offs[0]] - csum[offs[:-1] - offs[0]]
+    n_lines = np.diff(offs)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        }
+    )
+
+
+def ngram_overlap_vs_probes(batch: pa.Table, probes, n: int = 3,
+                            text_col: str = "text") -> pa.Table:
+    """Decontamination by n-gram OVERLAP (stronger than substring
+    probes: catches leakage that crosses line breaks or punctuation
+    edits): count distinct word-n-grams each document shares with the
+    probe set. The probe n-gram set is built once per worker from the
+    (tiny by contract) probe list and closed over the task — rows with
+    zero overlap are dropped.
+
+    Tokenization matches the SQL twin: split on whitespace runs."""
+    probe_grams = set()
+    for p in probes:
+        toks = p.split()
+        probe_grams.update(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    ids, overlaps = [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        toks = (text or "").split()
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+        hit = len(grams & probe_grams)
+        if hit:
+            ids.append(doc_id)
+            overlaps.append(hit)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_shared_ngrams": pa.array(overlaps, pa.int64()),
+        }
+    )

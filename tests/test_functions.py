@@ -403,3 +403,68 @@ def test_compact_blocks_consolidates_small_and_keeps_rows(ray_session):
     m = compact_blocks(small)
     assert m.num_blocks() <= 2
     assert sorted(m.to_pandas()["x"]) == [1, 2]
+
+
+def test_redact_pii_semantics():
+    from pdf_extractor_ray.functions.text import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([
+            "mail a@b.com ssn 123-45-6789 call 555-123-4567 end"
+        ]),
+    })
+    out = redact_pii(t).to_pylist()[0]
+    assert out["n_email"] == 1 and out["n_ssn"] == 1 and out["n_phone"] == 1
+    import hashlib
+    expect = "mail [EMAIL] ssn [SSN] call [PHONE] end"
+    assert out["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_normalize_text_semantics():
+    import hashlib
+
+    from pdf_extractor_ray.functions.text import normalize_text
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["  Hello\t WORLD \n twice  "]),
+    })
+    out = normalize_text(t).to_pylist()[0]
+    assert out["norm_md5"] == hashlib.md5(b"hello world twice").hexdigest()
+    assert out["n_chars_norm"] == len("hello world twice")
+
+
+def test_line_quality_stats_semantics():
+    from pdf_extractor_ray.functions.text import line_quality_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "A good long sentence here.\nshort.\nno terminal punct at all\n"
+            'He said "stop right there!"',
+            "",
+        ]),
+    })
+    out = line_quality_stats(t).to_pylist()
+    # doc 1: 4 lines; kept = line 1 (ends '.', 5 words) only —
+    # 'short.' has 1 word, line 3 has no terminal punct, line 4 ends
+    # with a quote AFTER '!' so the quote class keeps it
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept"] == 2
+    assert out[1]["n_lines"] == 1 and out[1]["n_kept"] == 0
+
+
+def test_ngram_overlap_vs_probes():
+    from pdf_extractor_ray.functions.text import ngram_overlap_vs_probes
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "leaked key agg row appears here",  # bigrams 'key agg','agg row'
+            "nothing shared at all",
+        ]),
+    })
+    out = ngram_overlap_vs_probes(
+        t, ("key agg row",), n=2
+    ).to_pylist()
+    assert out == [{"doc_id": 1, "n_shared_ngrams": 2}]
