@@ -267,12 +267,16 @@ def bucket_collision_pairs(
     return counted.drop_columns(["__n"])
 
 
-def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42):
+def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42,
+                           max_bucket: int = 4096):
     """documents → candidate near-dup pairs (doc_a < doc_b), distinct.
 
     Band stage → (bucket_key, doc_id) — the ONLY shuffle payload
     (~16 B/doc/band; corpus text never shuffles) — then the shared
     ``bucket_collision_pairs`` plan. Measured 13.1s → ~4s at sf0.1.
+    ``max_bucket`` drops band buckets larger than that size — a band
+    signature shared by thousands of docs is boilerplate-driven and
+    non-discriminative, and would cost O(size²) pairs in one task.
     """
     bands_ds = compact_blocks(docs_ds.map_batches(
         MinHashBandStage,
@@ -283,7 +287,7 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int
     # ^ the band table is consumed twice (count pass + pair pass), so
     # materializing it — not the documents — avoids recomputing minhash
     # signatures. The object store spills it at scale.
-    return bucket_collision_pairs(bands_ds)
+    return bucket_collision_pairs(bands_ds, max_bucket=max_bucket)
 
 
 def candidate_shingles(docs_ds, cand_pairs_ds, k: int = 3):
@@ -377,7 +381,11 @@ def minhash_lsh_verified(
         batch_format="pyarrow",
         concurrency=(1, 8),
     ))
-    raw_pairs = compact_blocks(bucket_collision_pairs(bands_ds, distinct=False))
+    raw_pairs = compact_blocks(
+        bucket_collision_pairs(bands_ds, distinct=False, max_bucket=4096)
+    )
+    # ^ max_bucket guards the in-bucket O(n²) against boilerplate-driven
+    # non-discriminative band signatures (ADVICE r2)
     out_schema = pa.schema(
         [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
          pa.field("jaccard", pa.float64())]
