@@ -180,6 +180,11 @@ def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     import numpy as np
 
     hist = lowcard_groupby_agg(ds, [col], [(col, "count", "n")])
+    if hist.num_rows == 0:
+        return pa.table(
+            {"q": pa.array([], pa.float64()),
+             "value": pa.array([], hist.schema.field(col).type)}
+        )
     vals = np.asarray(hist.column(col).to_pylist())
     cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
     order = np.argsort(vals)
@@ -241,6 +246,12 @@ def exact_quantiles_by(ds, key: str, col: str,
     import numpy as np
 
     hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "n")])
+    if hist.num_rows == 0:
+        return pa.table(
+            {key: pa.array([], hist.schema.field(key).type),
+             "q": pa.array([], pa.float64()),
+             "value": pa.array([], hist.schema.field(col).type)}
+        )
     keys = np.asarray(hist.column(key).to_pylist())
     vals = np.asarray(hist.column(col).to_pylist())
     cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)

@@ -244,3 +244,17 @@ def test_lowcard_agg_missing_key_column_raises(ray_session):
     with pytest.raises(Exception) as ei:
         lowcard_groupby_agg(ds, ["key_typo"], [("v", "sum", "s")])
     assert "key_typo" in str(ei.value)
+
+
+def test_exact_quantiles_empty_input_typed(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles, exact_quantiles_by
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"]), "v": pa.array([5], pa.int64()),
+    })).filter(expr="v > 100")
+    q = exact_quantiles(ds, "v")
+    assert q.num_rows == 0 and q.schema.field("value").type == pa.int64()
+    qb = exact_quantiles_by(ds, "k", "v")
+    assert qb.num_rows == 0 and qb.schema.field("k").type == pa.string()
