@@ -47,8 +47,14 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to run")
+    ap.add_argument("--skip", default=None,
+                    help="comma-separated query names to skip (e.g. the "
+                    "O(n^2) oracle twins at larger SFs)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
 
     import ray
 
@@ -66,7 +72,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
