@@ -30,6 +30,18 @@ import pyarrow as pa
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 PAGES_CACHE_ROOT = "/tmp/graft_pages"
 
+# glibc malloc tunables for WORKER processes (read at process start):
+# serve large allocations from the brk heap instead of per-allocation
+# mmap/munmap, so freed pages stay faulted-in and are reused. On hosts
+# where fresh pages fault slowly (overcommitted VMs — this sandbox
+# measured 2-60 MB/s first-touch vs 50 GB/s warm), per-batch mmap
+# churn dominates numpy-heavy stages; with a warm heap the cost is
+# paid once per worker. Harmless elsewhere (workers are dedicated).
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
 
 def _sf_label(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -177,7 +189,8 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 32,
     ray.shutdown()
 
     def one_run(n: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   **_MALLOC_ENV)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only",
              "--replicate", str(replicate)],
@@ -244,7 +257,8 @@ def main() -> int:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, log_to_driver=False)
+             ignore_reinit_error=True, log_to_driver=False,
+             runtime_env={"env_vars": _MALLOC_ENV})
     try:
         result = bench_once(args.sf_dir, num_cpus, args.headline_only, args.replicate)
     finally:
