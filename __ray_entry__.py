@@ -921,6 +921,83 @@ def _q_corpus_prep(sf_dir: str):
 _CONTAMINATION_PROBES = ("key agg row", "window spark order", "slow filter value")
 
 
+def _q_events_value_stddev(sf_dir: str):
+    """Variance/stddev via DECOMPOSABLE partials: exact int64 cent sums
+    (n, Σc, Σc²) through the low-card fold, stddev_pop derived on the
+    driver from identical integers both sides — float summation order
+    can never flip the hash."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": cents,
+                "cents2": pc.multiply(cents, cents),
+            }
+        )
+
+    t = lowcard_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            ("cents", "count", "n_events"),
+            ("cents", "sum", "sum_cents"),
+            ("cents2", "sum", "sumsq_cents"),
+        ],
+    )
+    n = np.asarray(t.column("n_events").to_pylist(), dtype=np.float64)
+    s = np.asarray(t.column("sum_cents").to_pylist(), dtype=np.float64)
+    ss = np.asarray(t.column("sumsq_cents").to_pylist(), dtype=np.float64)
+    std = np.sqrt(ss / n - (s / n) ** 2) / 100.0
+    return t.append_column(
+        "stddev_value", pa.array(np.round(std, 4), pa.float64())
+    )
+
+
+def _q_embedding_norm_stats(sf_dir: str):
+    """Vector-math over the list<float> column: per-label count + exact
+    int64 sum of milli-rounded L2 norms (norms quantized per vector so
+    block summation order cannot change the total)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        milli = np.rint(np.sqrt((mat * mat).sum(axis=1)) * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "label": batch.column("label").cast(pa.int64()),
+                "milli_norm": pa.array(milli, pa.int64()),
+            }
+        )
+
+    return lowcard_groupby_agg(
+        emb.map_batches(norms, batch_format="pyarrow"),
+        ["label"],
+        [
+            ("milli_norm", "count", "n_vecs"),
+            ("milli_norm", "sum", "sum_milli_norm"),
+        ],
+    )
+
+
 def _q_pii_redact(sf_dir: str):
     """Training-data PII scrub: emails/SSNs/phones → type tokens, one
     vectorized regex kernel per pattern; per-kind counts + redacted-text
@@ -1471,6 +1548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "line_quality": _q_line_quality,
         "contamination_ngram": _q_contamination_ngram,
+        "events_value_stddev": _q_events_value_stddev,
+        "embedding_norm_stats": _q_embedding_norm_stats,
     }
 
 
@@ -1990,6 +2069,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(grams,
                       ['key agg', 'agg row', 'window spark', 'spark order',
                        'slow filter', 'filter value'])) >= 1
+        """,
+        "events_value_stddev": r"""
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+                   round(sqrt(CAST(sum(cents * cents) AS DOUBLE) / count(*)
+                              - (CAST(sum(cents) AS DOUBLE) / count(*))
+                                * (CAST(sum(cents) AS DOUBLE) / count(*)))
+                         / 100.0, 4) AS stddev_value
+            FROM c GROUP BY event_type
+        """,
+        "embedding_norm_stats": r"""
+            WITH n AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(round(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000.0,
+                           0) AS BIGINT) AS milli_norm
+                FROM embeddings
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(milli_norm) AS BIGINT) AS sum_milli_norm
+            FROM n GROUP BY label
         """,
         "quantiles_chars_by_lang": """
             SELECT lang, q, CAST(value AS BIGINT) AS value FROM (
