@@ -27,7 +27,12 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from .joins import asof_join, hash_join, semi_anti_join  # noqa: F401
+from .joins import (  # noqa: F401
+    asof_join,
+    hash_join,
+    semi_anti_join,
+    to_pandas_typed,
+)
 from .similarity import (  # noqa: F401
     ann_topk,
     embedding_near_dups,

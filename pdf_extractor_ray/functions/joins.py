@@ -139,7 +139,49 @@ def asof_join(
             )
         return pa.table(cols, schema=out_schema)
 
-    return both.groupby("__key").map_groups(match_group, batch_format="pyarrow")
+    import ray.data
+
+    matched = both.groupby("__key").map_groups(match_group, batch_format="pyarrow")
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        _coerce_blocks(matched, out_schema)
+    )
+
+
+def to_pandas_typed(ds):
+    """``Dataset.to_pandas`` that keeps column names on empty results.
+
+    Ray 2.49's ``to_pandas()`` returns a column-less DataFrame whenever
+    the dataset has zero rows — even when every block carries a typed
+    schema — because it builds the frame from the (empty) batch stream
+    rather than the dataset schema. This wrapper falls back to the
+    unified lazy schema so callers (tests, oracles, CLIs) always see
+    the declared columns."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        sch = ds.schema()
+        if sch is not None:
+            return pa.schema(zip(sch.names, sch.types)).empty_table().to_pandas()
+    return df
+
+
+def _coerce_blocks(ds, out_schema: pa.Schema):
+    """Normalize every physical block to ``out_schema``.
+
+    ``groupby().map_groups`` over an empty input emits one SCHEMALESS
+    empty block; downstream consumers (``to_pandas``, unions) then see
+    mixed schemas and drop the column names. Columns are selected by
+    name (zero-copy) and cast, so non-empty blocks pass through
+    untouched and the stage fuses with the producing map."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {f.name: batch.column(f.name).cast(f.type) for f in out_schema},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ hash join
@@ -328,7 +370,9 @@ def semi_anti_join(
     import ray.data
 
     kept = both.groupby("__part").map_groups(filter_bucket, batch_format="pyarrow")
-    return ray.data.from_arrow(out_schema.empty_table()).union(kept)
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        _coerce_blocks(kept, out_schema)
+    )
 
 
 def hash_join(
@@ -535,4 +579,6 @@ def hash_join(
     # union with a typed empty block so an all-empty result still
     # carries the output schema (downstream .to_pandas()/oracle
     # comparisons see named columns, not a schemaless empty dataset)
-    return ray.data.from_arrow(out_schema.empty_table()).union(joined)
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        _coerce_blocks(joined, out_schema)
+    )
