@@ -615,6 +615,88 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_suppliers_by_region(sf_dir: str):
+    """Chained MAP-SIDE broadcast joins (supplier → nation → region):
+    both dimension tables stay constant-sized at every SF, so the fact
+    side streams through two fused ``map_batches`` attaches with ZERO
+    shuffles, then folds through the partial aggregate."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import broadcast_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    enriched = broadcast_join(
+        broadcast_join(sup, nat, "s_nationkey", "n_nationkey", ["n_regionkey"]),
+        reg, "n_regionkey", "r_regionkey", ["r_name"],
+    )
+    t = lowcard_groupby_agg(
+        enriched,
+        ["r_name"],
+        [
+            ("s_acctbal", "count", "n_suppliers"),
+            ("s_acctbal", "sum", "total_acctbal"),
+        ],
+    )
+    return t.set_column(
+        t.column_names.index("total_acctbal"),
+        "total_acctbal",
+        pc.round(t.column("total_acctbal"), ndigits=2),
+    )
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (returnflag, linestatus): one distributed
+    partial pass at the finest level; subtotal and grand-total levels
+    re-aggregate the driver-resident finest table (zero extra
+    shuffles)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import rollup_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    t = rollup_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n_rows")],
+    )
+    return t.set_column(
+        t.column_names.index("sum_qty"),
+        "sum_qty",
+        pc.round(t.column("sum_qty"), ndigits=2),
+    )
+
+
+def _q_order_rank_per_customer(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY date, key) —
+    the full-row rank window (every order keeps its per-customer
+    chronological position)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import rank_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    return rank_in_group(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], out_col="rn"
+    ).select_columns(["o_custkey", "o_orderkey", "rn"])
+
+
 def _q_range_join_price_bands(sf_dir: str):
     """Broadcast range join: orders banded into 8 equal-width price
     intervals derived from the data (min/max via partial agg), bands
@@ -1550,6 +1632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngram": _q_contamination_ngram,
         "events_value_stddev": _q_events_value_stddev,
         "embedding_norm_stats": _q_embedding_norm_stats,
+        # map-side broadcast join / rollup / rank window (round 3)
+        "suppliers_by_region": _q_suppliers_by_region,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "order_rank_per_customer": _q_order_rank_per_customer,
     }
 
 
@@ -2111,5 +2197,29 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT lang, CAST(0.9 AS DOUBLE),
                        quantile_disc(length(text), 0.9) FROM documents GROUP BY lang
             )
+        """,
+        "suppliers_by_region": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "order_rank_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS BIGINT) AS rn
+            FROM orders
         """,
     }

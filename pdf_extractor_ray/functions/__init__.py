@@ -10,6 +10,7 @@ from .text import (  # noqa: F401
 )
 from .window import (  # noqa: F401
     lag_gap_stats,
+    rank_in_group,
     running_total,
     sessionize,
     topk_per_group,
@@ -29,6 +30,7 @@ from .dedup import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     asof_join,
+    broadcast_join,
     hash_join,
     semi_anti_join,
     to_pandas_typed,
@@ -45,6 +47,7 @@ from .agg import (  # noqa: F401
     exact_quantiles,
     exact_quantiles_by,
     lowcard_groupby_agg,
+    rollup_agg,
 )
 from .sketch import (  # noqa: F401
     approx_distinct,

@@ -161,6 +161,94 @@ def lowcard_groupby_agg(
     return t
 
 
+def rollup_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[AggSpec],
+    max_partial_rows: int = 500_000,
+) -> pa.Table:
+    """``GROUP BY ROLLUP(keys)`` — aggregates at every prefix level
+    (finest, each intermediate subtotal, grand total), with NULL
+    marking a rolled-up key column (SQL ROLLUP semantics).
+
+    Scale plan: the corpus is touched ONCE — the distributed partial
+    pass of :func:`lowcard_groupby_agg` at the FINEST level — and every
+    coarser level re-aggregates the driver-resident finest table
+    (sum/count are re-summed, min/max re-reduced, mean re-derived from
+    hidden sum+count partials). The finest level is small by the same
+    loudly-enforced low-cardinality contract, so rollup adds zero extra
+    shuffles regardless of corpus size.
+
+    Contract: key columns must not contain data NULLs (they would be
+    indistinguishable from subtotal markers — the reason SQL has
+    GROUPING()); enforced loudly."""
+    keys = list(keys)
+    # hide mean behind re-aggregable sum+count for ALL levels
+    flat: List[AggSpec] = []
+    for col, fn, alias in specs:
+        if fn == "mean":
+            flat.append((col, "sum", f"__{alias}__msum"))
+            flat.append((col, "count", f"__{alias}__mcnt"))
+        else:
+            flat.append((col, fn, alias))
+
+    finest = lowcard_groupby_agg(ds, keys, flat, max_partial_rows)
+    for k in keys:
+        if finest.column(k).null_count:
+            raise ValueError(
+                f"rollup_agg: key column {k!r} contains NULLs — "
+                "indistinguishable from ROLLUP subtotal markers"
+            )
+
+    refn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def level(n_keys: int) -> pa.Table:
+        sub = keys[:n_keys]
+        if n_keys == len(keys):
+            lvl = finest
+        elif sub:
+            g = finest.group_by(sub).aggregate(
+                [(alias, refn[fn]) for _, fn, alias in flat]
+            )
+            lvl = pa.table(
+                {**{k: g.column(k) for k in sub},
+                 **{alias: g.column(f"{alias}_{refn[fn]}")
+                    for _, fn, alias in flat}}
+            )
+        else:
+            lvl = pa.table(
+                {alias: pa.array(
+                    [getattr(pc, refn[fn])(finest.column(alias)).as_py()],
+                    finest.schema.field(alias).type,
+                ) for _, fn, alias in flat}
+            )
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                lvl.column(k) if k in lvl.column_names
+                else pa.nulls(lvl.num_rows, finest.schema.field(k).type)
+            )
+        for _, fn, alias in flat:
+            cols[alias] = lvl.column(alias)
+        return pa.table(cols)
+
+    t = pa.concat_tables(level(n) for n in range(len(keys), -1, -1))
+
+    mean_aliases = [alias for _, fn, alias in specs if fn == "mean"]
+    if mean_aliases:
+        out = {k: t.column(k) for k in keys}
+        for col, fn, alias in specs:
+            if fn == "mean":
+                out[alias] = pc.divide(
+                    pc.cast(t.column(f"__{alias}__msum"), pa.float64()),
+                    pc.cast(t.column(f"__{alias}__mcnt"), pa.float64()),
+                )
+            else:
+                out[alias] = t.column(alias)
+        t = pa.table(out)
+    return t
+
+
 def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     """EXACT distributed quantiles for a discrete-valued column via a
     value-count histogram.

@@ -582,3 +582,70 @@ def hash_join(
     return ray.data.from_arrow(out_schema.empty_table()).union(
         _coerce_blocks(joined, out_schema)
     )
+
+
+def broadcast_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    right_cols: Sequence[str],
+    how: str = "inner",
+    max_right_bytes: int = 64 << 20,
+):
+    """Map-side equi-join against a SMALL right side — zero shuffle.
+
+    The scale path for dimension enrichment (region/nation/config
+    tables that stay constant-sized while the fact side grows): the
+    right side's projected columns are collected once on the driver
+    (LOUD size cap — a right side that outgrows ``max_right_bytes``
+    belongs in :func:`hash_join`), ``ray.put`` once, and every left
+    batch attaches its matches with a single vectorized ``pc.index_in``
+    + ``take``. The left side streams through a fused ``map_batches``
+    — no repartition, no groupby, no all-to-all.
+
+    Semantics: SQL equi-join, unique-right contract (duplicate right
+    keys raise — use :func:`hash_join` ``validate='many'`` for m:n),
+    null left keys never match. ``how`` ∈ {inner, left}; output is all
+    left columns plus ``right_cols`` (names must not collide)."""
+    import pyarrow.compute as pc
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_cols = list(right_cols)
+
+    rt = pa.concat_tables(
+        ray.get(right_ds.select_columns([right_key] + right_cols).to_arrow_refs())
+    )
+    if rt.nbytes > max_right_bytes:
+        raise ValueError(
+            f"broadcast_join: right side is {rt.nbytes >> 20} MiB "
+            f"(cap {max_right_bytes >> 20} MiB) — too large to broadcast; "
+            "use hash_join"
+        )
+    r_keys = rt.column(right_key).combine_chunks().drop_null()
+    if pc.count_distinct(r_keys).as_py() != len(r_keys):
+        raise ValueError(
+            "broadcast_join: right side has duplicate join keys; "
+            "dedupe it or use hash_join(validate='many')"
+        )
+    valid = pc.is_valid(rt.column(right_key))
+    rt = rt.filter(valid).combine_chunks()
+    rt_ref = ray.put(rt)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        right = ray.get(rt_ref)
+        lk = batch.column(left_key)
+        idx = pc.index_in(lk, value_set=right.column(right_key))
+        idx = pc.if_else(pc.is_valid(lk), idx, pa.nulls(len(lk), pa.int32()))
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        matched = right.take(idx)  # null idx → null row (left-outer)
+        for c in right_cols:
+            batch = batch.append_column(c, matched.column(c))
+        return batch
+
+    return left_ds.map_batches(attach, batch_format="pyarrow")

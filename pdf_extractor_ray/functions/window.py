@@ -145,6 +145,39 @@ def running_total(
     return events_ds.groupby(key).map_groups(cum, batch_format="pyarrow")
 
 
+def rank_in_group(
+    ds,
+    key: str,
+    order_cols: list,
+    out_col: str = "rn",
+):
+    """``row_number() OVER (PARTITION BY key ORDER BY order_cols)`` —
+    every input row plus a 1-based int64 rank.
+
+    Unlike :func:`topk_per_group` this keeps ALL rows, so there is no
+    associative partial to trim the shuffle — the one hash shuffle
+    carries each key's full row set (the operator's inherent cost; at
+    scale, project to the needed columns first and re-join wide payload
+    by tiebreak afterwards). In-group ranking is one numpy lexsort, no
+    per-row Python. Ordering is ascending per column; include a unique
+    tiebreak column for deterministic (oracle-matchable) ranks."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        # np.lexsort: LAST key is primary → reverse the column list
+        order = np.lexsort(tuple(reversed(arrs)))
+        rn = np.empty(len(order), dtype=np.int64)
+        rn[order] = np.arange(1, len(order) + 1)
+        return group.append_column(out_col, pa.array(rn, pa.int64()))
+
+    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
 def topk_per_group(
     ds,
     key: str,
