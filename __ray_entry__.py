@@ -1271,6 +1271,34 @@ def _q_events_running_total(sf_dir: str):
                          tiebreak="event_id")
 
 
+def _q_events_lag_value(sf_dir: str):
+    """LAG(value) per user in (ts, event_id) order — every event plus
+    its predecessor's value (null for each user's first event)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import lag_attach
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return lag_attach(ds, key="user_id", ts_col="ts", val_col="value",
+                      tiebreak="event_id")
+
+
+def _q_events_moving_avg(sf_dir: str):
+    """3-row rolling mean of value per user — the bounded-frame window
+    (ROWS 2 PRECEDING..CURRENT), computed as cumsum differences."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import moving_avg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return moving_avg(ds, key="user_id", ts_col="ts", val_col="value",
+                      tiebreak="event_id", window_rows=3)
+
+
 def _q_events_pivot_daily(sf_dir: str):
     """Pivot/crosstab: events per (day × event_type) as a WIDE table —
     one int64 column per type via vectorized conditional partials, then
@@ -1636,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": _q_suppliers_by_region,
         "lineitem_rollup": _q_lineitem_rollup,
         "order_rank_per_customer": _q_order_rank_per_customer,
+        "events_lag_value": _q_events_lag_value,
+        "events_moving_avg": _q_events_moving_avg,
     }
 
 
@@ -2221,5 +2251,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey
                    ) AS BIGINT) AS rn
             FROM orders
+        """,
+        "events_lag_value": """
+            SELECT user_id, event_id,
+                   LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_value
+            FROM events
+        """,
+        "events_moving_avg": """
+            SELECT user_id, event_id,
+                   round(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS moving_avg
+            FROM events
         """,
     }

@@ -9,7 +9,9 @@ from .text import (  # noqa: F401
     top_tokens_approx,
 )
 from .window import (  # noqa: F401
+    lag_attach,
     lag_gap_stats,
+    moving_avg,
     rank_in_group,
     running_total,
     sessionize,

@@ -145,6 +145,86 @@ def running_total(
     return events_ds.groupby(key).map_groups(cum, batch_format="pyarrow")
 
 
+def lag_attach(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    out_col: str = "prev_value",
+):
+    """``LAG(val) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` —
+    every input row plus its predecessor's value (null for each key's
+    first row). One hash shuffle; in-group lexsort + a shifted take,
+    no per-row Python. Emits (key, tiebreak, out_col)."""
+
+    def lag(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts))
+        prev_idx = np.concatenate([[-1], order[:-1]])
+        prev = group.column(val_col).take(
+            pa.array([None if i < 0 else int(i) for i in prev_idx], pa.int64())
+        )
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(pa.array(order, pa.int64())),
+                out_col: prev,
+            }
+        )
+
+    return ds.groupby(key).map_groups(lag, batch_format="pyarrow")
+
+
+def moving_avg(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    window_rows: int = 3,
+    out_col: str = "moving_avg",
+):
+    """``AVG(val) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` — the rolling
+    mean. In-group work is one lexsort + a sliding-window sum via
+    cumulative-sum differences (O(rows), allocation-bounded). Emits one
+    row per input row: (key, tiebreak, out_col), rounded to 6 digits so
+    float results compare stably against a sequential window engine."""
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        vals = np.asarray(group.column(val_col).to_pylist(), dtype=np.float64)
+        order = np.lexsort((tb, ts))
+        v = vals[order]
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(np.arange(n) - (window_rows - 1), 0)
+        win_sum = cum[np.arange(1, n + 1)] - cum[lo]
+        win_n = np.arange(1, n + 1) - lo
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(pa.array(order, pa.int64())),
+                out_col: pa.array(np.round(win_sum / win_n, 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(roll, batch_format="pyarrow")
+
+
 def rank_in_group(
     ds,
     key: str,

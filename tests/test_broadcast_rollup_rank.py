@@ -122,3 +122,29 @@ def test_rank_in_group_orders_and_ties(ray_session):
     got = {int(i): int(r) for i, r in zip(out["id"], out["rn"])}
     # key 1 ordered by (ts, id): id 8 (day0), id 9 (day0), id 7 (day2)
     assert got == {8: 1, 9: 2, 7: 3, 1: 1}
+
+
+def test_lag_attach_and_moving_avg(ray_session):
+    from pdf_extractor_ray.functions.window import lag_attach, moving_avg
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(days=d) for d in (0, 1, 2, 0)],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array([10, 11, 12, 20], pa.int64()),
+            "v": pa.array([1.0, 2.0, 4.0, 9.0], pa.float64()),
+        }
+    )
+    ds = _ds(t)
+    lag = lag_attach(ds, "k", "ts", "v", "id").to_pandas()
+    got = {int(i): (None if p != p else float(p))
+           for i, p in zip(lag["id"], lag["prev_value"])}
+    assert got == {10: None, 11: 1.0, 12: 2.0, 20: None}
+
+    ma = moving_avg(_ds(t), "k", "ts", "v", "id", window_rows=2).to_pandas()
+    got = {int(i): float(m) for i, m in zip(ma["id"], ma["moving_avg"])}
+    assert got == {10: 1.0, 11: 1.5, 12: 3.0, 20: 9.0}
