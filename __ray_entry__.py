@@ -615,6 +615,27 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_customer_order_full(sf_dir: str):
+    """FULL OUTER equi-join (orders ⟗ customer): every order keeps its
+    customer, customers with no orders appear null-extended — the
+    coverage-audit join shape (which side has unmatched rows?)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_custkey"], ["c_custkey"],
+        how="full", num_partitions=16,
+    )
+
+
 def _q_suppliers_by_region(sf_dir: str):
     """Chained MAP-SIDE broadcast joins (supplier → nation → region):
     both dimension tables stay constant-sized at every SF, so the fact
@@ -1666,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_per_customer": _q_order_rank_per_customer,
         "events_lag_value": _q_events_lag_value,
         "events_moving_avg": _q_events_moving_avg,
+        "customer_order_full": _q_customer_order_full,
     }
 
 
@@ -2266,5 +2288,10 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ), 6) AS moving_avg
             FROM events
+        """,
+        "customer_order_full": """
+            SELECT o_orderkey, o_custkey, c_custkey
+            FROM orders FULL OUTER JOIN customer
+            ON o_custkey = c_custkey
         """,
     }

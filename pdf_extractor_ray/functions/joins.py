@@ -386,7 +386,8 @@ def hash_join(
     num_partitions: int = 32,
     validate: str = "unique_right",
 ):
-    """Hash-partitioned shuffle equi-join (``how`` ∈ {inner, left}).
+    """Hash-partitioned shuffle equi-join (``how`` ∈ {inner, left,
+    full}; right-outer = swap the arguments).
 
     Both sides gain a ``__part = hash(key) % P`` column (vectorized),
     union into a common nullable layout, and a single ``groupby(__part)``
@@ -410,8 +411,8 @@ def hash_join(
     fits a worker heap. Hot keys: a single key lands in one bucket —
     pre-aggregate or salt upstream if one key dominates.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     if validate not in ("unique_right", "many"):
         raise ValueError(
             f"validate must be 'unique_right' or 'many', got {validate!r}"
@@ -484,7 +485,37 @@ def hash_join(
         side = group.column("__side")
         lefts = group.filter(pc.equal(side, 0))
         rights = group.filter(pc.equal(side, 1))
+
+        def rights_only(r_tbl: pa.Table) -> pa.Table:
+            cols = {
+                c: pa.nulls(r_tbl.num_rows, out_schema.field(c).type)
+                for c in left_cols
+            }
+            for c in right_cols:
+                cols[c] = r_tbl.column(f"r_{c}")
+            return pa.table(cols, schema=out_schema)
+
+        def finish(res: pa.Table, l_keys) -> pa.Table:
+            # FULL OUTER: append right rows no valid left key matched
+            if how != "full" or rights.num_rows == 0:
+                return res
+            r_keys = rights.column("__jk").combine_chunks()
+            l_valid = l_keys.drop_null()
+            if len(l_valid):
+                r_matched = pc.and_(
+                    pc.is_valid(r_keys),
+                    pc.fill_null(pc.is_in(r_keys, value_set=l_valid), False),
+                )
+            else:
+                r_matched = pa.array([False] * rights.num_rows)
+            unmatched = rights.filter(pc.invert(r_matched))
+            if unmatched.num_rows == 0:
+                return res
+            return pa.concat_tables([res, rights_only(unmatched)])
+
         if lefts.num_rows == 0:
+            if how == "full" and rights.num_rows:
+                return rights_only(rights)
             return out_schema.empty_table()
         l_keys = lefts.column("__jk").combine_chunks()
         if rights.num_rows == 0:
@@ -541,7 +572,7 @@ def hash_join(
             cols = {c: out_lefts.column(f"l_{c}") for c in left_cols}
             for c in right_cols:
                 cols[c] = out_rights.column(f"r_{c}")
-            if how == "left":
+            if how in ("left", "full"):
                 # left rows with no match emit one null-extended row
                 miss = np.nonzero(counts == 0)[0]
                 if len(miss):
@@ -551,13 +582,16 @@ def hash_join(
                         miss_cols[c] = pa.nulls(
                             len(miss), out_schema.field(c).type
                         )
-                    return pa.concat_tables(
-                        [
-                            pa.table(cols, schema=out_schema),
-                            pa.table(miss_cols, schema=out_schema),
-                        ]
+                    return finish(
+                        pa.concat_tables(
+                            [
+                                pa.table(cols, schema=out_schema),
+                                pa.table(miss_cols, schema=out_schema),
+                            ]
+                        ),
+                        l_keys,
                     )
-            return pa.table(cols, schema=out_schema)
+            return finish(pa.table(cols, schema=out_schema), l_keys)
         idx = pc.index_in(l_keys, value_set=r_keys)
         # SQL semantics: a null join key matches nothing
         idx = pc.if_else(pc.is_valid(l_keys), idx, pa.nulls(len(l_keys), pa.int32()))
@@ -571,7 +605,7 @@ def hash_join(
         cols = {c: lefts.column(f"l_{c}") for c in left_cols}
         for c in right_cols:
             cols[c] = matched.column(f"r_{c}")
-        return pa.table(cols, schema=out_schema)
+        return finish(pa.table(cols, schema=out_schema), l_keys)
 
     import ray.data
 

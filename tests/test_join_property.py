@@ -170,3 +170,34 @@ def test_asof_join_matches_direct_oracle(ray_session, left, right):
         cands = [(t, tb) for rk, t, tb in right if rk == k and t <= ts]
         want = max(cands)[1] if cands else None
         assert got_map[lid] == want, (lid, k, ts, cands)
+
+
+@_SETTINGS
+@given(left=LEFT, right=RIGHT)
+def test_hash_join_full_many_matches_sql_semantics(ray_session, left, right):
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    got = _pdf(hash_join(
+        _ds(_left_table(left)), _ds(_right_table(right)),
+        "lk", "rk", ["lv"], ["rv"],
+        how="full", validate="many", num_partitions=4,
+    ))
+    keyf = lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or 0)
+    got_set = sorted(
+        (
+            (None if a != a else int(a), None if b != b else int(b))
+            for a, b in zip(got["lv"], got["rv"])
+        ),
+        key=keyf,
+    )
+    want = []
+    for lk, lv in left:
+        matches = [rv for rk, rv in right if lk is not None and rk == lk]
+        if matches:
+            want.extend((lv, rv) for rv in matches)
+        else:
+            want.append((lv, None))
+    for rk, rv in right:
+        if rk is None or not any(lk == rk for lk, _ in left):
+            want.append((None, rv))
+    assert got_set == sorted(want, key=keyf)
