@@ -615,6 +615,37 @@ def _q_join_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking: every document split into 32-token
+    windows with 8 tokens of overlap — the tokenizer-prep transform.
+    Pure streaming map_batches, no shuffle."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.chunk import chunk_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_text(ds, max_tokens=32, overlap=8)
+
+
+def _q_pack_chunks(sf_dir: str):
+    """Greedy sequence packing of the 32-token chunks into 256-token
+    packs, sharded by doc-id hash bucket (deterministic, one shuffle)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.chunk import chunk_text, pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_text(ds, max_tokens=32, overlap=8).drop_columns(["text"])
+    return pack_sequences(
+        chunks, id_col="doc_id", ntok_col="n_tokens", budget=256,
+        num_buckets=16, tiebreak_col="chunk_id",
+    )
+
+
 def _q_customer_order_full(sf_dir: str):
     """FULL OUTER equi-join (orders ⟗ customer): every order keeps its
     customer, customers with no orders appear null-extended — the
@@ -1688,6 +1719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_value": _q_events_lag_value,
         "events_moving_avg": _q_events_moving_avg,
         "customer_order_full": _q_customer_order_full,
+        # training-sequence prep (chunk + pack)
+        "chunk_docs": _q_chunk_docs,
+        "pack_chunks": _q_pack_chunks,
     }
 
 
@@ -2293,5 +2327,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, c_custkey
             FROM orders FULL OUTER JOIN customer
             ON o_custkey = c_custkey
+        """,
+        "chunk_docs": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ), s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS g FROM s
+            )
+            SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, g*24 + 1, least(g*24 + 32, n)), ' '
+                   ) AS text,
+                   CAST(least(g*24 + 32, n) - g*24 AS BIGINT) AS n_tokens
+            FROM e
         """,
     }

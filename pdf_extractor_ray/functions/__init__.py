@@ -68,3 +68,4 @@ from .multimodal import (  # noqa: F401
     media_meta_stats,
     video_frames,
 )
+from .chunk import chunk_text, pack_sequences  # noqa: F401
