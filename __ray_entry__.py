@@ -732,6 +732,31 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE over (status, priority): all four grouping sets
+    from one distributed pass (subsets re-aggregate the finest table
+    on the driver)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import cube_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    t = cube_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_totalprice", "sum", "sum_price"), ("o_totalprice", "count", "n_orders")],
+    )
+    return t.set_column(
+        t.column_names.index("sum_price"),
+        "sum_price",
+        pc.round(t.column("sum_price"), ndigits=2),
+    )
+
+
 def _q_order_rank_per_customer(sf_dir: str):
     """ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY date, key) —
     the full-row rank window (every order keeps its per-customer
@@ -1715,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side broadcast join / rollup / rank window (round 3)
         "suppliers_by_region": _q_suppliers_by_region,
         "lineitem_rollup": _q_lineitem_rollup,
+        "orders_cube": _q_orders_cube,
         "order_rank_per_customer": _q_order_rank_per_customer,
         "events_lag_value": _q_events_lag_value,
         "events_moving_avg": _q_events_moving_avg,
@@ -2299,6 +2325,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "order_rank_per_customer": """
             SELECT o_custkey, o_orderkey,

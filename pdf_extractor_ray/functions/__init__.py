@@ -45,6 +45,7 @@ from .similarity import (  # noqa: F401
 )
 from .agg import (  # noqa: F401
     argmax_per_group,
+    cube_agg,
     exact_distinct_by,
     exact_quantiles,
     exact_quantiles_by,

@@ -183,6 +183,37 @@ def rollup_agg(
     indistinguishable from subtotal markers — the reason SQL has
     GROUPING()); enforced loudly."""
     keys = list(keys)
+    sets = [tuple(keys[:n]) for n in range(len(keys), -1, -1)]
+    return _grouping_sets_agg(ds, keys, specs, sets, max_partial_rows, "rollup_agg")
+
+
+def cube_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[AggSpec],
+    max_partial_rows: int = 500_000,
+) -> pa.Table:
+    """``GROUP BY CUBE(keys)`` — aggregates at EVERY key subset (2^k
+    grouping sets). Same one-corpus-pass plan as :func:`rollup_agg`:
+    only the finest level touches the data; every other subset
+    re-aggregates the driver-resident finest table."""
+    keys = list(keys)
+    n = len(keys)
+    sets = [
+        tuple(k for i, k in enumerate(keys) if mask & (1 << i))
+        for mask in range((1 << n) - 1, -1, -1)
+    ]
+    return _grouping_sets_agg(ds, keys, specs, sets, max_partial_rows, "cube_agg")
+
+
+def _grouping_sets_agg(
+    ds,
+    keys: List[str],
+    specs: Sequence[AggSpec],
+    sets: Sequence[tuple],
+    max_partial_rows: int,
+    opname: str,
+) -> pa.Table:
     # hide mean behind re-aggregable sum+count for ALL levels
     flat: List[AggSpec] = []
     for col, fn, alias in specs:
@@ -196,15 +227,15 @@ def rollup_agg(
     for k in keys:
         if finest.column(k).null_count:
             raise ValueError(
-                f"rollup_agg: key column {k!r} contains NULLs — "
-                "indistinguishable from ROLLUP subtotal markers"
+                f"{opname}: key column {k!r} contains NULLs — "
+                "indistinguishable from subtotal markers"
             )
 
     refn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
-    def level(n_keys: int) -> pa.Table:
-        sub = keys[:n_keys]
-        if n_keys == len(keys):
+    def level(sub: tuple) -> pa.Table:
+        sub = list(sub)
+        if sub == keys:
             lvl = finest
         elif sub:
             g = finest.group_by(sub).aggregate(
@@ -232,7 +263,7 @@ def rollup_agg(
             cols[alias] = lvl.column(alias)
         return pa.table(cols)
 
-    t = pa.concat_tables(level(n) for n in range(len(keys), -1, -1))
+    t = pa.concat_tables(level(s) for s in sets)
 
     mean_aliases = [alias for _, fn, alias in specs if fn == "mean"]
     if mean_aliases:

@@ -148,3 +148,23 @@ def test_lag_attach_and_moving_avg(ray_session):
     ma = moving_avg(_ds(t), "k", "ts", "v", "id", window_rows=2).to_pandas()
     got = {int(i): float(m) for i, m in zip(ma["id"], ma["moving_avg"])}
     assert got == {10: 1.0, 11: 1.5, 12: 3.0, 20: 9.0}
+
+
+def test_cube_agg_all_subsets(ray_session):
+    from pdf_extractor_ray.functions.agg import cube_agg
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    out = cube_agg(_ds(t), ["a", "b"], [("v", "sum", "s")])
+    rows = {(r["a"], r["b"]): r["s"] for r in out.to_pylist()}
+    assert rows == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,
+        ("x", None): 3, ("y", None): 4,
+        (None, "p"): 5, (None, "q"): 2,
+        (None, None): 7,
+    }
