@@ -1235,6 +1235,55 @@ def _q_contamination_check(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals (duplicate-line
+    fraction, count- and character-weighted) — the boilerplate filter
+    every web-corpus recipe applies. Per-doc op, zero shuffle; one
+    ``dictionary_encode`` codes every line of a batch at once."""
+    from pdf_extractor_ray.functions.text import repetition_stats
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(repetition_stats, batch_format="pyarrow")
+    )
+
+
+def _q_top_bigram_char_frac(sf_dir: str):
+    """Gopher's top-n-gram character-fraction repetition filter (n=2):
+    per document, the most frequent word bigram (SQL tie order), its
+    count, and the fraction of the document's characters it covers.
+    Vectorized shifted-join bigrams + one np.unique composite count."""
+    from pdf_extractor_ray.functions.text import top_ngram_char_frac
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(top_ngram_char_frac, batch_format="pyarrow")
+    )
+
+
+def _q_classifier_score(sf_dir: str):
+    """Deterministic linear quality classifier (fastText-shape: fixed
+    weights over cheap features + rational-sigmoid squash, so DuckDB
+    and numpy agree bit-for-bit — no libm exp)."""
+    from pdf_extractor_ray.functions.text import (
+        add_classifier_score,
+        add_text_features,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return add_classifier_score(add_text_features(batch)).select(
+            ["doc_id", "classifier_score"]
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1735,6 +1784,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "line_quality": _q_line_quality,
         "contamination_ngram": _q_contamination_ngram,
+        "repetition_stats": _q_repetition_stats,
+        "top_bigram_char_frac": _q_top_bigram_char_frac,
+        "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
         "embedding_norm_stats": _q_embedding_norm_stats,
         # map-side broadcast join / rollup / rank window (round 3)
@@ -2267,6 +2319,82 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(grams,
                       ['key agg', 'agg row', 'window spark', 'spark order',
                        'slow filter', 'filter value'])) >= 1
+        """,
+        "repetition_stats": r"""
+            WITH l AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+                FROM documents
+            ),
+            a AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       count(DISTINCT line) AS n_distinct,
+                       sum(length(line)) AS chars_total
+                FROM l GROUP BY doc_id
+            ),
+            d AS (
+                SELECT doc_id, sum(length(line)) AS chars_distinct
+                FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_lines,
+                   round(1 - CAST(n_distinct AS DOUBLE) / n_lines, 6)
+                       AS dup_line_frac,
+                   round(1 - CAST(chars_distinct AS DOUBLE)
+                             / greatest(chars_total, 1), 6)
+                       AS dup_line_char_frac
+            FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "top_bigram_char_frac": r"""
+            WITH toks AS (
+                SELECT doc_id, length(coalesce(text, '')) AS n_chars_t,
+                       string_split_regex(
+                           trim(coalesce(text, ''),
+                                ' ' || chr(9) || chr(10) || chr(13)),
+                           '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n_chars_t,
+                       unnest([array_to_string(t[i:i+1], ' ')
+                               for i in range(1, len(t))]) AS gram
+                FROM toks WHERE len(t) >= 2
+            ),
+            c AS (
+                SELECT doc_id, any_value(n_chars_t) AS n_chars_t, gram,
+                       count(*) AS cnt
+                FROM g GROUP BY doc_id, gram
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                FROM c
+            )
+            SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS n_occ,
+                   round(CAST(cnt * length(gram) AS DOUBLE)
+                         / greatest(n_chars_t, 1), 6) AS top_gram_char_frac
+            FROM r WHERE rn = 1
+        """,
+        "classifier_score": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            ),
+            z AS (
+                SELECT doc_id,
+                       4 * stopword_ratio - 3 * punct_ratio
+                           + least(n_tokens, 400) / 400.0 - 1 AS z
+                FROM f
+            )
+            SELECT doc_id,
+                   round(0.5 * (1 + z / (1 + abs(z))), 6) AS classifier_score
+            FROM z
         """,
         "events_value_stddev": r"""
             WITH c AS (

@@ -475,3 +475,160 @@ def ngram_overlap_vs_probes(batch: pa.Table, probes, n: int = 3,
             "n_shared_ngrams": pa.array(overlaps, pa.int64()),
         }
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals: the fraction of
+    lines (count- and character-weighted) that are duplicates of an
+    earlier line in the SAME document.  High values flag boilerplate /
+    navigation pages a training-data filter drops.
+
+    Fully vectorized per batch: one ``split_pattern`` over the column,
+    one ``dictionary_encode`` over ALL lines of the batch at once (the
+    distinct-line coder), then numpy ``bincount``/``unique`` folds by
+    document.  No per-row Python; embarrassingly parallel (per-doc op,
+    no shuffle)."""
+    import numpy as np
+
+    col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    lines = pc.split_pattern(col, "\n")
+    offs = np.asarray(lines.offsets, dtype=np.int64)
+    flat = lines.flatten()
+    n_docs = len(col)
+    per_doc = np.diff(offs)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes_np = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens_np = (
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_codes = int(codes_np.max()) + 1 if len(codes_np) else 1
+    pair_key = doc_idx * n_codes + codes_np
+    _, first_i = np.unique(pair_key, return_index=True)
+    n_distinct = np.bincount(doc_idx[first_i], minlength=n_docs)
+    chars_total = np.bincount(
+        doc_idx, weights=lens_np, minlength=n_docs
+    ).astype(np.int64)
+    chars_distinct = np.bincount(
+        doc_idx[first_i], weights=lens_np[first_i], minlength=n_docs
+    ).astype(np.int64)
+    dup_line_frac = np.round(1.0 - n_distinct / per_doc.astype(np.float64), 6)
+    dup_line_char_frac = np.round(
+        1.0 - chars_distinct / np.maximum(chars_total, 1).astype(np.float64), 6
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(per_doc, pa.int64()),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_line_char_frac, pa.float64()),
+        }
+    )
+
+
+def top_ngram_char_frac(
+    batch: pa.Table, n: int = 2, text_col: str = "text"
+) -> pa.Table:
+    """Gopher's "fraction of characters in the most frequent word
+    n-gram" repetition filter (n=2 here).  Emits, per document with at
+    least ``n`` tokens: the top n-gram (ties → lexicographically
+    smallest, matching SQL ``ORDER BY cnt DESC, gram``), its occurrence
+    count, and ``cnt·len(gram)/len(text)``.
+
+    Vectorized: tokens come from one ``split_pattern_regex``; bigrams
+    are a shifted ``binary_join_element_wise`` over the flat token
+    array masked at document boundaries; per-(doc, gram) counting is
+    ``dictionary_encode`` + one ``np.unique`` on composite keys.  Tie
+    order uses the gram dictionary's argsort rank (codepoint order =
+    UTF-8 byte order = SQL binary collation)."""
+    import numpy as np
+
+    if n != 2:
+        raise ValueError("top_ngram_char_frac currently implements n=2")
+    col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    text_len = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    # trim set mirrors the SQL twin's trim(text, ' \t\n\r') exactly
+    toks = pc.split_pattern_regex(pc.utf8_trim(col, " \t\n\r"), r"\s+")
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.flatten()
+    n_docs = len(col)
+    per_doc = np.diff(offs)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    total = len(flat)
+    empty = pa.table(
+        {
+            "doc_id": batch.column("doc_id").slice(0, 0),
+            "top_gram": pa.array([], pa.string()),
+            "n_occ": pa.array([], pa.int64()),
+            "top_gram_char_frac": pa.array([], pa.float64()),
+        }
+    )
+    if total < 2:
+        return empty
+    left = flat.slice(0, total - 1)
+    right = flat.slice(1, total - 1)
+    grams_all = pc.binary_join_element_wise(left, right, " ")
+    valid = doc_idx[:-1] == doc_idx[1:]
+    if not valid.any():
+        return empty
+    grams = grams_all.filter(pa.array(valid))
+    gdoc = doc_idx[:-1][valid]
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    gdict = enc.dictionary.to_pylist()
+    n_gcodes = len(gdict)
+    lex_rank = np.empty(n_gcodes, dtype=np.int64)
+    lex_rank[np.argsort(np.asarray(gdict, dtype=object))] = np.arange(n_gcodes)
+    pair_key = gdoc * n_gcodes + gcodes
+    uniq, counts = np.unique(pair_key, return_counts=True)
+    u_doc = uniq // n_gcodes
+    u_code = uniq % n_gcodes
+    order = np.lexsort((lex_rank[u_code], -counts, u_doc))
+    run_first = np.concatenate([[True], u_doc[order][1:] != u_doc[order][:-1]])
+    top_i = order[run_first]
+    top_doc = u_doc[top_i]
+    top_code = u_code[top_i]
+    top_cnt = counts[top_i]
+    gram_strs = [gdict[c] for c in top_code]
+    gram_len = np.asarray([len(g) for g in gram_strs], dtype=np.int64)
+    frac = np.round(
+        (top_cnt * gram_len).astype(np.float64)
+        / np.maximum(text_len[top_doc], 1).astype(np.float64),
+        6,
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pa.array(top_doc, pa.int64())),
+            "top_gram": pa.array(gram_strs, pa.string()),
+            "n_occ": pa.array(top_cnt, pa.int64()),
+            "top_gram_char_frac": pa.array(frac, pa.float64()),
+        }
+    )
+
+
+def add_classifier_score(batch: pa.Table) -> pa.Table:
+    """Deterministic linear quality CLASSIFIER (fastText-shape: fixed
+    weights over cheap features, squashed to (0, 1)).  Stands in for a
+    learned filter model with bit-reproducible output: the squash is
+    the rational sigmoid ``0.5·(1 + z/(1+|z|))`` — add/abs/divide only,
+    so DuckDB and numpy agree to the last ulp (no libm ``exp``).
+
+    Requires ``add_text_features`` columns (n_tokens, punct_ratio,
+    stopword_ratio).  Weights are arbitrary but fixed:
+    z = 4·stop − 3·punct + min(n_tokens,400)/400 − 1."""
+    import numpy as np
+
+    stop = batch.column("stopword_ratio").to_numpy(zero_copy_only=False)
+    punct = batch.column("punct_ratio").to_numpy(zero_copy_only=False)
+    n_tok = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    z = 4.0 * stop - 3.0 * punct + np.minimum(n_tok, 400.0) / 400.0 - 1.0
+    score = np.round(0.5 * (1.0 + z / (1.0 + np.abs(z))), 6)
+    return batch.append_column(
+        "classifier_score", pa.array(score, pa.float64())
+    )

@@ -468,3 +468,67 @@ def test_ngram_overlap_vs_probes():
         t, ("key agg row",), n=2
     ).to_pylist()
     assert out == [{"doc_id": 1, "n_shared_ngrams": 2}]
+
+
+def test_repetition_stats_semantics():
+    from pdf_extractor_ray.functions.text import repetition_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # 4 lines, 'nav bar' twice -> 2 dup-free of 4? distinct=3
+            "nav bar\nreal content line\nnav bar\nfooter",
+            "only one line",
+            # all lines identical: distinct=1 of 3
+            "x\nx\nx",
+        ]),
+    })
+    out = repetition_stats(t).to_pylist()
+    d1, d2, d3 = out
+    assert d1["n_lines"] == 4
+    assert d1["dup_line_frac"] == round(1 - 3 / 4, 6)
+    # chars: nav bar(7)*2 + real content line(17) + footer(6) = 37 total,
+    # distinct chars = 7+17+6 = 30
+    assert d1["dup_line_char_frac"] == round(1 - 30 / 37, 6)
+    assert d2["dup_line_frac"] == 0.0 and d2["n_lines"] == 1
+    assert d3["dup_line_frac"] == round(1 - 1 / 3, 6)
+    assert d3["dup_line_char_frac"] == round(1 - 1 / 3, 6)
+
+
+def test_top_ngram_char_frac_semantics():
+    from pdf_extractor_ray.functions.text import top_ngram_char_frac
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b a b a",       # bigrams: 'a b'x2, 'b a'x2 -> tie, lex smaller wins
+            "single",          # <2 tokens -> excluded
+            "x y z x y",       # 'x y'x2 top
+        ]),
+    })
+    out = top_ngram_char_frac(t).to_pylist()
+    assert len(out) == 2
+    d1, d3 = out
+    assert d1["doc_id"] == 1 and d1["top_gram"] == "a b" and d1["n_occ"] == 2
+    assert d1["top_gram_char_frac"] == round(2 * 3 / 9, 6)
+    assert d3["doc_id"] == 3 and d3["top_gram"] == "x y" and d3["n_occ"] == 2
+    assert d3["top_gram_char_frac"] == round(2 * 3 / 9, 6)
+
+
+def test_classifier_score_monotone_and_bounded():
+    from pdf_extractor_ray.functions.text import (
+        add_classifier_score,
+        add_text_features,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat and it is a fine day in the sun",
+            "$$$ ### !!! @@@ %%% ^^^ &&& *** ((( )))",
+        ]),
+    })
+    out = add_classifier_score(add_text_features(t)).to_pylist()
+    assert all(0.0 < r["classifier_score"] < 1.0 for r in out)
+    # stopword-rich prose must outscore pure punctuation
+    assert out[0]["classifier_score"] > out[1]["classifier_score"]
