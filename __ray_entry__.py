@@ -1284,6 +1284,19 @@ def _q_classifier_score(sf_dir: str):
     )
 
 
+def _q_interdoc_line_dedup(sf_dir: str):
+    """Cross-document line dedup (CCNet/RefinedWeb boilerplate stage):
+    lines occurring in >1 distinct documents are dropped corpus-wide;
+    per doc the surviving-line count and cleaned-text md5. Three
+    minimal shuffles: 16-byte line keys (combiner-backed census),
+    keys-only anti-join, unique-key reassembly."""
+    from pdf_extractor_ray.functions.dedup import interdoc_line_dedup
+
+    return interdoc_line_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), max_docs=1
+    )
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1785,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_quality": _q_line_quality,
         "contamination_ngram": _q_contamination_ngram,
         "repetition_stats": _q_repetition_stats,
+        "interdoc_line_dedup": _q_interdoc_line_dedup,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2343,6 +2357,33 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "interdoc_line_dedup": r"""
+            WITH s AS (
+                SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest([i for i in range(1, len(ls) + 1)]) AS idx
+                FROM s
+            ),
+            f AS (
+                SELECT line FROM l
+                GROUP BY line HAVING count(DISTINCT doc_id) > 1
+            ),
+            kept AS (
+                SELECT * FROM l WHERE line NOT IN (SELECT line FROM f)
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id, CAST(len(s.ls) AS BIGINT) AS n_lines,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   coalesce(agg.clean_md5, md5('')) AS clean_md5
+            FROM s LEFT JOIN agg USING (doc_id)
         """,
         "top_bigram_char_frac": r"""
             WITH toks AS (

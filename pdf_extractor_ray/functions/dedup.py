@@ -787,3 +787,149 @@ def simhash_dedup(docs_ds, max_hamming: int = 3):
     return hamming_bucket_pairs(
         hamming_bands(sigs, max_hamming), max_hamming=max_hamming
     )
+
+
+# ------------------------------------------------- cross-document line dedup
+def explode_lines(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Explode documents into (doc_id, idx, line, line_md5) rows.
+    Vectorized split + offsets math; md5 stays per-line (C-speed
+    digest, no Arrow kernel)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    lines = pc.split_pattern(col, "\n")
+    offs = np.asarray(lines.offsets, dtype=np.int64)
+    flat = lines.flatten()
+    per_doc = np.diff(offs)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(ids, per_doc)
+    base = np.repeat(offs[:-1] - offs[0], per_doc)
+    idx = np.arange(len(flat), dtype=np.int64) - base + 1
+    md5s = [hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in flat.to_pylist()]
+    return pa.table(
+        {
+            id_col: pa.array(doc_rep, pa.int64()),
+            "idx": pa.array(idx, pa.int64()),
+            "line": flat,
+            "line_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def interdoc_line_dedup(docs_ds, max_docs: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Cross-document LINE deduplication (the CCNet / RefinedWeb stage:
+    boilerplate lines repeated across pages are dropped corpus-wide).
+
+    A line is removed from every document iff it occurs in more than
+    ``max_docs`` distinct documents. Returns one row per input document:
+    ``(doc_id, n_lines, n_kept, clean_md5)`` with ``clean_md5`` the md5
+    of the surviving lines joined by newline (md5('') when nothing
+    survives).
+
+    Scale plan (three shuffles, each minimal):
+    1. frequent-line census — per-block combiner emits at most one
+       (line_md5, n_partial) row per distinct in-block line (a doc
+       lives in one row/block, so in-block distinct == global distinct
+       per doc), then a hash ``groupby(line_md5).sum`` counts distinct
+       DOCUMENTS per line; only 16-byte keys + counts shuffle, and a
+       boilerplate line occurring 10^9 times still contributes one row
+       per block, so hot lines cannot skew the shuffle.
+    2. anti-join — ``semi_anti_join`` ships the frequent set as bare
+       keys; surviving (doc_id, idx, line) rows keep their text.
+    3. reassembly — one ``groupby(doc_id)`` (unique key, no skew),
+       in-group idx sort + join.
+    The line explosion is recomputed for pass 1 and 2 rather than
+    materialized — at corpus scale recomputing a cheap vectorized
+    split beats pinning an exploded corpus-sized dataset.
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join, semi_anti_join
+
+    lines_ds = docs_ds.map_batches(explode_lines, batch_format="pyarrow")
+
+    def census(batch: pa.Table) -> pa.Table:
+        md5s = np.asarray(batch.column("line_md5").to_pylist(), dtype=object)
+        uniq, counts = np.unique(md5s, return_counts=True)
+        return pa.table(
+            {
+                "line_md5": pa.array(uniq, pa.string()),
+                "n_partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    freq = (
+        lines_ds.map_batches(census, batch_format="pyarrow")
+        .groupby("line_md5")
+        .aggregate(Sum("n_partial", alias_name="n_docs"))
+        .filter(expr=f"n_docs > {int(max_docs)}")
+    )
+    kept = semi_anti_join(
+        lines_ds,
+        freq,
+        "line_md5",
+        "line_md5",
+        left_cols=[id_col, "idx", "line"],
+        how="anti",
+    )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = np.argsort(
+            np.asarray(group.column("idx").to_pylist()), kind="stable"
+        )
+        lines = group.column("line").take(pa.array(order, pa.int64()))
+        clean = "\n".join(lines.to_pylist())
+        return pa.table(
+            {
+                id_col: group.column(id_col).slice(0, 1),
+                "n_kept": pa.array([len(order)], pa.int64()),
+                "clean_md5": pa.array(
+                    [hashlib.md5(clean.encode("utf-8")).hexdigest()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    agg = kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+
+    def doc_base(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch.column(text_col), "")
+        n_lines = pc.add(
+            pc.cast(pc.count_substring(col, "\n"), pa.int64()), 1
+        )
+        return pa.table(
+            {id_col: batch.column(id_col), "n_lines": n_lines}
+        )
+
+    base = docs_ds.map_batches(doc_base, batch_format="pyarrow")
+    joined = hash_join(
+        base,
+        agg,
+        id_col,
+        id_col,
+        left_cols=[id_col, "n_lines"],
+        right_cols=["n_kept", "clean_md5"],
+        how="left",
+    )
+    _EMPTY_MD5 = hashlib.md5(b"").hexdigest()
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_lines": batch.column("n_lines"),
+                "n_kept": pc.fill_null(batch.column("n_kept"), 0),
+                "clean_md5": pc.fill_null(
+                    batch.column("clean_md5"), _EMPTY_MD5
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

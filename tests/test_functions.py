@@ -532,3 +532,43 @@ def test_classifier_score_monotone_and_bounded():
     assert all(0.0 < r["classifier_score"] < 1.0 for r in out)
     # stopword-rich prose must outscore pure punctuation
     assert out[0]["classifier_score"] > out[1]["classifier_score"]
+
+
+def test_interdoc_line_dedup_semantics(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import interdoc_line_dedup
+
+    boiler = "copyright footer 2024"
+    docs = [
+        (1, f"unique alpha\n{boiler}\nunique beta"),
+        (2, f"{boiler}\nunique gamma"),
+        (3, boiler),                       # fully removed
+        (4, f"solo line\n{boiler}"),
+        (5, "entirely original document"),
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in interdoc_line_dedup(ds, max_docs=1).take_all()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["clean_md5"] == hashlib.md5(
+        b"unique alpha\nunique beta"
+    ).hexdigest()
+    assert out[2]["n_kept"] == 1
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[4]["n_kept"] == 1
+    assert out[5]["n_kept"] == 1
+    # a line must survive when shared by <= max_docs documents
+    # (the boilerplate line is in exactly 4 docs)
+    out2 = {
+        r["doc_id"]: r
+        for r in interdoc_line_dedup(ds, max_docs=4).take_all()
+    }
+    assert all(out2[i]["n_kept"] == out2[i]["n_lines"] for i in out2)
