@@ -1297,6 +1297,34 @@ def _q_interdoc_line_dedup(sf_dir: str):
     )
 
 
+def _q_dedup_components(sf_dir: str):
+    """Dedup-cluster labeling: iterative connected components (hash-min
+    label propagation, one join + one groupby-min per round, free
+    convergence check via the decreasing label sum) over CHAIN edges of
+    the token-prefix near-dup groups (first 5 tokens — the template-
+    clustering heuristic) — labels must propagate multi-hop, so the
+    fixpoint genuinely exercises the iterative operator. Output:
+    (doc_id, component=min doc id of the transitive cluster) for every
+    doc in a cluster of size ≥ 2."""
+    from pdf_extractor_ray.functions.graph import (
+        connected_components,
+        keyed_chain_edges,
+    )
+
+    edges = keyed_chain_edges(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        key="prefix",
+        prefix_k=5,
+    )
+    comps = connected_components(edges)
+    return comps.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "component": b.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1799,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngram": _q_contamination_ngram,
         "repetition_stats": _q_repetition_stats,
         "interdoc_line_dedup": _q_interdoc_line_dedup,
+        "dedup_components": _q_dedup_components,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2357,6 +2386,21 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "dedup_components": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       array_to_string(
+                           (string_split_regex(
+                               trim(coalesce(text, ''),
+                                    ' ' || chr(9) || chr(10) || chr(13)),
+                               '\s+'))[1:5], ' ') AS h
+                FROM documents
+            ),
+            g AS (SELECT h, min(doc_id) AS component, count(*) AS n
+                  FROM h GROUP BY h)
+            SELECT h.doc_id, g.component
+            FROM h JOIN g USING (h) WHERE g.n >= 2
         """,
         "interdoc_line_dedup": r"""
             WITH s AS (

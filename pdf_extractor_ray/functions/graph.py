@@ -1,0 +1,236 @@
+"""Iterative graph operators: connected components over a pair list.
+
+The canonical consumer is dedup clustering — exact/MinHash/SimHash
+stages emit (id_a, id_b) duplicate PAIRS; turning pairs into CLUSTERS
+(pick one representative per transitive group) is a connected-
+components problem. The reference engine never needs this (single
+process, dict union-find); at corpus scale it is an iterative
+hash-min label propagation:
+
+    label(v) ← min(label(v), min_{(v,u)∈E} label(u))   until fixpoint
+
+Scale notes:
+- State is the (node, label) table — nodes are only the docs that
+  appear in a duplicate pair, a small fraction of the corpus. It is
+  materialized once per iteration (the inherent checkpoint of an
+  iterative algorithm; without it every iteration would recompute the
+  whole lineage).
+- Each iteration is one hash join (labels attached to edge
+  endpoints, unique-right contract) + one groupby-min + one pointer
+  jump (``label ← label(label)``, a unique-right self-join) — the
+  shortcut that drops rounds from O(diameter) to O(log diameter),
+  the same idea as large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"). Self-loops are
+  added to the edge list up front so the neighbor-min includes the
+  node's own label without a per-iteration union.
+- Convergence detection is free: labels only ever decrease, so the
+  global label sum is strictly decreasing until fixpoint — compare
+  one Sum aggregate per iteration instead of joining old vs new.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _pin(ds):
+    """Execute ``ds`` and rebuild it from its result block refs.
+
+    ``Dataset.materialize()`` is NOT enough for an iterative loop:
+    when a downstream plan UNIONS a materialized dataset (every
+    ``hash_join`` does), Ray Data re-executes the union inputs from
+    their logical plans, so round N's plan embeds two copies of round
+    N-1's — execution time doubles per round (measured: the pointer-
+    jump self-join went 1.0 s → 14.8 s over 9 rounds on 162 rows).
+    Rebuilding from ``to_arrow_refs`` severs the lineage completely:
+    the same loop stays flat at ~2 s/round. Zero-copy — the blocks
+    stay in the object store; only the plan root changes."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
+def _sym_edges_with_self(batch: pa.Table, col_a: str, col_b: str) -> pa.Table:
+    a = batch.column(col_a).combine_chunks().cast(pa.int64())
+    b = batch.column(col_b).combine_chunks().cast(pa.int64())
+    src = pa.concat_arrays([a, b, a, b])
+    dst = pa.concat_arrays([b, a, a, b])
+    return pa.table({"src": src, "dst": dst})
+
+
+def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
+                         max_iter: int = 50):
+    """Label every node of the pair graph with the minimum node id of
+    its connected component. Returns a Dataset ``(node, component)``
+    with one row per distinct node appearing in ``pairs_ds``.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not reach the
+    fixpoint (diameter larger than max_iter — raise it or pre-cluster).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    edges = _pin(pairs_ds.map_batches(
+        lambda b: _sym_edges_with_self(b, col_a, col_b),
+        batch_format="pyarrow",
+    ))
+    # consolidate reader-inherited tiny blocks ONCE — the edge table is
+    # re-joined every round, so per-block task overhead multiplies by
+    # the round count (same rationale as dedup.compact_blocks)
+    if edges.num_blocks() > 32:
+        target = max(16, edges.size_bytes() // (32 << 20))
+        edges = _pin(edges.repartition(int(target)))
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("src", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src").cast(pa.int64()),
+                    "label": b.column("label").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    labels = _pin(labels)
+
+    def _label_sum(lbl_ds) -> int:
+        row = lbl_ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        msgs = hash_join(
+            edges,
+            labels,
+            "dst",
+            "node",
+            left_cols=["src"],
+            right_cols=["label"],
+            how="inner",
+        )
+        new_labels = (
+            msgs.groupby("src")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("src").cast(pa.int64()),
+                        "label": b.column("label").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = _pin(new_labels)
+        # pointer jump: label ← label(label). Every label is itself a
+        # node (min over node ids), so the lookup is a unique-right
+        # self-join; it shortcuts label trees so a round can move
+        # information further than one edge hop. (Full per-round path
+        # compression was measured and does NOT pay here — label
+        # movement is edge-bound, so extra jumps add joins without
+        # cutting outer rounds.)
+        new_labels = _pin(hash_join(
+            new_labels,
+            new_labels,
+            "label",
+            "node",
+            left_cols=["node"],
+            right_cols=["label"],
+            how="inner",
+        ))
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "component": b.column("label"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter)"
+    )
+
+
+def keyed_chain_edges(docs_ds, key: str = "md5", prefix_k: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Build CHAIN edges inside each same-key group: each doc links
+    only to its rank-neighbor, so component labels must propagate
+    multi-hop — the honest exercise of the iterative operator (clique
+    edges would converge in one round).
+
+    ``key``: ``"md5"`` (exact-duplicate groups) or ``"prefix"`` (first
+    ``prefix_k`` whitespace tokens — the prefix near-dup heuristic web
+    pipelines use for template clustering). One hash-keyed groupby;
+    only (key, doc_id) shuffles."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        if key == "md5":
+            keys = pa.array(
+                [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in col.to_pylist()
+                ],
+                pa.string(),
+            )
+        elif key == "prefix":
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim(col, " \t\n\r"), r"\s+"
+            )
+            keys = pc.binary_join(pc.list_slice(toks, 0, prefix_k), " ")
+        else:
+            raise ValueError(f"unknown key kind {key!r}")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_md5": keys,
+            }
+        )
+
+    def chain(group: pa.Table) -> pa.Table:
+        ids = np.sort(
+            group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(ids[:-1], pa.int64()),
+                "id_b": pa.array(ids[1:], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(chain, batch_format="pyarrow")
+    )

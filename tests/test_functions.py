@@ -572,3 +572,71 @@ def test_interdoc_line_dedup_semantics(ray_session):
         for r in interdoc_line_dedup(ds, max_docs=4).take_all()
     }
     assert all(out2[i]["n_kept"] == out2[i]["n_lines"] for i in out2)
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    # dense-ish graph → small diameter → few propagation rounds; the
+    # 30-node chain test below covers the long-diameter regime
+    rng = random.Random(7)
+    pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(110)]
+    ds = ray.data.from_items(
+        [{"id_a": a, "id_b": b} for a, b in pairs]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ds).take_all()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_connected_components_long_chain(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    # a 30-node path: labels must propagate 29 hops to converge
+    ds = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1} for i in range(100, 129)]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ds).take_all()
+    }
+    assert set(got.values()) == {100} and len(got) == 30
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    ds = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    )
+    out = connected_components(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "component"}
