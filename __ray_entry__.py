@@ -1325,6 +1325,62 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_source_quality_profile(sf_dir: str):
+    """Crawl-health dashboard: per-source document count, mean
+    classifier score, mean token count and distinct-language count —
+    the domain-level profile a 100-TB crawl is triaged with. Two
+    passes: a low-card partial aggregate (only 20×blocks partial rows
+    move) and an exact distinct-language count (per-block distinct
+    pairs → pair-space groupby); final 20-row merge on the driver."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import (
+        exact_distinct_by,
+        lowcard_groupby_agg,
+    )
+    from pdf_extractor_ray.functions.text import (
+        add_classifier_score,
+        add_text_features,
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        t = add_classifier_score(add_text_features(batch))
+        return t.select(["source", "n_tokens", "classifier_score"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(feats, batch_format="pyarrow")
+    prof = lowcard_groupby_agg(
+        ds,
+        ["source"],
+        [
+            ("source", "count", "n_docs"),
+            ("classifier_score", "mean", "mean_classifier"),
+            ("n_tokens", "mean", "mean_tokens"),
+        ],
+    )
+    prof = prof.set_column(
+        prof.schema.get_field_index("mean_classifier"),
+        "mean_classifier",
+        pc.round(prof.column("mean_classifier"), ndigits=6),
+    )
+    prof = prof.set_column(
+        prof.schema.get_field_index("mean_tokens"),
+        "mean_tokens",
+        pc.round(prof.column("mean_tokens"), ndigits=6),
+    )
+    langs = exact_distinct_by(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        ),
+        "source",
+        "lang",
+        out_col="n_langs",
+    )
+    return prof.to_pandas().merge(langs.to_pandas(), on="source")
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -1828,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "interdoc_line_dedup": _q_interdoc_line_dedup,
         "dedup_components": _q_dedup_components,
+        "source_quality_profile": _q_source_quality_profile,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2386,6 +2443,34 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "source_quality_profile": r"""
+            WITH f AS (
+                SELECT source, lang,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            ),
+            s AS (
+                SELECT source, lang, n_tokens,
+                       round(0.5 * (1 + z / (1 + abs(z))), 6) AS cs
+                FROM (
+                    SELECT *, 4 * stopword_ratio - 3 * punct_ratio
+                              + least(n_tokens, 400) / 400.0 - 1 AS z
+                    FROM f
+                )
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(cs), 6) AS mean_classifier,
+                   round(avg(CAST(n_tokens AS DOUBLE)), 6) AS mean_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM s GROUP BY source
         """,
         "dedup_components": r"""
             WITH h AS (
