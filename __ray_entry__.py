@@ -1325,6 +1325,26 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_minhash_components(sf_dir: str):
+    """Near-dup CLUSTERS, not just pairs: MinHash+LSH verified pairs →
+    iterative connected components → (doc_id, component) with the
+    component labeled by its minimum doc id — the grouping a dedup
+    stage keeps one representative from. Rows-only (MinHash is
+    probabilistic); pair↔component consistency is pinned by
+    tests/test_functions.py against a local union-find."""
+    from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    pairs = minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
+    comps = connected_components(pairs, col_a="doc_a", col_b="doc_b")
+    return comps.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "component": b.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_source_quality_profile(sf_dir: str):
     """Crawl-health dashboard: per-source document count, mean
     classifier score, mean token count and distinct-language count —
@@ -1885,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interdoc_line_dedup": _q_interdoc_line_dedup,
         "dedup_components": _q_dedup_components,
         "source_quality_profile": _q_source_quality_profile,
+        "minhash_components": _q_minhash_components,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,

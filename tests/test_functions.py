@@ -640,3 +640,21 @@ def test_connected_components_empty(ray_session):
     out = connected_components(ds)
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "component"}
+
+
+def test_minhash_components_match_pairs_union_find(ray_session, docs):
+    """Cluster labels from the iterative CC must equal union-find over
+    the same verified near-dup pair list."""
+    from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    pairs_ds = minhash_lsh_verified(docs, threshold=0.5)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_ds.take_all()]
+    assert pairs  # seeded corpus has near-dups
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs_ds, col_a="doc_a", col_b="doc_b"
+        ).take_all()
+    }
+    assert got == _uf_components(pairs)
