@@ -477,6 +477,17 @@ def ngram_overlap_vs_probes(batch: pa.Table, probes, n: int = 3,
     )
 
 
+def _round6_half_up(v):
+    """round(x, 6) with DuckDB semantics (half AWAY from zero, for
+    non-negative inputs = half up). ``np.round``/``pc.round`` default
+    to half-to-even, which disagrees with SQL exactly on .5e-6
+    boundaries — real data hits them (a 128-char doc with a 9-char
+    gram gives 9/128 = 0.0703125). Inputs here are always ≥ 0."""
+    import numpy as np
+
+    return np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style within-document repetition signals: the fraction of
     lines (count- and character-weighted) that are duplicates of an
@@ -514,9 +525,11 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     chars_distinct = np.bincount(
         doc_idx[first_i], weights=lens_np[first_i], minlength=n_docs
     ).astype(np.int64)
-    dup_line_frac = np.round(1.0 - n_distinct / per_doc.astype(np.float64), 6)
-    dup_line_char_frac = np.round(
-        1.0 - chars_distinct / np.maximum(chars_total, 1).astype(np.float64), 6
+    dup_line_frac = _round6_half_up(
+        1.0 - n_distinct / per_doc.astype(np.float64)
+    )
+    dup_line_char_frac = _round6_half_up(
+        1.0 - chars_distinct / np.maximum(chars_total, 1).astype(np.float64)
     )
     return pa.table(
         {
@@ -595,10 +608,9 @@ def top_ngram_char_frac(
     top_cnt = counts[top_i]
     gram_strs = [gdict[c] for c in top_code]
     gram_len = np.asarray([len(g) for g in gram_strs], dtype=np.int64)
-    frac = np.round(
+    frac = _round6_half_up(
         (top_cnt * gram_len).astype(np.float64)
-        / np.maximum(text_len[top_doc], 1).astype(np.float64),
-        6,
+        / np.maximum(text_len[top_doc], 1).astype(np.float64)
     )
     return pa.table(
         {
@@ -628,7 +640,7 @@ def add_classifier_score(batch: pa.Table) -> pa.Table:
         np.float64
     )
     z = 4.0 * stop - 3.0 * punct + np.minimum(n_tok, 400.0) / 400.0 - 1.0
-    score = np.round(0.5 * (1.0 + z / (1.0 + np.abs(z))), 6)
+    score = _round6_half_up(0.5 * (1.0 + z / (1.0 + np.abs(z))))
     return batch.append_column(
         "classifier_score", pa.array(score, pa.float64())
     )
