@@ -1325,6 +1325,46 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Composite Gopher-style quality gate — the filters used AS a
+    filter: keep documents with duplicate-line fraction ≤ 0.3,
+    classifier score ≥ 0.31 and ≥ 20 tokens. One vectorized pass
+    computes all three signals per batch (no joins: the signals are
+    per-doc and positional), then a boolean mask. Output: surviving
+    (doc_id, n_tokens, classifier_score)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.text import (
+        add_classifier_score,
+        add_text_features,
+        repetition_stats,
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        rep = repetition_stats(batch)
+        cls = add_classifier_score(add_text_features(batch))
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(rep.column("dup_line_frac"), 0.3),
+                pc.greater_equal(cls.column("classifier_score"), 0.31),
+            ),
+            pc.greater_equal(cls.column("n_tokens"), 20),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": cls.column("n_tokens"),
+                "classifier_score": cls.column("classifier_score"),
+            }
+        ).filter(keep)
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(gate, batch_format="pyarrow")
+    )
+
+
 def _q_minhash_components(sf_dir: str):
     """Near-dup CLUSTERS, not just pairs: MinHash+LSH verified pairs →
     iterative connected components → (doc_id, component) with the
@@ -1906,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "source_quality_profile": _q_source_quality_profile,
         "minhash_components": _q_minhash_components,
+        "gopher_filter": _q_gopher_filter,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2464,6 +2505,44 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "gopher_filter": r"""
+            WITH l AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+                FROM documents
+            ),
+            rep AS (
+                SELECT doc_id,
+                       round(1 - CAST(count(DISTINCT line) AS DOUBLE)
+                                 / count(*), 6) AS dup_line_frac
+                FROM l GROUP BY doc_id
+            ),
+            f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       round(0.5 * (1 + z / (1 + abs(z))), 6) AS classifier_score
+                FROM (
+                    SELECT *, 4 * stopword_ratio - 3 * punct_ratio
+                              + least(n_tokens, 400) / 400.0 - 1 AS z
+                    FROM f
+                )
+            )
+            SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   s.classifier_score
+            FROM s JOIN rep USING (doc_id)
+            WHERE rep.dup_line_frac <= 0.3
+              AND s.classifier_score >= 0.31
+              AND s.n_tokens >= 20
         """,
         "source_quality_profile": r"""
             WITH f AS (
