@@ -1325,6 +1325,18 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_doc_cross_entropy(sf_dir: str):
+    """Statistical-LM quality scoring (CCNet shape): per-document
+    unigram cross-entropy against the corpus's own token distribution.
+    TF-IDF-shaped plan — (token, count) pairs shuffle, vocabulary never
+    broadcast, associative per-block partials before the doc fold."""
+    from pdf_extractor_ray.functions.text import doc_unigram_cross_entropy
+
+    return doc_unigram_cross_entropy(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def _q_gopher_filter(sf_dir: str):
     """Composite Gopher-style quality gate — the filters used AS a
     filter: keep documents with duplicate-line fraction ≤ 0.3,
@@ -1947,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_profile": _q_source_quality_profile,
         "minhash_components": _q_minhash_components,
         "gopher_filter": _q_gopher_filter,
+        "doc_cross_entropy": _q_doc_cross_entropy,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2505,6 +2518,28 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "doc_cross_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            cnt AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS C
+                FROM t2 GROUP BY tok
+            ),
+            tot AS (SELECT CAST(sum(C) AS DOUBLE) AS t FROM cnt),
+            doc AS (
+                SELECT doc_id, tok, count(*) AS m
+                FROM t2 GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+                   round(log2((SELECT t FROM tot))
+                         - sum(m * log2(CAST(C AS DOUBLE))) / sum(m), 6)
+                       AS cross_entropy
+            FROM doc JOIN cnt USING (tok) GROUP BY doc_id
         """,
         "gopher_filter": r"""
             WITH l AS (

@@ -644,3 +644,99 @@ def add_classifier_score(batch: pa.Table) -> pa.Table:
     return batch.append_column(
         "classifier_score", pa.array(score, pa.float64())
     )
+
+
+def doc_unigram_cross_entropy(docs_ds, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Per-document unigram cross-entropy against the corpus's own
+    token distribution — the statistical-LM quality signal (CCNet
+    scores documents with a KenLM model the same way; here the "model"
+    is the corpus unigram MLE, which keeps the op deterministic and
+    SQL-mirrorable).
+
+        H(doc) = log2(T) − Σ_tok c_tok·log2(C_tok) ⁄ Σ_tok c_tok
+
+    with ``C_tok`` the corpus count, ``T`` the corpus token total and
+    ``c_tok`` the in-doc count. Low H ≈ stereotyped/boilerplate text;
+    high H ≈ rare-token-heavy text.
+
+    Scale plan (the TF-IDF shape): per-doc (token, c) pairs and
+    corpus (token, C) counts shuffle by token — counts, never text;
+    the vocabulary is never broadcast (token-space hash join); the
+    final fold is one doc-space groupby. T rides along as a scalar
+    (driver-held single number, not a table).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import compact_blocks
+    from .joins import hash_join
+
+    import numpy as np
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        ids, toks, cnts = [], [], []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            c: dict = {}
+            for tok in (t or "").split():
+                c[tok] = c.get(tok, 0) + 1
+            ids.extend([d] * len(c))
+            toks.extend(c.keys())
+            cnts.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    tok = compact_blocks(
+        docs_ds.map_batches(explode_counts, batch_format="pyarrow")
+    )
+    # ^ consumed twice (corpus counts + join left side) — compact_blocks
+    # materializes, so the explode runs once
+    corpus = tok.groupby("token").aggregate(Sum("c", alias_name="C"))
+    total = int(corpus.aggregate(Sum("C", alias_name="t"))["t"])
+    joined = hash_join(
+        tok, corpus, "token", "token", [id_col, "c"], ["C"], how="inner"
+    )
+
+    log2_total = float(np.log2(total))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        # per-block partial: Σ c·log2(C) and Σ c per doc — associative,
+        # so only (doc_id, wsum, m) rows reach the final groupby
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        C = batch.column("C").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        wsum = np.bincount(inv, weights=c * np.log2(C))
+        m = np.bincount(inv, weights=c)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, pa.int64()),
+                "wsum": pa.array(wsum, pa.float64()),
+                "m": pa.array(m, pa.float64()),
+            }
+        )
+
+    partials = joined.map_batches(fold, batch_format="pyarrow")
+    final = partials.groupby(id_col).aggregate(
+        Sum("wsum", alias_name="wsum"), Sum("m", alias_name="m")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wsum = batch.column("wsum").to_numpy(zero_copy_only=False)
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+        h = _round6_half_up(log2_total - wsum / np.maximum(m, 1.0))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cross_entropy": pa.array(h, pa.float64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

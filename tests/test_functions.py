@@ -658,3 +658,37 @@ def test_minhash_components_match_pairs_union_find(ray_session, docs):
         ).take_all()
     }
     assert got == _uf_components(pairs)
+
+
+def test_doc_cross_entropy_matches_local(ray_session):
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import doc_unigram_cross_entropy
+
+    docs = [
+        (1, "a a a b"),
+        (2, "a b c d"),
+        (3, "c c d"),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in doc_unigram_cross_entropy(ds).take_all()
+    }
+    # corpus counts: a=5 b=2 c=3 d=2, T=11... wait recompute locally
+    from collections import Counter
+
+    corpus = Counter()
+    for _, t in docs:
+        corpus.update(t.split())
+    T = sum(corpus.values())
+    for i, t in docs:
+        toks = t.split()
+        h = math.log2(T) - sum(
+            math.log2(corpus[x]) for x in toks
+        ) / len(toks)
+        assert abs(got[i] - h) < 1e-6, (i, got[i], h)
+    # stereotyped text (all common tokens) scores lower than rare-heavy
+    assert got[1] < got[2]
