@@ -81,7 +81,8 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
     if edges.num_blocks() > 32:
         target = max(16, edges.size_bytes() // (32 << 20))
         edges = _pin(edges.repartition(int(target)))
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data
 
         return ray.data.from_arrow(
@@ -92,6 +93,11 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
                 }
             )
         )
+
+    # partition count sized to the graph: tiny label tables on 32
+    # buckets pay ~4x per-round task overhead for nothing; at corpus
+    # scale the count grows with the pair set
+    parts = int(min(256, max(8, n_edges // 100_000)))
 
     labels = (
         edges.groupby("src")
@@ -122,6 +128,7 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
             left_cols=["src"],
             right_cols=["label"],
             how="inner",
+            num_partitions=parts,
         )
         new_labels = (
             msgs.groupby("src")
@@ -152,6 +159,7 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
             left_cols=["node"],
             right_cols=["label"],
             how="inner",
+            num_partitions=parts,
         ))
         new_sum = _label_sum(new_labels)
         labels = new_labels
