@@ -893,7 +893,30 @@ def interdoc_line_dedup(docs_ds, max_docs: int = 1, text_col: str = "text",
             }
         )
 
-    agg = kept.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+    from .joins import _coerce_blocks
+
+    # typed blocks even when NOTHING survives: map_groups over an empty
+    # input yields zero/schemaless blocks and ds.schema() returns None,
+    # crashing the final join. Coerce every block to the output schema
+    # and UNION a typed empty seed block so the schema exists even with
+    # zero real blocks.
+    import ray.data
+
+    agg_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_kept", pa.int64()),
+            pa.field("clean_md5", pa.string()),
+        ]
+    )
+    agg = ray.data.from_arrow(agg_schema.empty_table()).union(
+        _coerce_blocks(
+            kept.groupby(id_col).map_groups(
+                reassemble, batch_format="pyarrow"
+            ),
+            agg_schema,
+        )
+    )
 
     def doc_base(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -692,3 +692,46 @@ def test_doc_cross_entropy_matches_local(ray_session):
         assert abs(got[i] - h) < 1e-6, (i, got[i], h)
     # stereotyped text (all common tokens) scores lower than rare-heavy
     assert got[1] < got[2]
+
+
+def test_interdoc_line_dedup_random_property(ray_session):
+    """Random multi-line corpora: engine result must equal a local
+    reference implementation for every doc (n_kept + cleaned md5),
+    across max_docs thresholds."""
+    import hashlib
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import interdoc_line_dedup
+
+    rng = random.Random(13)
+    vocab = [f"line-{i}" for i in range(12)]  # small pool → real overlap
+    docs = {
+        i: "\n".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 6))
+        )
+        for i in range(40)
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()]
+    )
+    for max_docs in (1, 3):
+        freq: dict = {}
+        for i, t in docs.items():
+            for ln in set(t.split("\n")):
+                freq[ln] = freq.get(ln, 0) + 1
+        drop = {ln for ln, n in freq.items() if n > max_docs}
+        expect = {}
+        for i, t in docs.items():
+            kept = [ln for ln in t.split("\n") if ln not in drop]
+            expect[i] = (
+                len(t.split("\n")),
+                len(kept),
+                hashlib.md5("\n".join(kept).encode()).hexdigest(),
+            )
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_md5"])
+            for r in interdoc_line_dedup(ds, max_docs=max_docs).take_all()
+        }
+        assert got == expect, f"max_docs={max_docs}"
