@@ -1,13 +1,18 @@
 from .text import (  # noqa: F401
+    add_classifier_score,
     add_quality_score,
     add_text_features,
     count_bpe_tokens,
     detect_language,
+    doc_unigram_cross_entropy,
     rarest_token_per_doc,
+    repetition_stats,
     token_df,
+    top_ngram_char_frac,
     top_ngrams,
     top_tokens_approx,
 )
+from .graph import connected_components, keyed_chain_edges  # noqa: F401
 from .window import (  # noqa: F401
     lag_attach,
     lag_gap_stats,
@@ -24,6 +29,7 @@ from .dedup import (  # noqa: F401
     bucket_collision_pairs,
     candidate_shingles,
     exact_dedup,
+    interdoc_line_dedup,
     latest_by_key,
     minhash_lsh_candidates,
     minhash_lsh_verified,
