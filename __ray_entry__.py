@@ -1325,6 +1325,18 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_dup_span_pairs(sf_dir: str):
+    """Exact duplicated-span detection (Lee et al. 2022 shape): doc
+    pairs sharing an identical 8-token window, with the distinct
+    shared-window count. Only (8-byte window hash, doc_id) rows
+    shuffle; collision-first plan with the boilerplate bucket guard."""
+    from pdf_extractor_ray.functions.dedup import dup_span_pairs
+
+    return dup_span_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=8
+    )
+
+
 def _q_doc_cross_entropy(sf_dir: str):
     """Statistical-LM quality scoring (CCNet shape): per-document
     unigram cross-entropy against the corpus's own token distribution.
@@ -1960,6 +1972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_components": _q_minhash_components,
         "gopher_filter": _q_gopher_filter,
         "doc_cross_entropy": _q_doc_cross_entropy,
+        "dup_span_pairs": _q_dup_span_pairs,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2518,6 +2531,26 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "dup_span_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(
+                           trim(coalesce(text, ''),
+                                ' ' || chr(9) || chr(10) || chr(13)),
+                           '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(t[i:i+7], ' ')
+                               for i in range(1, len(t) - 6)]) AS gram
+                FROM toks WHERE len(t) >= 8
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "doc_cross_entropy": r"""
             WITH toks AS (

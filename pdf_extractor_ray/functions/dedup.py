@@ -956,3 +956,84 @@ def interdoc_line_dedup(docs_ds, max_docs: int = 1, text_col: str = "text",
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# --------------------------------------------------- exact duplicated spans
+def span_gram_hashes(batch: pa.Table, k: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per document: 64-bit hashes of its DISTINCT k-token windows —
+    the fingerprint stream for exact duplicated-span detection.
+    Vectorized: k shifted slices of the flat token array joined in one
+    ``binary_join_element_wise``, boundary windows masked, per-doc
+    distinct via ``dictionary_encode`` + one ``np.unique``; md5 runs
+    once per DISTINCT gram string (not per occurrence)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    toks = pc.split_pattern_regex(pc.utf8_trim(col, " \t\n\r"), r"\s+")
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.flatten()
+    per_doc = np.diff(offs)
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), per_doc)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    total = len(flat)
+    empty = pa.table(
+        {
+            "bucket_key": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+        }
+    )
+    if total < k:
+        return empty
+    n_win = total - k + 1
+    parts = [flat.slice(j, n_win) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[:n_win] == doc_idx[k - 1:]
+    if not valid.any():
+        return empty
+    grams = grams.filter(pa.array(valid))
+    gdoc = doc_idx[:n_win][valid]
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dvals = enc.dictionary.to_pylist()
+    n_codes = len(dvals)
+    pair_key = gdoc * n_codes + codes
+    uniq = np.unique(pair_key)
+    u_doc = uniq // n_codes
+    u_code = uniq % n_codes
+    h64 = np.asarray(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in dvals
+        ],
+        dtype=np.uint64,
+    ).view(np.int64)
+    return pa.table(
+        {
+            "bucket_key": pa.array(h64[u_code], pa.int64()),
+            id_col: pa.array(ids[u_doc], pa.int64()),
+        }
+    )
+
+
+def dup_span_pairs(docs_ds, k: int = 8, max_bucket: int = 4096):
+    """EXACT duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    window-hash variant): document pairs sharing at least one
+    identical run of ``k`` consecutive tokens, with the count of
+    distinct shared windows.
+
+    Scale: only (8-byte window hash, doc_id) rows shuffle — text never
+    moves; the shared collision-first plan touches only buckets with
+    ≥2 docs and ``max_bucket`` guards boilerplate-driven O(n²)
+    buckets. Output: (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    grams = compact_blocks(
+        docs_ds.map_batches(
+            lambda b: span_gram_hashes(b, k=k), batch_format="pyarrow"
+        )
+    )
+    return bucket_collision_pairs(
+        grams, count_col="n_shared", max_bucket=max_bucket
+    )

@@ -735,3 +735,24 @@ def test_interdoc_line_dedup_random_property(ray_session):
             for r in interdoc_line_dedup(ds, max_docs=max_docs).take_all()
         }
         assert got == expect, f"max_docs={max_docs}"
+
+
+def test_dup_span_pairs_planted(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import dup_span_pairs
+
+    span = "one two three four five six seven eight"  # 8 tokens
+    docs = [
+        (1, f"intro words here {span} and a tail"),
+        (2, f"{span} totally different continuation text"),
+        (3, "no shared window in this document at all kept long enough"),
+        (4, f"prefix {span}"),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in dup_span_pairs(ds, k=8).take_all()
+    }
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert all(n >= 1 for n in got.values())
