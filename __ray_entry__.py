@@ -1325,6 +1325,28 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_table_profile_orders(sf_dir: str):
+    """ANALYZE-TABLE parity: per-column row/null counts, exact NDV and
+    numeric min/max over the orders table — one partial-stats pass
+    (one row per block × column) plus one distinct-pair shuffle."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import table_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return table_profile(
+        ds,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def _q_dup_span_pairs(sf_dir: str):
     """Exact duplicated-span detection (Lee et al. 2022 shape): doc
     pairs sharing an identical 8-token window, with the distinct
@@ -1973,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "dup_span_pairs": _q_dup_span_pairs,
+        "table_profile_orders": _q_table_profile_orders,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2531,6 +2554,44 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "table_profile_orders": r"""
+            SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+                   CAST(max(o_orderkey) AS DOUBLE) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
         """,
         "dup_span_pairs": r"""
             WITH toks AS (

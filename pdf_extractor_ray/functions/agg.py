@@ -436,3 +436,98 @@ def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
         .groupby(key)
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def table_profile(ds, columns: Sequence[str]):
+    """ANALYZE-TABLE-style per-column profile: row count, null count,
+    exact distinct count (NDV), and numeric min/max — the statistics
+    pass a query planner or data-quality monitor runs over every
+    ingested table.
+
+    Scale plan, two passes:
+    1. counts/min/max — one ``map_batches`` emitting ONE partial row
+       per (block, column); vectorized Arrow kernels; driver folds the
+       tiny (blocks × columns) partial table.
+    2. exact NDV — per-block DISTINCT (column, value) pairs (values
+       serialized to strings only for key uniformity across column
+       types), one pair-space hash ``groupby`` count, then a per-column
+       fold. Exactness fundamentally requires the value-space shuffle;
+       the per-block distinct keeps it ∝ distinct pairs, never rows.
+       Null values are excluded (SQL ``count(DISTINCT col)``).
+
+    Output: one row per column
+    ``(col, n_rows, n_nulls, n_distinct, min_val, max_val)`` with
+    min/max as float64 for numeric columns and null otherwise.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    columns = list(columns)
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        names, n_rows, n_nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = batch.column(c)
+            names.append(c)
+            n_rows.append(batch.num_rows)
+            n_nulls.append(col.null_count)
+            if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                mm = pc.min_max(col)
+                mins.append(
+                    None if mm["min"].as_py() is None
+                    else float(mm["min"].as_py())
+                )
+                maxs.append(
+                    None if mm["max"].as_py() is None
+                    else float(mm["max"].as_py())
+                )
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_nulls": pa.array(n_nulls, pa.int64()),
+                "min_val": pa.array(mins, pa.float64()),
+                "max_val": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    stats = lowcard_groupby_agg(
+        ds.map_batches(partial_stats, batch_format="pyarrow"),
+        ["col"],
+        [
+            ("n_rows", "sum", "n_rows"),
+            ("n_nulls", "sum", "n_nulls"),
+            ("min_val", "min", "min_val"),
+            ("max_val", "max", "max_val"),
+        ],
+    )
+
+    def block_distinct_pairs(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in columns:
+            col = batch.column(c).drop_null()
+            uniq = pc.unique(col)
+            s = pc.cast(uniq, pa.string()).to_pylist()
+            names.extend([c] * len(s))
+            vals.extend(s)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "val": pa.array(vals, pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(block_distinct_pairs, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="__n"))
+    )
+    ndv = lowcard_groupby_agg(
+        pairs.select_columns(["col"]), ["col"], [("col", "count", "n_distinct")]
+    )
+
+    out = stats.to_pandas().merge(ndv.to_pandas(), on="col")
+    return out.sort_values("col").reset_index(drop=True)

@@ -258,3 +258,23 @@ def test_exact_quantiles_empty_input_typed(ray_session):
     assert q.num_rows == 0 and q.schema.field("value").type == pa.int64()
     qb = exact_quantiles_by(ds, "k", "v")
     assert qb.num_rows == 0 and qb.schema.field("k").type == pa.string()
+
+
+def test_table_profile_matches_pandas(ray_session, sf_dir):
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import table_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    prof = table_profile(ds, cols).set_index("col")
+    df = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    for c in cols:
+        assert prof.loc[c, "n_rows"] == len(df)
+        assert prof.loc[c, "n_nulls"] == int(df[c].isna().sum())
+        assert prof.loc[c, "n_distinct"] == df[c].nunique()
+    assert prof.loc["o_orderkey", "min_val"] == float(df["o_orderkey"].min())
+    assert prof.loc["o_totalprice", "max_val"] == float(df["o_totalprice"].max())
+    import numpy as np
+    assert np.isnan(prof.loc["o_orderstatus", "min_val"])
