@@ -1325,6 +1325,21 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_events_key_skew(sf_dir: str):
+    """Shuffle-skew diagnostic: the 10 hottest user_id keys of the
+    events table and their row share — the pre-flight check before
+    keying a corpus-scale groupby/join on a column."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import key_skew_profile
+
+    return key_skew_profile(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+        k=10,
+    )
+
+
 def _q_table_profile_orders(sf_dir: str):
     """ANALYZE-TABLE parity: per-column row/null counts, exact NDV and
     numeric min/max over the orders table — one partial-stats pass
@@ -1996,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cross_entropy": _q_doc_cross_entropy,
         "dup_span_pairs": _q_dup_span_pairs,
         "table_profile_orders": _q_table_profile_orders,
+        "events_key_skew": _q_events_key_skew,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2554,6 +2570,15 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "events_key_skew": r"""
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+            SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+                   round(n / (SELECT total FROM t), 6) AS share
+            FROM c ORDER BY n DESC, user_id LIMIT 10
         """,
         "table_profile_orders": r"""
             SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,

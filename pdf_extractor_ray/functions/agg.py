@@ -531,3 +531,41 @@ def table_profile(ds, columns: Sequence[str]):
 
     out = stats.to_pandas().merge(ndv.to_pandas(), on="col")
     return out.sort_values("col").reset_index(drop=True)
+
+
+def key_skew_profile(ds, key: str, k: int = 10):
+    """Shuffle-skew diagnostic ("skew doctor"): the ``k`` hottest keys
+    by row count and their share of the table — the check to run
+    BEFORE keying a groupby/join on a column at corpus scale (a key
+    holding >1% of 10^12 rows lands 10^10 rows in one bucket task).
+
+    Native hash groupby count (high-cardinality contract) → global
+    sort desc + limit; only (key, count) rows move. Share uses SQL
+    half-away rounding for oracle parity."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    total = float(ds.count())
+    top = (
+        ds.groupby(key)
+        .aggregate(Count(alias_name="n_rows"))
+        .sort(["n_rows", key], descending=[True, False])
+        .limit(k)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        share = np.floor(n / total * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                key: batch.column(key),
+                "n_rows": pc.cast(batch.column("n_rows"), pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
