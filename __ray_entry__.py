@@ -1325,6 +1325,45 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_incremental_ingest(sf_dir: str):
+    """Incremental crawl ingestion: dedup a NEW batch (sources
+    src10-src19) against the EXISTING corpus (src0-src9) — new docs
+    whose exact text already exists in the old corpus are dropped.
+    The recrawl-merge shape every continuously-updated corpus runs:
+    old side ships only 16-byte md5 keys through the anti-join."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.dedup import add_exact_hash
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    def hashed(pred):
+        def fn(batch: pa.Table) -> pa.Table:
+            srcnum = pc.cast(
+                pc.utf8_slice_codeunits(batch.column("source"), 3, 99),
+                pa.int64(),
+            )
+            t = add_exact_hash(batch).filter(pred(srcnum))
+            return t.select(["doc_id", "source", "text_hash"])
+
+        return fn
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    new = docs.map_batches(
+        hashed(lambda s: pc.greater_equal(s, 10)), batch_format="pyarrow"
+    )
+    old = docs.map_batches(
+        hashed(lambda s: pc.less(s, 10)), batch_format="pyarrow"
+    )
+    return semi_anti_join(
+        new,
+        old,
+        "text_hash",
+        "text_hash",
+        left_cols=["doc_id", "source"],
+        how="anti",
+    )
+
+
 def _q_events_key_skew(sf_dir: str):
     """Shuffle-skew diagnostic: the 10 hottest user_id keys of the
     events table and their row share — the pre-flight check before
@@ -2012,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_pairs": _q_dup_span_pairs,
         "table_profile_orders": _q_table_profile_orders,
         "events_key_skew": _q_events_key_skew,
+        "incremental_ingest": _q_incremental_ingest,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2570,6 +2610,20 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "incremental_ingest": r"""
+            WITH tagged AS (
+                SELECT doc_id, source, md5(text) AS h,
+                       CAST(substr(source, 4) AS BIGINT) AS srcnum
+                FROM documents
+            )
+            SELECT n.doc_id, n.source
+            FROM tagged n
+            WHERE n.srcnum >= 10
+              AND NOT EXISTS (
+                  SELECT 1 FROM tagged o
+                  WHERE o.srcnum < 10 AND o.h = n.h
+              )
         """,
         "events_key_skew": r"""
             WITH c AS (
