@@ -278,3 +278,16 @@ def test_table_profile_matches_pandas(ray_session, sf_dir):
     assert prof.loc["o_totalprice", "max_val"] == float(df["o_totalprice"].max())
     import numpy as np
     assert np.isnan(prof.loc["o_orderstatus", "min_val"])
+
+
+def test_key_skew_profile_counts_and_ties(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import key_skew_profile
+
+    rows = [{"k": "hot"}] * 6 + [{"k": "warm"}] * 3 + [{"k": "a"}] * 3 + [{"k": "cold"}]
+    ds = ray.data.from_items(rows)
+    out = key_skew_profile(ds, "k", k=3).take_all()
+    assert [r["k"] for r in out] == ["hot", "a", "warm"]  # tie → key asc
+    assert [r["n_rows"] for r in out] == [6, 3, 3]
+    assert out[0]["share"] == round(6 / 13, 6)
