@@ -756,3 +756,23 @@ def test_dup_span_pairs_planted(ray_session):
     }
     assert set(got) == {(1, 2), (1, 4), (2, 4)}
     assert all(n >= 1 for n in got.values())
+
+
+def test_keyed_chain_edges_md5_mode(ray_session):
+    """md5-mode chain edges + CC must reproduce exact-duplicate groups
+    (component = min doc id per identical text)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import (
+        connected_components,
+        keyed_chain_edges,
+    )
+
+    docs = [
+        (1, "clone text one"), (5, "clone text one"), (9, "clone text one"),
+        (2, "unique a"), (3, "other clone"), (7, "other clone"),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    comps = connected_components(keyed_chain_edges(ds, key="md5"))
+    got = {r["node"]: r["component"] for r in comps.take_all()}
+    assert got == {1: 1, 5: 1, 9: 1, 3: 3, 7: 3}  # doc 2 is a singleton
