@@ -1325,6 +1325,23 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_order_percentile(sf_dir: str):
+    """percent_rank window: each order's total-price percentile within
+    its priority class (unique tiebreak ⇒ RANK == row_number, exactly
+    SQL-matchable). One hash shuffle, in-group lexsort."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import percent_rank_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return percent_rank_in_group(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"]
+    ).select_columns(["o_orderkey", "o_orderpriority", "pct_rank"])
+
+
 def _q_incremental_ingest(sf_dir: str):
     """Incremental crawl ingestion: dedup a NEW batch (sources
     src10-src19) against the EXISTING corpus (src0-src9) — new docs
@@ -2052,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile_orders": _q_table_profile_orders,
         "events_key_skew": _q_events_key_skew,
         "incremental_ingest": _q_incremental_ingest,
+        "order_percentile": _q_order_percentile,
         "top_bigram_char_frac": _q_top_bigram_char_frac,
         "classifier_score": _q_classifier_score,
         "events_value_stddev": _q_events_value_stddev,
@@ -2610,6 +2628,13 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(chars_total, 1), 6)
                        AS dup_line_char_frac
             FROM a JOIN d ON a.doc_id = d.doc_id
+        """,
+        "order_percentile": r"""
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+            FROM orders
         """,
         "incremental_ingest": r"""
             WITH tagged AS (

@@ -303,3 +303,36 @@ def topk_per_group(
         .groupby(key)
         .map_groups(top, batch_format="pyarrow")
     )
+
+
+def percent_rank_in_group(
+    ds,
+    key: str,
+    order_cols: list,
+    out_col: str = "pct_rank",
+):
+    """``percent_rank() OVER (PARTITION BY key ORDER BY order_cols)``
+    — (rank−1)/(n−1) per group, 0.0 for singleton groups.
+
+    Include a UNIQUE tiebreak column in ``order_cols``: with unique
+    ordering SQL's RANK equals row_number, so the results are
+    oracle-matchable (ties under RANK share values; this operator
+    intentionally requires the unambiguous form). Same one-shuffle
+    plan as :func:`rank_in_group`; rounding is SQL half-away."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        order = np.lexsort(tuple(reversed(arrs)))
+        n = len(order)
+        rn = np.empty(n, dtype=np.float64)
+        rn[order] = np.arange(n, dtype=np.float64)
+        pct = rn / (n - 1) if n > 1 else np.zeros(n)
+        pct = np.floor(pct * 1e6 + 0.5) / 1e6
+        return group.append_column(out_col, pa.array(pct, pa.float64()))
+
+    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
