@@ -1558,6 +1558,125 @@ def _q_source_quality_profile(sf_dir: str):
     return prof.to_pandas().merge(langs.to_pandas(), on="source")
 
 
+def _doc_urls(sf_dir: str):
+    """Deterministic absolute URL per document (synthesized from
+    (doc_id, source) identically in the SQL oracle) — the input for
+    the URL-component operators, since the testdata tables carry no
+    URL column."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_pylist()
+        urls = []
+        for i, s in zip(ids, src):
+            scheme = "http" if i % 7 == 0 else "https"
+            tld = "org" if i % 3 == 0 else "com"
+            path = f"/docs/a/{i}" if i % 2 == 0 else f"/p{i}"
+            q = "?ref=1" if i % 5 == 0 else ""
+            urls.append(f"{scheme}://{s}.example.{tld}{path}{q}")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(build, batch_format="pyarrow")
+
+
+def _q_url_host_stats(sf_dir: str):
+    """Per-host crawl profile over parsed URL components: doc count,
+    plain-http count, mean path depth, querystring count. The parser
+    (`functions/url.parse_urls`) is one vectorized RE2 pass per
+    component; the oracle re-parses the same URLs with DuckDB
+    regexp_extract — two independent parser implementations must
+    agree. Aggregation is combiner-backed (hosts ≪ corpus)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.url import parse_urls
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "is_http": pc.cast(
+                    pc.equal(batch.column("scheme"), "http"), pa.int64()
+                ),
+                "path_depth": batch.column("path_depth"),
+                "has_query": pc.cast(
+                    pc.not_equal(batch.column("query"), ""), pa.int64()
+                ),
+            }
+        )
+
+    parsed = (
+        _doc_urls(sf_dir)
+        .map_batches(parse_urls, batch_format="pyarrow")
+        .map_batches(flags, batch_format="pyarrow")
+    )
+    t = lowcard_groupby_agg(
+        parsed,
+        ["host"],
+        [
+            ("host", "count", "n_docs"),
+            ("is_http", "sum", "n_http"),
+            ("path_depth", "mean", "avg_depth"),
+            ("has_query", "sum", "n_query"),
+        ],
+    )
+    return t.set_column(
+        t.schema.get_field_index("avg_depth"),
+        "avg_depth",
+        pc.round(t.column("avg_depth"), ndigits=6),
+    )
+
+
+def _q_url_normalize(sf_dir: str):
+    """URL canonicalization golden check: each doc's URL is rendered in
+    one of four messy variants (default port, uppercased host, missing
+    path slash, fragment suffix) keyed by doc_id; ``normalize_urls``
+    must recover the one canonical form the oracle computes
+    analytically. Per-row, no aggregation — the strongest per-URL
+    check."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.url import normalize_urls
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_pylist()
+        urls = []
+        for i, s in zip(ids, src):
+            v = i % 4
+            if v == 0:
+                urls.append(f"https://{s.upper()}.EXAMPLE.COM:443/d/{i}")
+            elif v == 1:
+                urls.append(f"https://{s}.example.com")
+            elif v == 2:
+                urls.append(f"https://{s}.example.com/d/{i}?x=2#frag")
+            else:
+                urls.append(f"https://{s}.example.com/d/{i}")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(messy, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: normalize_urls(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "url_norm"])
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -2051,6 +2170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_customers": _q_bloom_semi_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "top_tokens_approx": _q_top_tokens_approx,
+        "url_host_stats": _q_url_host_stats,
+        "url_normalize": _q_url_normalize,
         "contamination_check": _q_contamination_check,
         "corpus_prep": _q_corpus_prep,
         # cleaning / decontamination (round 3)
@@ -2441,6 +2562,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        """,
+        "url_host_stats": """
+            WITH u AS (
+                SELECT (CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END)
+                       || '://' || source || '.example.' ||
+                       (CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END) ||
+                       (CASE WHEN doc_id % 2 = 0 THEN '/docs/a/' || doc_id
+                             ELSE '/p' || doc_id END) ||
+                       (CASE WHEN doc_id % 5 = 0 THEN '?ref=1' ELSE '' END)
+                       AS url
+                FROM documents
+            ), p AS (
+                SELECT regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#:]+(/[^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS q
+                FROM u
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS BIGINT) AS n_http,
+                   ROUND(AVG(CAST(length(path) - length(replace(path, '/', '')) AS DOUBLE)), 6) AS avg_depth,
+                   CAST(sum(CASE WHEN q <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+            FROM p GROUP BY host
+        """,
+        "url_normalize": """
+            SELECT doc_id,
+                   CASE
+                       WHEN doc_id % 4 = 1
+                           THEN 'https://' || source || '.example.com/'
+                       WHEN doc_id % 4 = 2
+                           THEN 'https://' || source || '.example.com/d/'
+                                || doc_id || '?x=2'
+                       ELSE 'https://' || source || '.example.com/d/' || doc_id
+                   END AS url_norm
+            FROM documents
         """,
         "events_weekday_profile": """
             SELECT CAST(isodow(ts) AS BIGINT) AS isodow,

@@ -165,8 +165,94 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool, replicate: int =
     return result
 
 
+DOCS_CACHE_ROOT = "/tmp/graft_docs"
+
+
+def materialize_docs(sf_dir: str, replicate: int = 1) -> str:
+    """Replicated ``documents`` table for the SHUFFLE-BOUND scaling job.
+
+    Each extra replica keeps the corpus's internal near-dup structure
+    (every text gets the same transformation, so within-replica
+    similarity is preserved) but is NOT a near-dup of other replicas: a
+    replica-specific token is interleaved between words, so no 3-word
+    shingle survives across replicas. Workload therefore scales
+    ~linearly with ``replicate`` instead of creating ×R dup clusters
+    whose pair count would grow quadratically.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    suffix = "" if replicate == 1 else f"-x{replicate}"
+    out = os.path.join(
+        DOCS_CACHE_ROOT, os.path.basename(sf_dir.rstrip("/")) + suffix
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = pc.fill_null(batch.column("text"), "")
+        tables = [pa.table({"doc_id": ids, "text": text})]
+        for k in range(1, replicate):
+            tables.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(ids, k * 1_000_000_000),
+                        "text": pc.replace_substring(text, " ", f" r{k}x "),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(rep, batch_format="pyarrow")
+    ds.write_parquet(out)
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def run_shuffle_job(docs_dir: str, warmup: bool = True, repeats: int = 2) -> dict:
+    """The shuffle-bound scaling job: MinHash+LSH near-dup detection
+    with distributed exact-Jaccard verify (3 groupby shuffles + 1 hash
+    join) — the all-to-all-heavy counterpoint to the map-heavy
+    extraction headline. Reported as best-of-N like ``run_headline``."""
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+
+    def build():
+        ds = ray.data.read_parquet(
+            docs_dir, columns=["doc_id", "text"],
+            override_num_blocks=2 * cpus,
+        )
+        return minhash_lsh_verified(ds, threshold=0.5)
+
+    n_docs = int(
+        ray.data.read_parquet(docs_dir, columns=["doc_id"]).count()
+    )
+    if warmup:
+        _count_rows(build())
+    best_dt, n_pairs = None, 0
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        n_pairs = _count_rows(build())
+        dt = time.time() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return {
+        "sec": round(best_dt, 3),
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "docs_per_sec": round(n_docs / best_dt, 2),
+    }
+
+
 def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 32,
-                pairs: int = 3) -> dict:
+                pairs: int = 3, job: str = "headline") -> dict:
     """Same headline job in fresh processes at two parallelism levels.
 
     The corpus is replicated so each run is long enough (tens of
@@ -185,14 +271,18 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 32,
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, log_to_driver=False)
-    materialize_pages(sf_dir, replicate)
+    if job == "shuffle":
+        materialize_docs(sf_dir, replicate)
+    else:
+        materialize_pages(sf_dir, replicate)
     ray.shutdown()
+    child_flag = "--shuffle-only" if job == "shuffle" else "--headline-only"
 
     def one_run(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    **_MALLOC_ENV)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only",
+            [sys.executable, os.path.abspath(__file__), child_flag,
              "--replicate", str(replicate)],
             env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -219,12 +309,12 @@ def run_scaling(sf_dir: str, low: int, high: int, replicate: int = 32,
             break  # bar cleared; don't burn more sandbox time
     eff, r_low, r_high = best
     return {
-        "metric": "scaling_efficiency",
+        "metric": f"scaling_efficiency_{job}",
         "value": round(eff, 3),
         "unit": "ratio",
         "queries": {
-            f"headline_cpus_{low}": r_low["value"],
-            f"headline_cpus_{high}": r_high["value"],
+            f"{job}_cpus_{low}": r_low["value"],
+            f"{job}_cpus_{high}": r_high["value"],
         },
         "sf": _sf_label(sf_dir),
         "num_cpus": high,
@@ -241,7 +331,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-shuffle", action="store_true",
+                    help="two-parallelism scaling for the SHUFFLE-BOUND "
+                         "job (MinHash+LSH verified dedup) instead of the "
+                         "map-heavy extraction headline")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--shuffle-only", action="store_true")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--replicate", type=int, default=1)
@@ -252,6 +347,10 @@ def main() -> int:
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.low, args.high)))
         return 0
+    if args.scaling_shuffle:
+        print(json.dumps(run_scaling(args.sf_dir, args.low, args.high,
+                                     replicate=4, job="shuffle")))
+        return 0
 
     import ray
 
@@ -260,7 +359,23 @@ def main() -> int:
              ignore_reinit_error=True, log_to_driver=False,
              runtime_env={"env_vars": _MALLOC_ENV})
     try:
-        result = bench_once(args.sf_dir, num_cpus, args.headline_only, args.replicate)
+        if args.shuffle_only:
+            docs_dir = materialize_docs(args.sf_dir, args.replicate)
+            shuffle = run_shuffle_job(docs_dir)
+            result = {
+                "metric": "minhash_dedup_throughput",
+                "value": shuffle["sec"],
+                "unit": "sec",
+                "queries": {"minhash_dedup_shuffle": shuffle["sec"]},
+                "sf": _sf_label(args.sf_dir),
+                "num_cpus": num_cpus,
+                "docs": shuffle["docs"],
+                "pairs": shuffle["pairs"],
+                "docs_per_sec": shuffle["docs_per_sec"],
+            }
+        else:
+            result = bench_once(args.sf_dir, num_cpus, args.headline_only,
+                                args.replicate)
     finally:
         ray.shutdown()
     print(json.dumps(result))

@@ -1,0 +1,113 @@
+"""URL parsing / normalization operators for web-corpus tables.
+
+Every Common-Crawl-style pipeline keys on URL components: group by
+registered domain for crawl-health triage, per-host politeness
+budgets, TLD language priors, path-depth spam heuristics. The
+reference has no URL stage (it is file-path keyed, main.py:27-39);
+these are the web-scale generalization of its filename derivation.
+
+Scale notes: pure per-batch Arrow regex kernels (``extract_regex`` is
+one RE2 pass per component) — no shuffle, no state, no Python loop;
+safe in any hot path. Downstream per-host / per-TLD aggregation is
+low-cardinality relative to the corpus, so the combiner-backed
+``lowcard_groupby_agg`` (or a native groupby for per-URL keys)
+composes without skew concerns.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# One RE2 pass captures scheme/host/port/path/query; rows that are not
+# absolute URLs yield null components (surfaced as '' after fill).
+_URL_RE = (
+    r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<host>[^/?#:]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?"
+)
+_REG_DOMAIN_RE = r"(?P<rd>[^.]+\.[^.]+)$"
+_TLD_RE = r"\.(?P<tld>[^.]+)$"
+
+
+def parse_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append vectorized URL components to a batch.
+
+    Adds ``scheme, host, reg_domain, tld, path, query, path_depth``.
+    Missing components are empty strings (SQL ``regexp_extract``
+    parity: DuckDB returns '' on no match); ``path_depth`` counts
+    ``/`` characters in the path (0 for an empty path).
+
+    ``reg_domain`` is the last two dot-labels of the host — the
+    public-suffix-list-free approximation (good for .com/.org; a PSL
+    feed would slot in here for ccTLD registries like .co.uk).
+    """
+    urls = pc.fill_null(batch.column(url_col), "")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, _URL_RE)
+
+    def field(name: str) -> pa.Array:
+        return pc.fill_null(pc.struct_field(parts, name), "")
+
+    host = field("host")
+    rd = pc.fill_null(
+        pc.struct_field(pc.extract_regex(host, _REG_DOMAIN_RE), "rd"), ""
+    )
+    tld = pc.fill_null(
+        pc.struct_field(pc.extract_regex(host, _TLD_RE), "tld"), ""
+    )
+    path = field("path")
+    depth = pc.cast(pc.count_substring(path, "/"), pa.int64())
+    out = batch
+    for name, col in (
+        ("scheme", field("scheme")),
+        ("host", host),
+        ("reg_domain", rd),
+        ("tld", tld),
+        ("path", path),
+        ("query", field("query")),
+        ("path_depth", depth),
+    ):
+        out = out.append_column(name, col)
+    return out
+
+
+def normalize_urls(batch: pa.Table, url_col: str = "url",
+                   out_col: str = "url_norm") -> pa.Table:
+    """Canonical URL form for exact URL-level dedup: lower-cased
+    scheme+host, default ports dropped, trailing slash on empty path,
+    fragment dropped, query preserved. Vectorized (regex + string
+    kernels); idempotent."""
+    urls = pc.fill_null(batch.column(url_col), "")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, _URL_RE)
+    scheme = pc.utf8_lower(
+        pc.fill_null(pc.struct_field(parts, "scheme"), "")
+    )
+    host = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "host"), ""))
+    port = pc.fill_null(pc.struct_field(parts, "port"), "")
+    path = pc.fill_null(pc.struct_field(parts, "path"), "")
+    query = pc.fill_null(pc.struct_field(parts, "query"), "")
+
+    # default ports (http:80, https:443) drop; others keep ":<port>"
+    is_default = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+    )
+    port_sfx = pc.if_else(
+        pc.or_(is_default, pc.equal(port, "")),
+        "",
+        pc.binary_join_element_wise(":", port, ""),
+    )
+    path_n = pc.if_else(pc.equal(path, ""), "/", path)
+    q_sfx = pc.if_else(
+        pc.equal(query, ""),
+        "",
+        pc.binary_join_element_wise("?", query, ""),
+    )
+    norm = pc.binary_join_element_wise(
+        scheme, "://", host, port_sfx, path_n, q_sfx, ""
+    )
+    # non-URL rows (no scheme match) pass through untouched
+    norm = pc.if_else(pc.equal(scheme, ""), urls, norm)
+    return batch.append_column(out_col, norm)
