@@ -1677,6 +1677,43 @@ def _q_url_normalize(sf_dir: str):
     ).select_columns(["doc_id", "url_norm"])
 
 
+def _q_order_ntile(sf_dir: str):
+    """NTILE(4) per order priority by (totalprice, orderkey) — the
+    quantile-bucket assignment used to stratify a corpus by a score
+    (e.g. train/holdout splits by quality quartile). Unique tiebreak
+    (orderkey) makes tiles deterministic and oracle-matchable."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import ntile_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return ntile_in_group(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], n=4,
+        out_col="tile",
+    ).select_columns(["o_orderkey", "o_orderpriority", "tile"])
+
+
+def _q_events_dense_rank(sf_dir: str):
+    """DENSE_RANK over naturally tied values (event value per type) —
+    deterministic without a tiebreak because the rank is a function of
+    the ORDER VALUES, exercising tie handling the row_number form
+    cannot."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import dense_rank_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return dense_rank_in_group(
+        ds, "event_type", ["value"], out_col="drank"
+    ).select_columns(["event_id", "event_type", "drank"])
+
+
 def _q_top_tokens_approx(sf_dir: str):
     """Approximate heavy hitters: top-25 tokens with bounded per-block
     state (local top-1000 truncation) — rows-only; agreement with the
@@ -2172,6 +2209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_approx": _q_top_tokens_approx,
         "url_host_stats": _q_url_host_stats,
         "url_normalize": _q_url_normalize,
+        "order_ntile": _q_order_ntile,
+        "events_dense_rank": _q_events_dense_rank,
         "contamination_check": _q_contamination_check,
         "corpus_prep": _q_corpus_prep,
         # cleaning / decontamination (round 3)
@@ -2598,6 +2637,21 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'https://' || source || '.example.com/d/' || doc_id
                    END AS url_norm
             FROM documents
+        """,
+        "order_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS BIGINT) AS tile
+            FROM orders
+        """,
+        "events_dense_rank": """
+            SELECT event_id, event_type,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS BIGINT) AS drank
+            FROM events
         """,
         "events_weekday_profile": """
             SELECT CAST(isodow(ts) AS BIGINT) AS isodow,

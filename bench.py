@@ -349,7 +349,7 @@ def main() -> int:
         return 0
     if args.scaling_shuffle:
         print(json.dumps(run_scaling(args.sf_dir, args.low, args.high,
-                                     replicate=4, job="shuffle")))
+                                     replicate=16, job="shuffle")))
         return 0
 
     import ray

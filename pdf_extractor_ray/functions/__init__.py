@@ -14,14 +14,18 @@ from .text import (  # noqa: F401
 )
 from .graph import connected_components, keyed_chain_edges  # noqa: F401
 from .window import (  # noqa: F401
+    dense_rank_in_group,
     lag_attach,
     lag_gap_stats,
     moving_avg,
+    ntile_in_group,
+    percent_rank_in_group,
     rank_in_group,
     running_total,
     sessionize,
     topk_per_group,
 )
+from .url import normalize_urls, parse_urls  # noqa: F401
 from .sample import fixed_sample, hash_sample, stratified_sample  # noqa: F401
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
 from .dedup import (  # noqa: F401

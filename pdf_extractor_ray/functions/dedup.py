@@ -22,6 +22,8 @@ from typing import List, Set, Tuple
 import numpy as np
 import pyarrow as pa
 
+from .pool import pool_size
+
 from .joins import _MIX, mix64
 
 # ------------------------------------------------------------------ shingles
@@ -282,7 +284,7 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int
         MinHashBandStage,
         fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ))
     # ^ the band table is consumed twice (count pass + pair pass), so
     # materializing it — not the documents — avoids recomputing minhash
@@ -379,7 +381,7 @@ def minhash_lsh_verified(
         MinHashBandStage,
         fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ))
     raw_pairs = compact_blocks(
         bucket_collision_pairs(bands_ds, distinct=False, max_bucket=4096)
@@ -782,7 +784,7 @@ def simhash_dedup(docs_ds, max_hamming: int = 3):
     bucket shuffle doesn't pay per-block overhead on reader-inherited
     near-empty blocks."""
     sigs = compact_blocks(docs_ds.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
+        SimHashStage, batch_format="pyarrow", concurrency=pool_size()
     ))
     return hamming_bucket_pairs(
         hamming_bands(sigs, max_hamming), max_hamming=max_hamming

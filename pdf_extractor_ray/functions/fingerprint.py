@@ -29,6 +29,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from .pool import pool_size
+
 from .dedup import bucket_collision_pairs
 from .joins import mix64
 
@@ -103,7 +105,7 @@ def winnow_dup_pairs(docs_ds, k: int = 25, w: int = 50, min_shared: int = 3,
         WinnowFingerprintStage,
         fn_constructor_kwargs={"k": k, "w": w},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ))
     return bucket_collision_pairs(
         fp_ds, min_count=min_shared, count_col="n_shared", max_bucket=max_bucket

@@ -40,6 +40,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 import pyarrow as pa
 
+from .pool import pool_size
+
 # deterministic geometry (keep in sync with oracle_sql in __ray_entry__):
 #   kind       = media_id % 3  (0=image, 1=audio, 2=video)
 #   image: width = 16 + (media_id % 8) * 4, height = 12 + (media_id % 5) * 4,
@@ -309,7 +311,8 @@ class VideoFrameSampleStage:
 
 
 # ---------------------------------------------------------------- pipelines
-def image_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 32):
+def image_features(sf_dir: str, concurrency=None, batch_size: int = 32):
+    concurrency = concurrency or pool_size()
     ds = media_dataset(sf_dir)
     return ds.filter(expr="kind == 'image'").map_batches(
         ImageFeatureStage,
@@ -319,7 +322,8 @@ def image_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 32):
     )
 
 
-def audio_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 32):
+def audio_features(sf_dir: str, concurrency=None, batch_size: int = 32):
+    concurrency = concurrency or pool_size()
     ds = media_dataset(sf_dir)
     return ds.filter(expr="kind == 'audio'").map_batches(
         AudioFeatureStage,
@@ -329,7 +333,8 @@ def audio_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 32):
     )
 
 
-def video_frames(sf_dir: str, stride: int = 4, concurrency=(1, 8), batch_size: int = 16):
+def video_frames(sf_dir: str, stride: int = 4, concurrency=None, batch_size: int = 16):
+    concurrency = concurrency or pool_size()
     ds = media_dataset(sf_dir)
     return ds.filter(expr="kind == 'video'").map_batches(
         VideoFrameSampleStage,
@@ -419,7 +424,7 @@ def image_near_dups(sf_dir: str, max_hamming: int = 3):
         ImagePhashStage,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
     return hamming_bucket_pairs(
         hamming_bands(sigs, max_hamming, id_col="media_id"),

@@ -16,6 +16,8 @@ from typing import List, Optional
 import numpy as np
 import pyarrow as pa
 
+from .pool import pool_size
+
 
 def _matrix(batch_col) -> np.ndarray:
     arr = np.asarray(batch_col.to_pylist(), dtype=np.float64)
@@ -197,7 +199,7 @@ def embedding_near_dups(
         MultiTableHyperplaneStage,
         fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ))
 
     counts = buckets.groupby("bucket_key").aggregate(Count(alias_name="n"))
@@ -242,7 +244,7 @@ def embedding_near_dups(
     ).map_batches(
         HotMembershipStage,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ))
 
     def verify_bucket(group: pa.Table) -> pa.Table:
@@ -435,7 +437,7 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 8, dim
         HyperplaneBucketStage,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(0.5, floor=4),
     )
     candidates = bucketed.filter(
         expr=f"bucket in {sorted(q_buckets)}" if len(q_buckets) > 1

@@ -305,6 +305,85 @@ def topk_per_group(
     )
 
 
+def dense_rank_in_group(
+    ds,
+    key: str,
+    order_cols: list,
+    out_col: str = "drank",
+):
+    """``dense_rank() OVER (PARTITION BY key ORDER BY order_cols)`` —
+    1-based, no gaps, ties share a rank.
+
+    Unlike row_number this is deterministic WITHOUT a unique tiebreak
+    (the rank is a function of the order-column VALUES), so it is
+    oracle-matchable on naturally tied data. One hash shuffle, in-group
+    work is one lexsort + a vectorized adjacent-difference cumsum."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        order = np.lexsort(tuple(reversed(arrs)))
+        n = len(order)
+        # a row starts a new rank iff ANY order column changed — OR
+        # of adjacent differences in sorted order, then cumsum
+        dr_sorted = np.cumsum(
+            np.logical_or.reduce(
+                [np.concatenate([[True], a[order][1:] != a[order][:-1]])
+                 for a in arrs]
+            ).astype(np.int64)
+        )
+        dr = np.empty(n, dtype=np.int64)
+        dr[order] = dr_sorted
+        return group.append_column(out_col, pa.array(dr, pa.int64()))
+
+    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
+def ntile_in_group(
+    ds,
+    key: str,
+    order_cols: list,
+    n: int = 4,
+    out_col: str = "tile",
+):
+    """``ntile(n) OVER (PARTITION BY key ORDER BY order_cols)`` — SQL
+    semantics: with group size c the first ``c % n`` tiles get
+    ``c // n + 1`` rows, the rest ``c // n``. Include a unique tiebreak
+    in ``order_cols`` for deterministic (oracle-matchable) tiles. One
+    hash shuffle; in-group work is one lexsort + integer arithmetic."""
+
+    def tile(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        order = np.lexsort(tuple(reversed(arrs)))
+        c = len(order)
+        pos = np.empty(c, dtype=np.int64)
+        pos[order] = np.arange(c)
+        q, r = divmod(c, n)
+        boundary = r * (q + 1)
+        if q == 0:
+            tiles = pos + 1  # fewer rows than tiles: one row per tile
+        else:
+            tiles = np.where(
+                pos < boundary,
+                pos // (q + 1) + 1,
+                r + (pos - boundary) // q + 1,
+            )
+        return group.append_column(
+            out_col, pa.array(tiles.astype(np.int64), pa.int64())
+        )
+
+    return ds.groupby(key).map_groups(tile, batch_format="pyarrow")
+
+
 def percent_rank_in_group(
     ds,
     key: str,

@@ -213,3 +213,38 @@ def test_fixed_sample_exact_n_and_deterministic(ray_session):
     allr = fixed_sample(ds, "doc_id", n=1000).to_pandas()
     assert sorted(allr["doc_id"]) == ids
     assert "__rank" not in allr.columns
+
+
+def test_ntile_sql_semantics(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import ntile_in_group
+
+    # group size 10 with n=4 → tile sizes 3,3,2,2 (first c%n get c//n+1)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([1] * 10 + [2] * 3, pa.int64()),
+        "v": pa.array(list(range(10)) + [5, 1, 9], pa.int64()),
+    })).repartition(4)
+    out = ntile_in_group(ds, "g", ["v"], n=4).to_pandas()
+    g1 = out[out.g == 1].sort_values("v")
+    assert list(g1["tile"]) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # group smaller than n: one row per tile in order
+    g2 = out[out.g == 2].sort_values("v")
+    assert list(g2["tile"]) == [1, 2, 3]
+
+
+def test_dense_rank_ties_and_multicol(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import dense_rank_in_group
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([1] * 6, pa.int64()),
+        "a": pa.array([10, 10, 10, 20, 20, 30], pa.int64()),
+        "b": pa.array([1, 1, 2, 1, 1, 1], pa.int64()),
+        "id": pa.array(list(range(6)), pa.int64()),
+    })).repartition(3)
+    out = dense_rank_in_group(ds, "g", ["a", "b"]).to_pandas()
+    out = out.sort_values("id")
+    # distinct (a,b) in order: (10,1)=1 (10,2)=2 (20,1)=3 (30,1)=4
+    assert list(out["drank"]) == [1, 1, 2, 3, 3, 4]
