@@ -2126,6 +2126,147 @@ def _q_sample_docs(sf_dir: str):
     return hash_sample(ds, "doc_id", keep=2)
 
 
+def _q_events_lead_value(sf_dir: str):
+    """LEAD(value) per user in (ts, event_id) order — every event plus
+    its successor's value (null for each user's last event)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import lead_attach
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return lead_attach(ds, key="user_id", ts_col="ts", val_col="value",
+                       tiebreak="event_id")
+
+
+def _q_user_first_last_event(sf_dir: str):
+    """first_value/last_value(value) per user over (ts, event_id) order,
+    reduced to one row per user. First/last are associative, so the
+    per-block partial keeps ≤2 rows per key per block — a user with
+    10^9 events still ships ≤ 2·n_blocks rows into the shuffle."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import first_last_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return first_last_per_group(ds, key="user_id", ts_col="ts",
+                                val_col="value", tiebreak="event_id")
+
+
+def _q_orders_cume_dist(sf_dir: str):
+    """cume_dist() of order totals within each priority class —
+    deterministic WITHOUT a tiebreak (ties share a value), unlike
+    percent_rank's unique-order requirement."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import cume_dist_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return cume_dist_in_group(
+        ds, key="o_orderpriority", order_cols=["o_totalprice"]
+    )
+
+
+def _q_user_top_event_type(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type, ties to the
+    alphabetically smallest — per-block count partials, one (key,
+    value)-space shuffle, associative argmax pick. Key cardinality is
+    unbounded (native hash groupby, not the low-card fold)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import mode_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_by(ds, key="user_id", col="event_type",
+                   out_col="top_type", count_col="n")
+
+
+def _q_events_hour_value_corr(sf_dir: str):
+    """Pearson corr(value, hour-of-day) per event type via exact
+    integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy folded as
+    int64 cents×hours through the low-card partial aggregate) — the
+    decomposable-moments recipe of events_value_stddev extended to
+    covariance. corr is scale-invariant, so the cent scaling drops out."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def hour_col(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+            }
+        )
+
+    return grouped_corr(
+        ds.map_batches(hour_col, batch_format="pyarrow"),
+        key="event_type", xcol="value", ycol="hour",
+        x_scale=100, y_scale=1,
+    )
+
+
+def _q_events_unpivot_daily(sf_dir: str):
+    """UNPIVOT (melt): the daily per-type pivot table back to long
+    (day, event_type, n) rows — zero-shuffle per-batch reshape over the
+    already-small pivot result, zero cells included (SQL UNPIVOT
+    INCLUDE NULLS analogue)."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.functions.agg import unpivot
+
+    wide = _q_events_pivot_daily(sf_dir)  # pyarrow Table (day × n_<type>)
+    types = ["click", "error", "purchase", "signup", "view"]
+    long = unpivot(
+        rd.from_arrow(wide),
+        id_cols=["day"],
+        value_cols=[f"n_{t}" for t in types],
+        var_name="event_type",
+        value_name="n",
+    )
+
+    def strip_prefix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("event_type"),
+            "event_type",
+            pc.utf8_replace_slice(batch.column("event_type"), 0, 2, ""),
+        )
+
+    return long.map_batches(strip_prefix, batch_format="pyarrow")
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters over the
+    embedding space, drop every vector with a lower-id ε-ball neighbor
+    in its cluster. Deterministic (hash sample, fixed init/iters) but
+    k-means is not SQL-expressible — rows-only check; the planted-dup
+    recall test pins behavior."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, threshold=0.97, n_clusters=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2245,6 +2386,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,
         "pack_chunks": _q_pack_chunks,
+        # window / aggregate / reshape tail (round 3, late)
+        "events_lead_value": _q_events_lead_value,
+        "user_first_last_event": _q_user_first_last_event,
+        "orders_cume_dist": _q_orders_cume_dist,
+        "user_top_event_type": _q_user_top_event_type,
+        "events_hour_value_corr": _q_events_hour_value_corr,
+        "events_unpivot_daily": _q_events_unpivot_daily,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -3222,5 +3371,60 @@ def oracle_sql() -> dict[str, str]:
                    ) AS text,
                    CAST(least(g*24 + 32, n) - g*24 AS BIGINT) AS n_tokens
             FROM e
+        """,
+        "events_lead_value": """
+            SELECT user_id, event_id,
+                   LEAD(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_value
+            FROM events
+        """,
+        "user_first_last_event": """
+            SELECT DISTINCT user_id,
+                   first_value(value) OVER w AS first_value,
+                   last_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING
+                   ) AS last_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "orders_cume_dist": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   round(cume_dist() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   ), 6) AS cdist
+            FROM orders
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ) QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type
+            ) = 1
+        """,
+        "events_hour_value_corr": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(corr(CAST(round(value * 100.0, 0) AS BIGINT),
+                              CAST(extract(hour FROM ts) AS BIGINT)),
+                         6) AS corr
+            FROM events GROUP BY event_type
+        """,
+        "events_unpivot_daily": """
+            WITH days AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events
+            ), t(event_type) AS (
+                VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+            ), c AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM days d CROSS JOIN t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
         """,
     }

@@ -397,6 +397,137 @@ def exact_quantiles_by(ds, key: str, col: str,
     )
 
 
+def mode_by(ds, key: str, col: str, out_col: str = "top_value",
+            count_col: str = "n"):
+    """Grouped MODE with a deterministic tie-break: per key, the most
+    frequent ``col`` value; ties go to the SMALLEST value (SQL-matchable
+    — plain ``mode()`` leaves ties implementation-defined).
+
+    Plan: per-block vectorized (key, value) count partials (Arrow
+    ``group_by``), one native hash groupby summing them — only
+    (key, value, partial_count) rows shuffle, so a value occurring 10^9
+    times still contributes one row per block — then the shared
+    associative :func:`argmax_per_group` picks each key's winner.
+    Key cardinality is UNBOUNDED (native shuffle, not the low-card
+    fold)."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({})
+        g = (
+            batch.append_column(
+                "__ones", pa.array([1] * batch.num_rows, pa.int64())
+            )
+            .select([key, col, "__ones"])
+            .group_by([key, col])
+            .aggregate([("__ones", "sum")])
+        )
+        return g.rename_columns([key, col, "__pn"])
+
+    from .dedup import compact_blocks
+
+    counts = (
+        compact_blocks(ds.map_batches(block_counts, batch_format="pyarrow"))
+        .groupby([key, col])
+        .aggregate(Sum("__pn", alias_name=count_col))
+    )
+    picked = argmax_per_group(counts, key, count_col, col)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [out_col if n == col else n for n in batch.column_names]
+        )
+
+    return picked.map_batches(rename, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, xcol: str, ycol: str,
+                 x_scale: int = 100, y_scale: int = 1):
+    """Sample (Pearson) correlation of two numeric columns per group —
+    SQL ``corr(x, y) GROUP BY key`` — via EXACT integer sufficient
+    statistics.
+
+    Each column is fixed-point scaled to int64 (``x_scale``/``y_scale``
+    decimal sub-units), and the five decomposable sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) fold through the low-cardinality partial aggregate as
+    exact integers — float summation order can never flip an oracle
+    hash (the ``events_value_stddev`` recipe, extended to covariance).
+    The final corr = cov_samp/(sx·sy) is derived on the driver from
+    identical integers and rounded half-up to 6 digits. int64 headroom
+    is the caller's contract: Σx² ≤ 9.2e18 ⇒ |x·scale| ≤ ~3e6 at 1e6
+    rows/group (fine for price/hour/count-shaped columns).
+    Output: (key, n, corr) — corr NULL where either variance is 0."""
+    import pyarrow.compute as pc2
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(xcol), pa.float64()), float(x_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        y = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(ycol), pa.float64()), float(y_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key: batch.column(key),
+                "__x": x,
+                "__y": y,
+                "__xx": pc2.multiply(x, x),
+                "__yy": pc2.multiply(y, y),
+                "__xy": pc2.multiply(x, y),
+            }
+        )
+
+    t = lowcard_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        [key],
+        [
+            ("__x", "count", "n"),
+            ("__x", "sum", "sx"),
+            ("__y", "sum", "sy"),
+            ("__xx", "sum", "sxx"),
+            ("__yy", "sum", "syy"),
+            ("__xy", "sum", "sxy"),
+        ],
+    )
+    import math
+
+    import numpy as np
+
+    n = np.asarray(t.column("n").to_pylist(), dtype=np.float64)
+    sx = np.asarray(t.column("sx").to_pylist(), dtype=np.float64)
+    sy = np.asarray(t.column("sy").to_pylist(), dtype=np.float64)
+    sxx = np.asarray(t.column("sxx").to_pylist(), dtype=np.float64)
+    syy = np.asarray(t.column("syy").to_pylist(), dtype=np.float64)
+    sxy = np.asarray(t.column("sxy").to_pylist(), dtype=np.float64)
+    out = []
+    for i in range(len(n)):
+        if n[i] < 2:
+            out.append(None)
+            continue
+        cov = sxy[i] - sx[i] * sy[i] / n[i]
+        vx = sxx[i] - sx[i] * sx[i] / n[i]
+        vy = syy[i] - sy[i] * sy[i] / n[i]
+        if vx <= 0 or vy <= 0:
+            out.append(None)
+            continue
+        r = cov / math.sqrt(vx * vy)
+        out.append(math.floor(r * 1e6 + 0.5) / 1e6)
+    return pa.table(
+        {
+            key: t.column(key),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "corr": pa.array(out, pa.float64()),
+        }
+    )
+
+
 def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
     """One row per key: the row with the LARGEST score (ties broken by
     the smallest tiebreak value — deterministic).
@@ -569,3 +700,36 @@ def key_skew_profile(ds, key: str, k: int = 10):
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """MELT — the inverse of the conditional-partial pivot: each input
+    row becomes ``len(value_cols)`` long rows
+    ``(id_cols…, var_name=column-name, value_name=value)``.
+
+    Pure per-batch reshape (SQL ``UNPIVOT``): zero shuffles, output is
+    a column-stack of zero-copy slices per batch, so the operator is
+    I/O-bound at any scale. Value columns are cast to a common type
+    (the first column's type) — the SQL rule."""
+    value_cols = list(value_cols)
+    id_cols = list(id_cols)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_name] = pa.array([], pa.string())
+            cols[value_name] = pa.array(
+                [], batch.schema.field(value_cols[0]).type
+            )
+            return pa.table(cols)
+        common = batch.schema.field(value_cols[0]).type
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_name] = pa.array([vc] * batch.num_rows, pa.string())
+            cols[value_name] = batch.column(vc).cast(common)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -444,3 +444,86 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 8, dim
         else f"bucket == {next(iter(q_buckets))}"
     )
     return ann_topk(candidates, query_vecs, k)
+
+
+def semantic_dedup(emb_ds, threshold: float = 0.95, n_clusters: int = 16,
+                   iters: int = 5, max_cluster: int = 100_000):
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    every vector whose cosine similarity to a LOWER-id vector in the
+    SAME cluster is ≥ ``threshold``.
+
+    Plan:
+    1. coarse quantizer = :func:`kmeans_fit` (one hash-sampled corpus
+       read, Lloyd runs on the driver over ≤ sample_size rows)
+    2. assignment pass: broadcast centroids, one matmul per batch →
+       (cluster, vec_id, embedding)
+    3. ONE groupby(cluster) shuffle — the operator's inherent all-to-all
+       (every vector must meet its cluster peers). Spherical k-means
+       keeps cluster sizes ≈ n/k, and at corpus scale ``n_clusters``
+       grows with the corpus so the per-group payload stays bounded;
+       a cluster above ``max_cluster`` raises loudly (quantizer too
+       coarse) instead of letting one group task OOM on the O(c²) sim
+       matrix.
+    4. in-cluster verify: one normalized matmul; vector i survives iff
+       NO lower-vec_id vector in its cluster is within the ε-ball.
+       Deterministic (fixed sample/init/iters; ascending-id rule), no
+       sequential Python loop.
+
+    Output: (vec_id, cluster, keep) for every input row — filter
+    ``keep`` for survivors; the flag form keeps the drop set auditable.
+    """
+    import ray
+
+    cents = kmeans_fit(emb_ds, k=n_clusters, iters=iters)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _matrix(batch.column("embedding"))
+        if m.size == 0:
+            cl = pa.array([], pa.int32())
+        else:
+            cl = pa.array(
+                np.argmax(_normalize(m) @ c.T, axis=1).astype(np.int32)
+            )
+        return pa.table(
+            {
+                "cluster": cl,
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def in_cluster(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds "
+                f"max_cluster={max_cluster}; raise n_clusters (quantizer "
+                "too coarse for this corpus)"
+            )
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_matrix(group.column("embedding"))[order])
+        sims = m @ m.T
+        # drop i iff any j<i has sim ≥ threshold (strict lower triangle)
+        tri = np.tril(sims >= threshold, k=-1)
+        keep = ~tri.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": group.column("cluster").slice(0, 1).take(
+                    pa.array([0] * n, pa.int64())
+                ),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(in_cluster, batch_format="pyarrow")
+    )

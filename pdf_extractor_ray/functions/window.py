@@ -182,6 +182,142 @@ def lag_attach(
     return ds.groupby(key).map_groups(lag, batch_format="pyarrow")
 
 
+def lead_attach(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    out_col: str = "next_value",
+):
+    """``LEAD(val) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` —
+    every input row plus its successor's value (null for each key's
+    last row). Mirror of :func:`lag_attach`: one hash shuffle, in-group
+    lexsort + a shifted take, no per-row Python. Emits
+    (key, tiebreak, out_col)."""
+
+    def lead(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts))
+        nxt_idx = np.concatenate([order[1:], [-1]])
+        nxt = group.column(val_col).take(
+            pa.array([None if i < 0 else int(i) for i in nxt_idx], pa.int64())
+        )
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(pa.array(order, pa.int64())),
+                out_col: nxt,
+            }
+        )
+
+    return ds.groupby(key).map_groups(lead, batch_format="pyarrow")
+
+
+def first_last_per_group(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+):
+    """``first_value/last_value(val) OVER (PARTITION BY key ORDER BY
+    ts, tiebreak)`` reduced to one row per key — (key, first_value,
+    last_value, n_rows). First/last are ASSOCIATIVE under (ts,
+    tiebreak) ordering, so a per-block partial keeps only each key's
+    block-local first and last rows; the shuffle then carries ≤
+    2·n_blocks rows per key no matter how hot the key (same structural
+    skew-proofing as :func:`~.dedup.latest_by_key`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        kk = np.asarray(batch.column(key).to_pylist())
+        ts = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(batch.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts, kk))
+        sk = kk[order]
+        first_of_run = np.concatenate([[True], sk[1:] != sk[:-1]])
+        last_of_run = np.concatenate([sk[1:] != sk[:-1], [True]])
+        keep = np.unique(order[first_of_run | last_of_run])
+        return batch.take(pa.array(keep, pa.int64()))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts))
+        vals = group.column(val_col)
+        return pa.table(
+            {
+                key: group.column(key).slice(0, 1),
+                "first_value": vals.take(pa.array([int(order[0])], pa.int64())),
+                "last_value": vals.take(pa.array([int(order[-1])], pa.int64())),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+def cume_dist_in_group(
+    ds,
+    key: str,
+    order_cols: list,
+    out_col: str = "cdist",
+):
+    """``cume_dist() OVER (PARTITION BY key ORDER BY order_cols)`` —
+    (# rows ≤ current in order) / n, ties sharing a value. Unlike
+    percent_rank this is deterministic WITHOUT a unique tiebreak (the
+    value is a function of the order-column values), so it is
+    oracle-matchable on naturally tied data. One hash shuffle; in-group
+    work is one lexsort + a run-length backfill. Rounded half-away to
+    6 digits for stable float comparison."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        order = np.lexsort(tuple(reversed(arrs)))
+        n = len(order)
+        # in sorted order, each tie-run's cume_dist = (end of run)/n;
+        # find run ends by adjacent difference, backfill within runs
+        changed = np.logical_or.reduce(
+            [a[order][1:] != a[order][:-1] for a in arrs]
+        ) if n > 1 else np.array([], dtype=bool)
+        run_end = np.concatenate([changed, [True]])
+        end_pos = np.arange(1, n + 1)[run_end]
+        run_id = np.concatenate([[0], np.cumsum(changed.astype(np.int64))])
+        cd_sorted = end_pos[run_id] / n
+        cd = np.empty(n, dtype=np.float64)
+        cd[order] = cd_sorted
+        cd = np.floor(cd * 1e6 + 0.5) / 1e6
+        return group.append_column(out_col, pa.array(cd, pa.float64()))
+
+    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
 def moving_avg(
     ds,
     key: str,

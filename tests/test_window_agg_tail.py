@@ -1,0 +1,211 @@
+"""Late round-3 tail: lead/first-last/cume_dist windows, grouped mode,
+grouped Pearson corr, unpivot, SemDeDup semantic dedup."""
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(ray):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 8, 9], pa.int64()),
+        "ts": pa.array(
+            [_ts(1), _ts(2), _ts(3), _ts(1), _ts(5), _ts(2)],
+            pa.timestamp("us"),
+        ),
+        "value": pa.array([10.0, 20.0, 30.0, 5.0, 7.0, 99.0], pa.float64()),
+    }))
+
+
+def test_lead_attach_successor_and_null_last(ray_session):
+    import ray
+
+    from pdf_extractor_ray.functions.window import lead_attach
+
+    out = (
+        lead_attach(_events(ray), "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = {int(r.event_id): r.next_value for r in out.itertuples()}
+    assert got[1] == 20.0 and got[2] == 30.0
+    assert np.isnan(got[3])          # user 7's last event
+    assert got[4] == 7.0
+    assert np.isnan(got[5]) and np.isnan(got[6])
+
+
+def test_first_last_per_group_and_partial_trim(ray_session):
+    import ray
+
+    from pdf_extractor_ray.functions.window import first_last_per_group
+
+    out = (
+        first_last_per_group(_events(ray), "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [7, 8, 9]
+    assert out["first_value"].tolist() == [10.0, 5.0, 99.0]
+    assert out["last_value"].tolist() == [30.0, 7.0, 99.0]
+
+
+def test_cume_dist_handles_ties_without_tiebreak(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import cume_dist_in_group
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "v": pa.array([1, 2, 2, 5, 3], pa.int64()),
+    }))
+    out = (
+        cume_dist_in_group(ds, "k", ["v"])
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    # ties share the run-end cumulative fraction (SQL cume_dist)
+    assert out["cdist"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
+
+
+def test_mode_by_most_frequent_min_value_tiebreak(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import mode_by
+
+    ds = ray.data.from_arrow(pa.table({
+        "user": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "t": pa.array(["x", "x", "y", "b", "a", "z"], pa.string()),
+    }))
+    out = (
+        mode_by(ds, "user", "t", out_col="top", count_col="n")
+        .to_pandas()
+        .sort_values("user")
+        .reset_index(drop=True)
+    )
+    assert out["top"].tolist() == ["x", "a", "z"]  # tie 2 → min value "a"
+    assert out["n"].tolist() == [2, 1, 1]
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_corr
+
+    rng = np.random.RandomState(7)
+    x = np.round(rng.rand(400) * 100, 2)
+    y = (x * 0.5 + rng.rand(400) * 10).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 200 + ["b"] * 200, pa.string()),
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.int64()),
+    }))
+    out = (
+        grouped_corr(ds, "g", "x", "y", x_scale=100, y_scale=1)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for i, lo, hi in ((0, 0, 200), (1, 200, 400)):
+        want = np.corrcoef(np.round(x[lo:hi] * 100), y[lo:hi])[0, 1]
+        assert abs(out["corr"][i] - want) < 1e-6
+    assert out["n"].tolist() == [200, 200]
+
+
+def test_grouped_corr_null_on_zero_variance(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_corr
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "a"], pa.string()),
+        "x": pa.array([5.0, 5.0, 5.0], pa.float64()),
+        "y": pa.array([1, 2, 3], pa.int64()),
+    }))
+    out = grouped_corr(ds, "g", "x", "y").to_pandas()
+    assert out["corr"].isna().all()
+
+
+def test_unpivot_round_trips_the_pivot(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import unpivot
+
+    wide = pa.table({
+        "day": pa.array([1, 2], pa.int64()),
+        "n_click": pa.array([3, 0], pa.int64()),
+        "n_view": pa.array([1, 7], pa.int64()),
+    })
+    out = (
+        unpivot(ray.data.from_arrow(wide), ["day"], ["n_click", "n_view"],
+                var_name="event_type", value_name="n")
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["n"].tolist() == [3, 1, 0, 7]  # zeros included
+    assert set(out["event_type"]) == {"n_click", "n_view"}
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant: vec 100+i is a near-copy of vec i for i in 0..9
+    dups = base[:10] + rng.randn(10, 16) * 1e-3
+    mat = np.vstack([base, dups])
+    ids = list(range(40)) + list(range(100, 110))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    out = semantic_dedup(ds, threshold=0.99, n_clusters=4,
+                         iters=4).to_pandas()
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    # every planted copy has a lower-id ε-neighbor (its original) in the
+    # same cluster (identical direction ⇒ identical assignment) → dropped
+    assert not any(keep[100 + i] for i in range(10))
+    # originals of the planted pairs survive
+    assert all(keep[i] for i in range(10))
+    assert len(out) == 50
+
+
+def test_semantic_dedup_max_cluster_guard(ray_session):
+    import pytest
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(30, 8)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    }))
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(ds, n_clusters=2, max_cluster=5).to_pandas()
