@@ -58,11 +58,64 @@ def _sym_edges_with_self(batch: pa.Table, col_a: str, col_b: str) -> pa.Table:
     return pa.table({"src": src, "dst": dst})
 
 
+def _local_components(edges) -> pa.Table:
+    """Driver-local union-find over a small edge table — the correct
+    plan when the (already pinned and exactly counted) edge set fits
+    the driver: rounds of distributed joins cost seconds each in task
+    overhead that a 10^6-edge union-find resolves in milliseconds.
+    Path-halving + union by smaller LABEL (the component label must be
+    the MIN node id, so unions always point at the smaller root)."""
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in edges.to_arrow_refs())
+            if t.num_rows > 0]
+    t = pa.concat_tables(tabs)
+    src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for a, b in zip(src, dst):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            # point the LARGER-node root at the smaller so the root is
+            # always the component's min node id
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp = nodes[np.fromiter((find(i) for i in range(len(nodes))),
+                             dtype=np.int64, count=len(nodes))]
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(comp, pa.int64()),
+        }
+    )
+
+
 def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
-                         max_iter: int = 50):
+                         max_iter: int = 50, local_max_edges: int = 2_000_000):
     """Label every node of the pair graph with the minimum node id of
     its connected component. Returns a Dataset ``(node, component)``
     with one row per distinct node appearing in ``pairs_ds``.
+
+    Size-gated plan selection on the EXACT count of the pinned edge
+    table (not a guess): at or below ``local_max_edges`` the edges are
+    collected and a driver union-find answers in one pass — the
+    "broadcast the small side" rule applied to graphs (a distributed
+    round costs seconds of join/task overhead that a 10^6-edge
+    union-find resolves in milliseconds). Above the gate, iterative
+    hash-min label propagation runs fully distributed. Dedup-pair
+    graphs at 100 TB (30-50% duplicate rates) take the iterative path;
+    ``local_max_edges=0`` forces it (tests pin both agree).
 
     Raises ``RuntimeError`` if ``max_iter`` rounds do not reach the
     fixpoint (diameter larger than max_iter — raise it or pre-cluster).
@@ -93,6 +146,10 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
                 }
             )
         )
+    if n_edges <= local_max_edges:
+        import ray.data
+
+        return ray.data.from_arrow(_local_components(edges))
 
     # partition count sized to the graph: tiny label tables on 32
     # buckets pay ~4x per-round task overhead for nothing; at corpus

@@ -605,11 +605,20 @@ def test_connected_components_matches_union_find(ray_session):
     ds = ray.data.from_items(
         [{"id_a": a, "id_b": b} for a, b in pairs]
     )
-    got = {
+    want = _uf_components(pairs)
+    # BOTH plans must agree: the size-gated driver union-find (default
+    # — these edges are far under the gate) and the forced iterative
+    # hash-min propagation (local_max_edges=0 = the 100-TB path)
+    got_local = {
         r["node"]: r["component"]
         for r in connected_components(ds).take_all()
     }
-    assert got == _uf_components(pairs)
+    got_iter = {
+        r["node"]: r["component"]
+        for r in connected_components(ds, local_max_edges=0).take_all()
+    }
+    assert got_local == want
+    assert got_iter == want
 
 
 def test_connected_components_long_chain(ray_session):
@@ -617,13 +626,15 @@ def test_connected_components_long_chain(ray_session):
 
     from pdf_extractor_ray.functions.graph import connected_components
 
-    # a 30-node path: labels must propagate 29 hops to converge
+    # a 30-node path: labels must propagate 29 hops to converge —
+    # force the ITERATIVE path (the local union-find would hide a
+    # propagation bug)
     ds = ray.data.from_items(
         [{"id_a": i, "id_b": i + 1} for i in range(100, 129)]
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(ds).take_all()
+        for r in connected_components(ds, local_max_edges=0).take_all()
     }
     assert set(got.values()) == {100} and len(got) == 30
 
