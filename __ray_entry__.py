@@ -1404,7 +1404,11 @@ def _q_table_profile_orders(sf_dir: str):
 
     from pdf_extractor_ray.functions.agg import table_profile
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
     return table_profile(
         ds,
         [
@@ -2267,6 +2271,30 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, threshold=0.97, n_clusters=16)
 
 
+def _q_prefix_typo_pairs(sf_dir: str):
+    """Edit-distance near-match (FastSS/SymSpell deletion
+    neighborhoods): pairs of distinct 12-char normalized text prefixes
+    at Levenshtein distance ≤ 1 — recall-exact bucketing (two strings
+    within distance 1 always share a 1-deletion variant), collision-
+    first verify, O(len) capped-distance check per candidate."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import edit_distance_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.fill_null(batch.column("text"), ""))
+        p = pc.utf8_slice_codeunits(pc.utf8_lower(t), 0, 12)
+        keep = pc.not_equal(t, "")
+        return pa.table({"pfx": p.filter(keep) if isinstance(p, pa.ChunkedArray) else pc.filter(p, keep)})
+
+    return edit_distance_pairs(
+        ds.map_batches(prefix, batch_format="pyarrow"), col="pfx"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2394,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_value_corr": _q_events_hour_value_corr,
         "events_unpivot_daily": _q_events_unpivot_daily,
         "semantic_dedup": _q_semantic_dedup,
+        "prefix_typo_pairs": _q_prefix_typo_pairs,
     }
 
 
@@ -3426,5 +3455,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
             FROM days d CROSS JOIN t
             LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        """,
+        "prefix_typo_pairs": """
+            WITH vals AS (
+                SELECT DISTINCT substr(lower(trim(text)), 1, 12) AS v
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT a.v AS val_a, b.v AS val_b,
+                   CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+            FROM vals a JOIN vals b
+            ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
         """,
     }

@@ -740,3 +740,133 @@ def doc_unigram_cross_entropy(docs_ds, text_col: str = "text",
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------ edit-distance near match
+def _within_edit1(a: str, b: str) -> int:
+    """Exact Levenshtein distance capped at 1 → 0, 1, or 2 (meaning >1).
+    O(len) two-pointer check — no DP table for the common d≤1 case."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    if abs(la - lb) > 1:
+        return 2
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with ONE char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else 2
+
+
+def edit_distance_pairs(ds, col: str, max_dist: int = 1,
+                        max_bucket: int = 4096):
+    """Pairs of DISTINCT ``col`` values at Levenshtein distance
+    ≤ ``max_dist`` — the FastSS / SymSpell deletion-neighborhood plan
+    (Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries").
+
+    Recall is EXACT (1.0) for ``max_dist=1``: two strings at distance
+    ≤1 always share a member of their 1-deletion neighborhoods
+    (substitution → delete the differing position from both; ins/del →
+    the shorter string IS a deletion of the longer; equality → the
+    strings themselves). Each distinct string emits len+1 bucket keys
+    (md5 of each deletion variant) — the (bucket, value) stream is the
+    only shuffle payload; the collision-first plan touches only buckets
+    with ≥2 values, in-bucket verify is the O(len) capped-distance
+    check, and a final pair groupby dedups multi-bucket collisions
+    (min dist). ``max_bucket`` drops non-discriminative buckets (e.g.
+    the empty-string variant of single-char values) loudly-by-contract.
+    Only ``max_dist=1`` is supported — deeper neighborhoods grow
+    combinatorially; chain the operator or widen to q-gram LSH instead.
+
+    Output: (val_a, val_b, dist) with val_a < val_b (string order).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs: only max_dist=1 is supported")
+
+    def variants(batch: pa.Table) -> pa.Table:
+        col_arr = batch.column(col).drop_null()
+        uniq = pc.unique(col_arr).to_pylist()
+        keys, vals = [], []
+        for s in uniq:
+            neigh = {s}
+            for i in range(len(s)):
+                neigh.add(s[:i] + s[i + 1 :])
+            for v in neigh:
+                d = hashlib.md5(v.encode("utf-8")).digest()[:8]
+                keys.append(
+                    int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF
+                )
+                vals.append(s)
+        return pa.table(
+            {
+                "bucket": pa.array(keys, pa.int64()),
+                "val": pa.array(vals, pa.string()),
+            }
+        )
+
+    from .dedup import compact_blocks
+
+    # per-block distinct upstream; a value repeated across blocks still
+    # emits duplicate (bucket, val) rows — folded here so the pair pass
+    # sees each (bucket, value) once
+    bucketed = compact_blocks(
+        ds.select_columns([col])
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby(["bucket", "val"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+    counts = bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr=f"n > 1 and n <= {max_bucket}").select_columns(
+        ["bucket"]
+    ).take_all()
+    import numpy as np
+    import ray
+
+    hot_keys = np.asarray(sorted(r["bucket"] for r in hot), dtype=np.int64)
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pc.is_in(
+            batch.column("bucket"), value_set=pa.array(keys, pa.int64())
+        )
+        return batch.filter(mask)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        vals = sorted(set(group.column("val").to_pylist()))
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = _within_edit1(vals[i], vals[j])
+                if d <= 1:
+                    a_out.append(vals[i])
+                    b_out.append(vals[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "val_a": pa.array(a_out, pa.string()),
+                "val_b": pa.array(b_out, pa.string()),
+                "dist": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    raw = (
+        bucketed.map_batches(only_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = raw.groupby(["val_a", "val_b"]).aggregate(Min("dist"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["val_a", "val_b", "dist"]),
+        batch_format="pyarrow",
+    )

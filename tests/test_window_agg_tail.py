@@ -209,3 +209,51 @@ def test_semantic_dedup_max_cluster_guard(ray_session):
     }))
     with pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(ds, n_clusters=2, max_cluster=5).to_pandas()
+
+
+def test_edit_distance_pairs_exact_recall(ray_session):
+    import itertools
+
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import (
+        _within_edit1,
+        edit_distance_pairs,
+    )
+
+    vals = [
+        "kitten", "kittens", "mitten", "kitte",   # cluster around kitten
+        "sitting", "sittin",                        # ins/del pair
+        "apple", "appel",                           # distance 2 (no pair)
+        "zebra",                                    # singleton
+        "a", "b",                                   # 1-char substitution
+    ]
+    ds = ray.data.from_arrow(pa.table({"s": pa.array(vals * 3, pa.string())}))
+    got = {
+        (r["val_a"], r["val_b"]): r["dist"]
+        for r in edit_distance_pairs(ds, col="s").take_all()
+    }
+    # exhaustive truth over distinct values
+    def lev(a, b):
+        import numpy as np
+        dp = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = dp.copy()
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return int(dp[-1])
+
+    want = {}
+    for a, b in itertools.combinations(sorted(set(vals)), 2):
+        d = lev(a, b)
+        if d <= 1:
+            want[(a, b)] = d
+    assert got == want          # recall AND precision exact
+    assert ("apple", "appel") not in got
+
+    # the capped checker agrees with full DP on the ≤1 boundary
+    for a, b in itertools.combinations(sorted(set(vals)), 2):
+        assert (_within_edit1(a, b) <= 1) == (lev(a, b) <= 1)
