@@ -2295,6 +2295,36 @@ def _q_prefix_typo_pairs(sf_dir: str):
     )
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Exactly-50 weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): inclusion probability ∝ n_chars, rank −ln(u)/w with
+    u a deterministic md5-derived uniform — reproducible, SQL-twinned,
+    associative per-block top-n (blocks×50 rows shuffle)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import weighted_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(ds, key_col="doc_id", weight_col="n_chars", n=50)
+
+
+def _q_user_event_paths(sf_dir: str):
+    """Ordered grouped string_agg: each user's full event-type sequence
+    in (ts, event_id) order joined by '>' — the clickstream-path shape.
+    One hash shuffle; in-group lexsort + join."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import string_agg_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return string_agg_by(ds, key="user_id", val_col="event_type",
+                         order_cols=["ts", "event_id"], sep=">")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2423,6 +2453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot_daily": _q_events_unpivot_daily,
         "semantic_dedup": _q_semantic_dedup,
         "prefix_typo_pairs": _q_prefix_typo_pairs,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "user_event_paths": _q_user_event_paths,
     }
 
 
@@ -3465,5 +3497,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
             FROM vals a JOIN vals b
             ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
+        """,
+        "weighted_sample_docs": """
+            WITH r AS (
+                SELECT doc_id, n_chars,
+                       -ln((CAST(concat('0x',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                            AS UBIGINT) + 1) / 4503599627370497.0)
+                       / greatest(CAST(n_chars AS DOUBLE), 1.0) AS rank
+                FROM documents
+            )
+            SELECT doc_id, n_chars FROM r ORDER BY rank, doc_id LIMIT 50
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*) AS n
+            FROM events GROUP BY user_id
         """,
     }

@@ -766,3 +766,36 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def string_agg_by(ds, key: str, val_col: str, order_cols: Sequence[str],
+                  sep: str = ">", out_col: str = "path"):
+    """Ordered grouped string concatenation — SQL ``string_agg(val, sep
+    ORDER BY order_cols) GROUP BY key`` — plus the row count. One hash
+    shuffle (the operator's inherent cost: every group member must
+    co-locate); in-group work is one numpy lexsort and one join, no
+    per-row Python. The sequence-of-actions shape (user event paths,
+    clickstreams) session-analysis pipelines reduce to."""
+    import numpy as np
+
+    def agg_group(group: pa.Table) -> pa.Table:
+        arrs = []
+        for c in order_cols:
+            col = group.column(c)
+            if pa.types.is_temporal(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            arrs.append(np.asarray(col.to_pylist()))
+        order = np.lexsort(tuple(reversed(arrs)))
+        vals = group.column(val_col).take(pa.array(order, pa.int64()))
+        return pa.table(
+            {
+                key: group.column(key).slice(0, 1),
+                out_col: pa.array(
+                    [sep.join(v if v is not None else "" for v in vals.to_pylist())],
+                    pa.string(),
+                ),
+                "n": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(agg_group, batch_format="pyarrow")

@@ -113,3 +113,47 @@ def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int):
         .groupby(group_col)
         .map_groups(head, batch_format="pyarrow")
     )
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, n: int):
+    """EXACTLY-n weighted sample without replacement — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): each row gets rank
+    ``-ln(u)/w`` with u a DETERMINISTIC uniform from ``md5(str(key))``
+    (first 13 hex digits / 2^52, never 0) and the n smallest ranks win,
+    which draws rows with probability proportional to ``weight_col``.
+
+    Deterministic and SQL-mirrorable (DuckDB parses the same hex
+    prefix), reproducible across retries, and ASSOCIATIVE like
+    :func:`fixed_sample`: each block ships only its local top-n
+    (blocks×n rows total), a final head picks the global n — no full
+    sort, no corpus materialization. Weights are clamped to ≥1
+    (zero/negative weights would blow up the transform; clamp in the
+    SQL twin too).
+    """
+    import heapq
+    import math
+
+    _DENOM = float((1 << 52) + 1)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        ranks = []
+        for k, w in zip(keys, ws):
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+            u = (h + 1) / _DENOM
+            ranks.append(-math.log(u) / max(float(w or 0), 1.0))
+        keep = heapq.nsmallest(
+            n, range(len(ranks)), key=lambda i: (ranks[i], keys[i])
+        )
+        out = batch.take(pa.array(sorted(keep), pa.int64()))
+        return out.append_column(
+            "__rank", pa.array([ranks[i] for i in sorted(keep)], pa.float64())
+        )
+
+    partials = ds.map_batches(local_top, batch_format="pyarrow")
+    return (
+        partials.sort(["__rank", key_col])
+        .limit(n)
+        .drop_columns(["__rank"])
+    )

@@ -257,3 +257,52 @@ def test_edit_distance_pairs_exact_recall(ray_session):
     # the capped checker agrees with full DP on the ≤1 boundary
     for a, b in itertools.combinations(sorted(set(vals)), 2):
         assert (_within_edit1(a, b) <= 1) == (lev(a, b) <= 1)
+
+
+def test_weighted_sample_properties(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import weighted_sample
+
+    # heavy rows (weight 10000) vs light rows (weight 1): the sample
+    # must be deterministic, exactly-n, and heavily biased to the heavy
+    ids = list(range(1000))
+    weights = [10_000 if i < 100 else 1 for i in ids]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(ids, pa.int64()),
+        "w": pa.array(weights, pa.int64()),
+    }))
+    out1 = weighted_sample(ds, "k", "w", 30).to_pandas()
+    out2 = weighted_sample(ds, "k", "w", 30).to_pandas()
+    assert len(out1) == 30
+    assert out1["k"].tolist() == out2["k"].tolist()  # deterministic
+    heavy = (out1["k"] < 100).sum()
+    assert heavy >= 25  # ~99% expected mass on the heavy class
+
+
+def test_string_agg_by_order_and_count(ray_session):
+    import datetime as dt
+
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import string_agg_by
+
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 1, 1, 2], pa.int64()),
+        "t": pa.array(["b", "a", "c", "z"], pa.string()),
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 1),
+             dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5)],
+            pa.timestamp("us"),
+        ),
+        "eid": pa.array([10, 11, 9, 12], pa.int64()),
+    }))
+    out = (
+        string_agg_by(ds, "u", "t", ["ts", "eid"], sep=">")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    # user 1 order: (1/1, 11)=a, (1/2, 9)=c, (1/2, 10)=b
+    assert out["path"].tolist() == ["a>c>b", "z"]
+    assert out["n"].tolist() == [3, 1]
