@@ -2325,6 +2325,86 @@ def _q_user_event_paths(sf_dir: str):
                          order_cols=["ts", "event_id"], sep=">")
 
 
+def _q_url_pagerank(sf_dir: str):
+    """Web-graph analysis end-to-end: href extraction from the raw
+    html payload (compiled-regex actor stage, relative-link resolution,
+    per-page distinct) → url-level edge list → PageRank (damping 0.85,
+    20 fixed power iterations, dangling mass redistributed) → top 20
+    urls by rank. Node ids are md5-64 of the url; only (src, dst) id
+    pairs enter the iteration — payload bytes and url strings never
+    re-shuffle. Rows-only (iterative; not SQL-expressible); the
+    operator itself is pinned against a local numpy power iteration
+    and the distributed path against the local one in tests."""
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import pagerank
+    from pdf_extractor_ray.functions.joins import hash_join
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir)).materialize()
+
+    def _h(u: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(u.encode()).digest()[:8], "little"
+        ) & 0x7FFFFFFFFFFFFFFF
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_h(u) for u in batch.column("src_url").to_pylist()],
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    [_h(u) for u in batch.column("dst_url").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def node_names(batch: pa.Table) -> pa.Table:
+        urls = set(batch.column("src_url").to_pylist())
+        urls.update(batch.column("dst_url").to_pylist())
+        urls = sorted(urls)
+        return pa.table(
+            {
+                "node": pa.array([_h(u) for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    ranks = pagerank(links.map_batches(to_ids, batch_format="pyarrow"))
+    names = (
+        links.map_batches(node_names, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("url", alias_name="url"))
+    )
+    top = hash_join(
+        ranks, names, "node", "node",
+        left_cols=["node", "rank"], right_cols=["url"], how="inner",
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "rank": pc.round(batch.column("rank"), ndigits=8),
+            }
+        )
+
+    return (
+        top.map_batches(round6, batch_format="pyarrow")
+        .sort(["rank", "url"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2455,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_typo_pairs": _q_prefix_typo_pairs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "user_event_paths": _q_user_event_paths,
+        "url_pagerank": _q_url_pagerank,
     }
 
 

@@ -299,3 +299,182 @@ def keyed_chain_edges(docs_ds, key: str = "md5", prefix_k: int = 5,
         .groupby("text_md5")
         .map_groups(chain, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------- pagerank
+def _local_pagerank(edges_t: pa.Table, damping: float, iters: int):
+    """Driver-local power iteration over a small edge table — the
+    size-gated twin of the distributed path (same gate rationale as
+    :func:`_local_components`). Dangling mass is redistributed
+    uniformly; ranks sum to 1 every iteration."""
+    src = edges_t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges_t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        w = rank[si] / outdeg[si]
+        np.add.at(contrib, di, w)
+        dangling = rank[outdeg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return nodes, rank
+
+
+def pagerank(edges_ds, col_src: str = "src", col_dst: str = "dst",
+             damping: float = 0.85, iters: int = 20,
+             local_max_edges: int = 2_000_000):
+    """PageRank over an (src, dst) int64 edge list — FIXED ``iters``
+    power iterations (deterministic, oracle-free-testable), dangling
+    mass redistributed uniformly, ranks always summing to 1.
+
+    Size-gated like :func:`connected_components`: at or below
+    ``local_max_edges`` (exact count of the pinned edge table) a local
+    numpy power iteration answers directly; above it, each iteration is
+
+        contribs = hash_join(edges+outdeg, ranks ON src)   # rank/deg → dst
+                 → groupby(dst).sum                         # in-mass
+                 → left-join back onto the node table       # 0 for no in-links
+        rank(v) ← (1−d)/N + d·(in_mass(v) + dangling/N)
+
+    — two hash joins and one groupby per round over (node, rank) pairs
+    only (the edge table is pinned once, never re-shuffled; per-round
+    lineage severed via ``from_arrow_refs`` exactly as in connected
+    components). Distributed-vs-local agreement is pinned by tests.
+    Output: Dataset ``(node, rank)``, one row per distinct node.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column(col_src).cast(pa.int64()),
+                "dst": batch.column(col_dst).cast(pa.int64()),
+            }
+        )
+
+    edges = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    if edges.num_blocks() > 32:
+        target = max(16, edges.size_bytes() // (32 << 20))
+        edges = _pin(edges.repartition(int(target)))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
+    if n_edges <= local_max_edges:
+        import ray
+
+        tabs = [t for t in (ray.get(r) for r in edges.to_arrow_refs())
+                if t.num_rows > 0]
+        nodes, rank = _local_pagerank(
+            pa.concat_tables(tabs), damping, iters
+        )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "rank": pa.array(rank, pa.float64())})
+        )
+
+    parts = int(min(256, max(8, n_edges // 100_000)))
+
+    # node table + out-degrees (0 for dangling): distinct src∪dst
+    def explode_nodes(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    nodes_ds = _pin(
+        edges.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="__m"))
+        .map_batches(
+            lambda b: pa.table({"node": b.column("node").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    n_nodes = nodes_ds.count()
+    outdeg = _pin(
+        edges.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
+            lambda b: pa.table(
+                {"node": b.column("src").cast(pa.int64()),
+                 "deg": b.column("deg").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # edges annotated once with src out-degree (degree never changes)
+    edges_deg = _pin(hash_join(
+        edges, outdeg, "src", "node",
+        left_cols=["src", "dst"], right_cols=["deg"],
+        how="inner", num_partitions=parts,
+    ))
+
+    init = 1.0 / n_nodes
+    ranks = _pin(nodes_ds.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array([init] * b.num_rows, pa.float64())
+        ),
+        batch_format="pyarrow",
+    ))
+
+    def _sum_where_dangling(ranks_ds) -> float:
+        # dangling mass = total rank − rank held by nodes WITH out-links
+        joined = hash_join(
+            ranks_ds, outdeg, "node", "node",
+            left_cols=["rank"], right_cols=["deg"],
+            how="inner", num_partitions=parts,
+        )
+        row = joined.aggregate(Sum("rank", alias_name="s"))
+        linked = float(row["s"] or 0.0)
+        total_row = ranks_ds.aggregate(Sum("rank", alias_name="s"))
+        return float(total_row["s"] or 0.0) - linked
+
+    for _ in range(iters):
+        dangling = _sum_where_dangling(ranks)
+        contribs = hash_join(
+            edges_deg, ranks, "src", "node",
+            left_cols=["dst", "deg"], right_cols=["rank"],
+            how="inner", num_partitions=parts,
+        )
+
+        def weight(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = pc.divide(
+                batch.column("rank"),
+                pc.cast(batch.column("deg"), pa.float64()),
+            )
+            return pa.table({"node": batch.column("dst"), "w": w})
+
+        in_mass = (
+            contribs.map_batches(weight, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("w", alias_name="mass"))
+        )
+        joined = hash_join(
+            nodes_ds, in_mass, "node", "node",
+            left_cols=["node"], right_cols=["mass"],
+            how="left", num_partitions=parts,
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def update(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mass = pc.fill_null(batch.column("mass"), 0.0)
+            r = pc.add(pc.multiply(mass, damping), base)
+            return pa.table({"node": batch.column("node"), "rank": r})
+
+        ranks = _pin(joined.map_batches(update, batch_format="pyarrow"))
+    return ranks

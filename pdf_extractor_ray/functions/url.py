@@ -111,3 +111,71 @@ def normalize_urls(batch: pa.Table, url_col: str = "url",
     # non-URL rows (no scheme match) pass through untouched
     norm = pc.if_else(pc.equal(scheme, ""), urls, norm)
     return batch.append_column(out_col, norm)
+
+
+class OutlinkStage:
+    """pages batch → one row per (src_url, dst_url) outlink.
+
+    From-scratch href extraction over the raw ``html`` binary column:
+    charset-decode (the codec's sniffing rules), one compiled-regex
+    findall for ``href=`` attributes, stdlib ``urljoin`` resolution of
+    relative targets against the page url, http(s)-only filter, and a
+    per-page DISTINCT (a nav link repeated 40× emits once). Regex
+    compiles ONCE per actor (``map_batches(OutlinkStage, ...)``), the
+    stage is stateless across batches, and only (src, dst) string rows
+    leave — payload bytes never do. The web-graph edge extractor
+    feeding :func:`~.graph.pagerank` / host-graph aggregation.
+    """
+
+    def __init__(self) -> None:
+        import re
+
+        self._href = re.compile(
+            rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+            re.IGNORECASE | re.DOTALL,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from urllib.parse import urljoin
+
+        from ..codecs.html_codec import _decode_html_bytes
+
+        srcs, dsts = [], []
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        for url, payload in zip(urls, payloads):
+            if not payload:
+                continue
+            seen = set()
+            for m in self._href.finditer(payload):
+                raw = next(g for g in m.groups() if g is not None)
+                try:
+                    href = _decode_html_bytes(raw).strip()
+                except Exception:
+                    continue
+                if not href or href.startswith("#"):
+                    continue
+                target = urljoin(url, href)
+                if not target.startswith(("http://", "https://")):
+                    continue
+                if target not in seen:
+                    seen.add(target)
+                    srcs.append(url)
+                    dsts.append(target)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+            }
+        )
+
+
+def extract_outlinks(pages_ds, concurrency=None):
+    """pages (url, html) → distinct-per-page (src_url, dst_url) edges."""
+    from .pool import pool_size
+
+    return pages_ds.map_batches(
+        OutlinkStage,
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(),
+    )

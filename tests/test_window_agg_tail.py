@@ -306,3 +306,93 @@ def test_string_agg_by_order_and_count(ray_session):
     # user 1 order: (1/1, 11)=a, (1/2, 9)=c, (1/2, 10)=b
     assert out["path"].tolist() == ["a>c>b", "z"]
     assert out["n"].tolist() == [3, 1]
+
+
+def _np_pagerank(edges, d=0.85, iters=20):
+    import numpy as np
+    src = np.asarray([a for a, b in edges], dtype=np.int64)
+    dst = np.asarray([b for a, b in edges], dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(float)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, rank[si] / outdeg[si])
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - d) / n + d * (contrib + dangling / n)
+    return dict(zip(nodes.tolist(), rank.tolist()))
+
+
+def test_pagerank_local_matches_reference_and_sums_to_one(ray_session):
+    import random
+
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import pagerank
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(250)})
+    edges = [(a, b) for a, b in edges if a != b]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = {r["node"]: r["rank"] for r in pagerank(ds).take_all()}
+    want = _np_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_matches_local(ray_session):
+    import random
+
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import pagerank
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    local = {r["node"]: r["rank"] for r in pagerank(ds, iters=6).take_all()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, iters=6, local_max_edges=0).take_all()
+    }
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-9
+
+
+def test_extract_outlinks_resolves_and_dedups(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    html = (
+        b"<html><body>"
+        b"<a href='/about'>a</a>"
+        b'<a href="/about">dup</a>'
+        b"<a href=https://other.example/x>bare</a>"
+        b"<a href='#frag'>skip</a>"
+        b"<a href='mailto:x@y.z'>skip</a>"
+        b"<A HREF='b.html'>rel</A>"
+        b"</body></html>"
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://example.org/dir/page.html"], pa.string()),
+        "html": pa.array([html], pa.large_binary()),
+    }))
+    out = extract_outlinks(ds).to_pandas()
+    got = set(zip(out["src_url"], out["dst_url"]))
+    src = "https://example.org/dir/page.html"
+    assert got == {
+        (src, "https://example.org/about"),
+        (src, "https://other.example/x"),
+        (src, "https://example.org/dir/b.html"),
+    }
