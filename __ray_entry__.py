@@ -2405,6 +2405,35 @@ def _q_url_pagerank(sf_dir: str):
     )
 
 
+def _q_quantiles_chars_cont(sf_dir: str):
+    """EXACT interpolated per-language quantiles (SQL quantile_cont,
+    type-7 linear) of document length — (key, value, count) histogram
+    partials only; both order statistics read off the cumulative
+    histogram on the driver."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles_cont_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return exact_quantiles_cont_by(ds, key="lang", col="n_chars")
+
+
+def _q_doc_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio — the single-pass redundancy
+    signal (template/spam pages compress far below organic prose).
+    Rows-only: zlib is not SQL-expressible; pinned behavior tested on
+    constructed low/high-entropy texts."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import compression_ratio
+
+    return _docs(sf_dir).map_batches(
+        compression_ratio, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bytes", "n_compressed", "ratio"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2536,6 +2565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "user_event_paths": _q_user_event_paths,
         "url_pagerank": _q_url_pagerank,
+        "quantiles_chars_cont": _q_quantiles_chars_cont,
+        "doc_compression_ratio": _q_doc_compression_ratio,
     }
 
 
@@ -3595,5 +3626,19 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
                    count(*) AS n
             FROM events GROUP BY user_id
+        """,
+        "quantiles_chars_cont": """
+            SELECT lang, 0.25 AS q,
+                   round(quantile_cont(n_chars, 0.25), 6) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, round(quantile_cont(n_chars, 0.5), 6)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, round(quantile_cont(n_chars, 0.75), 6)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9, round(quantile_cont(n_chars, 0.9), 6)
+            FROM documents GROUP BY lang
         """,
     }

@@ -799,3 +799,56 @@ def string_agg_by(ds, key: str, val_col: str, order_cols: Sequence[str],
         )
 
     return ds.groupby(key).map_groups(agg_group, batch_format="pyarrow")
+
+
+def exact_quantiles_cont_by(ds, key: str, col: str,
+                            qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
+    """EXACT per-group INTERPOLATED quantiles (SQL ``quantile_cont``,
+    numpy's linear / R type-7 definition: rank r = (n−1)·q, value =
+    x⌊r⌋ + (r−⌊r⌋)·(x⌈r⌉−x⌊r⌋)) — the continuous twin of
+    :func:`exact_quantiles_by`, same (key, value, count) histogram
+    partials, same loudly-enforced bounded-cardinality contract. Both
+    order statistics are read off the cumulative histogram, so no
+    per-row work ever reaches the driver. Output: one row per
+    (key, q); values rounded half-up to 6 digits for stable float
+    comparison."""
+    import numpy as np
+
+    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "n")])
+    if hist.num_rows == 0:
+        return pa.table(
+            {key: pa.array([], hist.schema.field(key).type),
+             "q": pa.array([], pa.float64()),
+             "value": pa.array([], pa.float64())}
+        )
+    keys = np.asarray(hist.column(key).to_pylist())
+    vals = np.asarray(hist.column(col).to_pylist(), dtype=np.float64)
+    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    out_k, out_q, out_v = [], [], []
+    for g in sorted(set(keys.tolist())):
+        m = keys == g
+        v, c = vals[m], cnts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for q in qs:
+            r = (n - 1) * q
+            lo_rank, frac = int(np.floor(r)), r - np.floor(r)
+            # order statistic k (0-based) = first value with cum > k
+            lo = v[int(np.searchsorted(cum, lo_rank + 1, side="left"))]
+            hi = (
+                v[int(np.searchsorted(cum, min(lo_rank + 2, n), side="left"))]
+                if frac > 0 else lo
+            )
+            x = lo + frac * (hi - lo)
+            out_k.append(g)
+            out_q.append(float(q))
+            out_v.append(float(np.floor(x * 1e6 + 0.5) / 1e6))
+    return pa.table(
+        {
+            key: pa.array(out_k),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -870,3 +870,36 @@ def edit_distance_pairs(ds, col: str, max_dist: int = 1,
         lambda b: b.rename_columns(["val_a", "val_b", "dist"]),
         batch_format="pyarrow",
     )
+
+
+def compression_ratio(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal web pipelines gate on (template/spam pages
+    compress far below organic prose; a cousin of Gopher's repetition
+    fractions with single-pass cost). C-speed zlib per row, no state,
+    no shuffle. Output: (doc_id, n_bytes, n_compressed, ratio) with
+    ratio = compressed/raw rounded half-up to 6 digits (1.0 for empty
+    text — nothing to compress, nothing saved)."""
+    import zlib
+
+    import numpy as np
+
+    texts = batch.column(text_col).to_pylist()
+    raw, comp = [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        raw.append(len(b))
+        comp.append(len(zlib.compress(b, 6)) if b else 0)
+    raw_a = np.asarray(raw, dtype=np.int64)
+    comp_a = np.asarray(comp, dtype=np.int64)
+    ratio = np.where(raw_a > 0, comp_a / np.maximum(raw_a, 1), 1.0)
+    ratio = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_bytes": pa.array(raw_a, pa.int64()),
+            "n_compressed": pa.array(comp_a, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        }
+    )

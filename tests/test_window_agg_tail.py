@@ -396,3 +396,48 @@ def test_extract_outlinks_resolves_and_dedups(ray_session):
         (src, "https://other.example/x"),
         (src, "https://example.org/dir/b.html"),
     }
+
+
+def test_exact_quantiles_cont_matches_numpy(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_quantiles_cont_by
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(0, 500, size=300)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 150 + ["b"] * 150, pa.string()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    out = exact_quantiles_cont_by(ds, "g", "v").to_pandas()
+    for g, lo, hi in (("a", 0, 150), ("b", 150, 300)):
+        sub = out[out["g"] == g].set_index("q")["value"]
+        for q in (0.25, 0.5, 0.75, 0.9):
+            want = np.quantile(vals[lo:hi], q)  # type-7 linear
+            assert abs(sub[q] - round(want, 6)) < 1e-9, (g, q)
+
+
+def test_compression_ratio_orders_entropy(ray_session):
+    import ray
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import compression_ratio
+
+    rng = np.random.RandomState(23)
+    rand_text = " ".join(
+        "".join(chr(97 + c) for c in rng.randint(0, 26, size=8))
+        for _ in range(200)
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spam " * 400, rand_text, ""], pa.string()),
+    }))
+    out = (
+        ds.map_batches(compression_ratio, batch_format="pyarrow")
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "ratio"] < 0.05          # pure repetition
+    assert out.loc[2, "ratio"] > 0.5           # random text
+    assert out.loc[3, "ratio"] == 1.0          # empty → nothing saved
+    assert out.loc[3, "n_bytes"] == 0
