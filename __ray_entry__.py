@@ -878,6 +878,102 @@ def _q_asof_latest_order(sf_dir: str):
     )
 
 
+def _q_repeat_orders_window(sf_dir: str):
+    """Keyed RANGE join (the non-equi join Ray Data lacks), genuinely
+    many-to-many: for every order, the same customer's later orders
+    placed inside the 30 days AFTER it (repeat-purchase windows),
+    folded per the earlier order's priority. One key shuffle; the
+    in-group interval match is a double searchsorted with a max_width
+    prune (every window is exactly 30 days wide, validated in-task).
+    Self-pairs (an order inside its own window) are filtered by key
+    inequality after the join, exactly as the SQL twin does."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import range_join
+
+    month_us = 30 * 86_400 * 1_000_000
+    cols = ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"]
+    later = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols[:3]
+    ).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "okey_b", "ts_b"]),
+        batch_format="pyarrow",
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        lo = b.column("o_orderdate").cast(pa.timestamp("us"))
+        hi = pc.add(lo.cast(pa.int64()), month_us).cast(pa.timestamp("us"))
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "okey_a": b.column("o_orderkey"),
+            "o_lo": lo,
+            "o_hi": hi,
+            "prio_a": b.column("o_orderpriority"),
+        })
+
+    earlier = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols
+    ).map_batches(widen, batch_format="pyarrow")
+
+    pairs = range_join(
+        later,
+        earlier,
+        key="o_custkey",
+        left_val="ts_b",
+        right_lo="o_lo",
+        right_hi="o_hi",
+        left_cols=["okey_b"],
+        right_cols=["okey_a", "prio_a"],
+        max_width=month_us,
+    ).map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("okey_a"), b.column("okey_b"))),
+        batch_format="pyarrow",
+    )
+    return lowcard_groupby_agg(
+        pairs,
+        ["prio_a"],
+        [
+            ("okey_b", "count", "n_pairs"),
+            ("okey_b", "min", "min_later"),
+            ("okey_b", "max", "max_later"),
+        ],
+    )
+
+
+def _q_orders_price_bands(sf_dir: str):
+    """Keyless range join against a small NON-OVERLAPPING band table —
+    map-side broadcast (zero shuffle), vectorized searchsorted binning.
+    Orders outside every band are dropped (inner)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import broadcast_range_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    bands = pa.table({
+        "band": ["P0", "P1", "P2", "P3"],
+        "lo": [0.0, 50_000.0, 100_000.0, 200_000.0],
+        "hi": [50_000.0, 100_000.0, 200_000.0, 400_000.0],
+    })
+    binned = broadcast_range_join(
+        orders, bands, left_val="o_totalprice",
+        lo_col="lo", hi_col="hi", band_cols=["band"],
+    )
+    return lowcard_groupby_agg(
+        binned,
+        ["band"],
+        [
+            ("o_orderkey", "count", "n_orders"),
+            ("o_totalprice", "min", "min_price"),
+            ("o_totalprice", "max", "max_price"),
+        ],
+    )
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL distinct sketch (p=12, ~1.6% error) — approximate, rows-only;
     merge associativity + accuracy covered by tests."""
@@ -2486,6 +2582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "events_sliding_3d": _q_events_sliding_3d,
         "asof_latest_order": _q_asof_latest_order,
+        "repeat_orders_window": _q_repeat_orders_window,
+        "orders_price_bands": _q_orders_price_bands,
         "approx_distinct_users": _q_approx_distinct_users,
         # corpus statistics / windows / multimodal dedup (round 2)
         "top_bigrams": _q_top_bigrams,
@@ -2874,6 +2972,33 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o
                   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "repeat_orders_window": """
+            SELECT a.o_orderpriority AS prio_a,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   MIN(b.o_orderkey) AS min_later,
+                   MAX(b.o_orderkey) AS max_later
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+             AND b.o_orderkey <> a.o_orderkey
+            GROUP BY prio_a
+        """,
+        "orders_price_bands": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('P0', 0.0,      50000.0),
+                       ('P1', 50000.0,  100000.0),
+                       ('P2', 100000.0, 200000.0),
+                       ('P3', 200000.0, 400000.0)
+            )
+            SELECT band,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
         """,
         "customers_no_orders": """
             SELECT c_custkey, c_name, c_acctbal

@@ -43,7 +43,9 @@ from .dedup import (  # noqa: F401
 from .joins import (  # noqa: F401
     asof_join,
     broadcast_join,
+    broadcast_range_join,
     hash_join,
+    range_join,
     semi_anti_join,
     to_pandas_typed,
 )

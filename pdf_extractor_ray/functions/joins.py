@@ -683,3 +683,226 @@ def broadcast_join(
         return batch
 
     return left_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _numcast(col: pa.ChunkedArray):
+    """Cast a numeric/timestamp column to a comparable numpy dtype.
+
+    Timestamps become exact int64 microseconds; everything else goes
+    to float64 (band edges, prices). Returns (numpy array, is_ts)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return (
+            np.asarray(col.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist(),
+                       dtype=np.int64),
+            True,
+        )
+    return np.asarray(col.cast(pa.float64()).to_pylist(), dtype=np.float64), False
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    max_width=None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+):
+    """Keyed interval (range) join — INNER, many-to-many.
+
+    Emits one row per (left, right) pair with the same ``key`` where
+    ``right_lo <= left_val < right_hi`` (inclusivity per flags). The
+    operator Ray Data lacks natively; the reference has no joins at
+    all (SURVEY §2.4) — this serves enrichment shapes like
+    "event within N days of an order" or IP→range lookups.
+
+    Plan: both sides are tagged and unioned (one pass each), then ONE
+    hash shuffle co-locates each key's rows (`groupby(key)`), and the
+    in-group interval match is fully vectorized: right intervals are
+    sorted by ``lo``; for every left value a double ``searchsorted``
+    yields the candidate slice, flattened with repeat/cumsum index
+    arithmetic and masked by the ``hi`` bound — no per-row Python.
+
+    Partitioning assumptions (documented per the engine contract):
+    - one key's rows fit one group task (same as asof_join/windows;
+      salt or time-split giant keys upstream);
+    - when ``max_width`` is given, EVERY right interval must satisfy
+      ``hi - lo <= max_width`` (validated loudly per group) — the
+      prune then bounds candidates to the [v - max_width, v] window
+      of ``lo`` values, making in-group cost O(pairs) instead of
+      O(rows × preceding intervals). Without it, correctness holds
+      but a key whose intervals all start early degrades to a scan.
+
+    Values may be timestamps (exact int64 µs) or numerics (float64).
+    """
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_types[key]
+    val_is_ts = pa.types.is_timestamp(l_types[left_val])
+    num_type = pa.int64() if val_is_ts else pa.float64()
+
+    fields = [pa.field("__key", key_type), pa.field("__v", num_type),
+              pa.field("__hi", num_type), pa.field("__side", pa.int8())]
+    fields += [pa.field(f"l_{c}", l_types[c]) for c in left_cols]
+    fields += [pa.field(f"r_{c}", r_types[c]) for c in right_cols]
+    schema = pa.schema(fields)
+
+    def to_common(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if side == 0:
+                v, _ = _numcast(batch.column(left_val))
+                hi = np.zeros(n, dtype=v.dtype)
+            else:
+                v, _ = _numcast(batch.column(right_lo))
+                hi, _ = _numcast(batch.column(right_hi))
+            arrays = {
+                "__key": batch.column(key).cast(key_type),
+                "__v": pa.array(v, num_type),
+                "__hi": pa.array(hi, num_type),
+                "__side": pa.array([side] * n, pa.int8()),
+            }
+            for f in schema:
+                pre, c = f.name[:2], f.name[2:]
+                if pre == "l_":
+                    arrays[f.name] = (batch.column(c) if side == 0
+                                      else pa.nulls(n, f.type))
+                elif pre == "r_":
+                    arrays[f.name] = (batch.column(c) if side == 1
+                                      else pa.nulls(n, f.type))
+            return pa.table(arrays, schema=schema)
+
+        return fn
+
+    both = left_ds.map_batches(to_common(0), batch_format="pyarrow").union(
+        right_ds.map_batches(to_common(1), batch_format="pyarrow")
+    )
+    from .dedup import compact_blocks
+
+    both = compact_blocks(both, skip_above_bytes=4 << 30)
+
+    out_fields = [pa.field(c, l_types[c]) for c in left_cols]
+    out_fields += [pa.field(c, r_types[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+    width = None if max_width is None else (
+        np.int64(max_width) if val_is_ts else np.float64(max_width))
+    lo_side = "right" if lo_inclusive else "left"
+
+    def match_group(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side").to_pylist(), dtype=np.int8)
+        v = np.asarray(group.column("__v").to_pylist())
+        hi = np.asarray(group.column("__hi").to_pylist())
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return out_schema.empty_table()
+        r_lo = v[r_idx]
+        r_hi = hi[r_idx]
+        if width is not None:
+            w = r_hi - r_lo
+            if len(w) and w.max() > width:
+                raise ValueError(
+                    f"range_join: interval wider than max_width={max_width} "
+                    f"(saw {w.max()}); widen max_width or drop it"
+                )
+        order = np.argsort(r_lo, kind="stable")
+        r_sorted = r_idx[order]
+        lo_s = r_lo[order]
+        hi_s = r_hi[order]
+        lv = v[l_idx]
+        a = np.searchsorted(lo_s, lv, side=lo_side)
+        if width is not None:
+            b = np.searchsorted(lo_s, lv - width, side="left")
+        else:
+            b = np.zeros(len(lv), dtype=np.int64)
+        counts = a - b
+        tot = int(counts.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        offs = (np.arange(tot) - np.repeat(cum[:-1], counts)
+                + np.repeat(b, counts))
+        l_rep = np.repeat(l_idx, counts)
+        cand = r_sorted[offs]
+        cand_hi = hi_s[offs]
+        v_rep = np.repeat(lv, counts)
+        keep = cand_hi >= v_rep if hi_inclusive else cand_hi > v_rep
+        if not keep.any():
+            return out_schema.empty_table()
+        lefts = group.take(pa.array(l_rep[keep], pa.int64()))
+        rights = group.take(pa.array(cand[keep], pa.int64()))
+        cols = {c: lefts.column(f"l_{c}") for c in left_cols}
+        for c in right_cols:
+            cols[c] = rights.column(f"r_{c}")
+        return pa.table(cols, schema=out_schema)
+
+    import ray.data
+
+    matched = both.groupby("__key").map_groups(match_group, batch_format="pyarrow")
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        _coerce_blocks(matched, out_schema)
+    )
+
+
+def broadcast_range_join(
+    left_ds,
+    bands: pa.Table,
+    left_val: str,
+    lo_col: str,
+    hi_col: str,
+    band_cols: Sequence[str],
+    how: str = "inner",
+):
+    """Keyless range join against a SMALL, NON-OVERLAPPING interval
+    table (price bands, latency buckets, IP blocks after a split) —
+    map-side only, ZERO shuffle.
+
+    ``bands`` is driver-resident (dimension-sized; the scale contract
+    is the same as ``broadcast_join``'s): it is validated to be
+    non-overlapping when sorted by ``lo``, ``ray.put`` once, and every
+    batch classifies rows with one vectorized ``searchsorted`` against
+    the sorted ``lo`` edges, then masks by ``hi`` (half-open
+    ``lo <= v < hi``). Rows in no band are dropped (``how='inner'``)
+    or kept with null band columns (``'left'``)."""
+    import pyarrow.compute as pc
+    import ray
+
+    band_cols = list(band_cols)
+    lo_np, _ = _numcast(bands.column(lo_col))
+    hi_np, _ = _numcast(bands.column(hi_col))
+    order = np.argsort(lo_np, kind="stable")
+    lo_s, hi_s = lo_np[order], hi_np[order]
+    if len(lo_s) > 1 and (hi_s[:-1] > lo_s[1:]).any():
+        raise ValueError("broadcast_range_join: bands overlap — use range_join")
+    sorted_bands = bands.take(pa.array(order, pa.int64())).combine_chunks()
+    state = ray.put((lo_s, hi_s, sorted_bands))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a, bt = ray.get(state)
+        v, _ = _numcast(batch.column(left_val))
+        pos = np.searchsorted(lo_a, v, side="right") - 1
+        ok = (pos >= 0) & (v < hi_a[np.clip(pos, 0, None)])
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            idx = pa.array(pos[ok], pa.int64())
+            matched = bt.take(idx)
+            for c in band_cols:
+                batch = batch.append_column(c, matched.column(c))
+            return batch
+        idx = pa.array(np.where(ok, pos, -1), pa.int32())
+        idx = pc.if_else(pa.array(ok), idx, pa.nulls(len(ok), pa.int32()))
+        matched = bt.take(idx)
+        for c in band_cols:
+            batch = batch.append_column(c, matched.column(c))
+        return batch
+
+    return left_ds.map_batches(attach, batch_format="pyarrow")
