@@ -1955,6 +1955,22 @@ def _q_events_moving_avg(sf_dir: str):
                       tiebreak="event_id", window_rows=3)
 
 
+def _q_events_trailing_3d(sf_dir: str):
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+    AND CURRENT ROW): per event, count and sum of the same user's
+    values in the trailing 3 days — ts-peer rows included exactly as
+    SQL RANGE frames require."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import range_frame_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return range_frame_agg(ds, key="user_id", ts_col="ts", val_col="value",
+                           tiebreak="event_id", width_seconds=3 * 86_400)
+
+
 def _q_events_pivot_daily(sf_dir: str):
     """Pivot/crosstab: events per (day × event_type) as a WIDE table —
     one int64 column per type via vectorized conditional partials, then
@@ -2320,6 +2336,26 @@ def _q_events_hour_value_corr(sf_dir: str):
     )
 
 
+def _q_lineitem_price_qty_regr(sf_dir: str):
+    """Least-squares price-on-quantity line per return flag
+    (REGR_SLOPE / REGR_INTERCEPT) — exact int64 sufficient statistics
+    (cents × hundredths) fold through the partial aggregate; the line
+    is derived from identical integers on the driver. Σy² is never
+    accumulated (price² overflows int64 first), which is why this is
+    a separate operator from grouped_corr."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_linreg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_linreg(ds, key="l_returnflag",
+                          xcol="l_quantity", ycol="l_extendedprice",
+                          x_scale=100, y_scale=100)
+
+
 def _q_events_unpivot_daily(sf_dir: str):
     """UNPIVOT (melt): the daily per-type pivot table back to long
     (day, event_type, n) rows — zero-shuffle per-batch reshape over the
@@ -2647,6 +2683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_per_customer": _q_order_rank_per_customer,
         "events_lag_value": _q_events_lag_value,
         "events_moving_avg": _q_events_moving_avg,
+        "events_trailing_3d": _q_events_trailing_3d,
+        "lineitem_price_qty_regr": _q_lineitem_price_qty_regr,
         "customer_order_full": _q_customer_order_full,
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,
@@ -3645,6 +3683,16 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS moving_avg
             FROM events
         """,
+        "events_trailing_3d": """
+            SELECT user_id, event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+                   round(SUM(value) OVER w, 6) AS trailing_sum
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+            )
+        """,
         "customer_order_full": """
             SELECT o_orderkey, o_custkey, c_custkey
             FROM orders FULL OUTER JOIN customer
@@ -3702,6 +3750,19 @@ def oracle_sql() -> dict[str, str]:
             ) QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY n DESC, event_type
             ) = 1
+        """,
+        "lineitem_price_qty_regr": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS xi,
+                       CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS yi
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS regr_count,
+                   round(regr_slope(yi, xi), 6) AS slope,
+                   round(regr_intercept(yi, xi) / 100.0, 6) AS intercept
+            FROM t GROUP BY l_returnflag
         """,
         "events_hour_value_corr": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -20,6 +20,7 @@ from .window import (  # noqa: F401
     moving_avg,
     ntile_in_group,
     percent_rank_in_group,
+    range_frame_agg,
     rank_in_group,
     running_total,
     sessionize,
@@ -61,6 +62,7 @@ from .agg import (  # noqa: F401
     exact_distinct_by,
     exact_quantiles,
     exact_quantiles_by,
+    grouped_linreg,
     lowcard_groupby_agg,
     rollup_agg,
 )

@@ -852,3 +852,93 @@ def exact_quantiles_cont_by(ds, key: str, col: str,
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def grouped_linreg(ds, key: str, xcol: str, ycol: str,
+                   x_scale: int = 100, y_scale: int = 100):
+    """Least-squares line of y on x per group — SQL ``regr_slope`` /
+    ``regr_intercept`` / ``regr_count`` — by the :func:`grouped_corr`
+    recipe: fixed-point int64 sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy) fold exactly through the partial aggregate, so shuffle order
+    can never flip an oracle hash; the line is derived on the driver
+    in float64 from identical integers and rounded half-away-from-zero
+    to 6 digits. Σy² is deliberately NOT accumulated (it is the first
+    statistic to overflow int64 on price-shaped columns); callers who
+    need r² should use :func:`grouped_corr` with scales sized to its
+    documented headroom contract. Headroom here: Σx² and Σ|x·y| must
+    stay ≤ 9.2e18 — at 1e6 rows/group that allows |x·x_scale| ≤ 3e6
+    with |y·y_scale| ≤ 3e6.
+
+    Output: (key, regr_count int64, slope, intercept) — slope and
+    intercept NULL where x has zero variance or n < 2, matching SQL."""
+    import math
+
+    import pyarrow.compute as pc2
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(xcol), pa.float64()), float(x_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        y = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(ycol), pa.float64()), float(y_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key: batch.column(key),
+                "__x": x,
+                "__y": y,
+                "__xx": pc2.multiply(x, x),
+                "__xy": pc2.multiply(x, y),
+            }
+        )
+
+    t = lowcard_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        [key],
+        [
+            ("__x", "count", "n"),
+            ("__x", "sum", "sx"),
+            ("__y", "sum", "sy"),
+            ("__xx", "sum", "sxx"),
+            ("__xy", "sum", "sxy"),
+        ],
+    )
+    import numpy as np
+
+    n = np.asarray(t.column("n").to_pylist(), dtype=np.float64)
+    sx = np.asarray(t.column("sx").to_pylist(), dtype=np.float64)
+    sy = np.asarray(t.column("sy").to_pylist(), dtype=np.float64)
+    sxx = np.asarray(t.column("sxx").to_pylist(), dtype=np.float64)
+    sxy = np.asarray(t.column("sxy").to_pylist(), dtype=np.float64)
+
+    def r6(v: float):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    slopes, intercepts = [], []
+    for i in range(len(n)):
+        vx = sxx[i] - sx[i] * sx[i] / n[i] if n[i] else 0.0
+        if n[i] < 2 or vx <= 0:
+            slopes.append(None)
+            intercepts.append(None)
+            continue
+        cov = sxy[i] - sx[i] * sy[i] / n[i]
+        slope_int = cov / vx
+        # undo fixed-point scaling: slope is d(real y)/d(real x)
+        slope = slope_int * x_scale / y_scale
+        intercept = sy[i] / (n[i] * y_scale) - slope * sx[i] / (n[i] * x_scale)
+        slopes.append(r6(slope))
+        intercepts.append(r6(intercept))
+    return pa.table(
+        {
+            key: t.column(key),
+            "regr_count": pc.cast(t.column("n"), pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        }
+    )

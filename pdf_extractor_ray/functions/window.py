@@ -551,3 +551,61 @@ def percent_rank_in_group(
         return group.append_column(out_col, pa.array(pct, pa.float64()))
 
     return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
+def range_frame_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    width_seconds: float,
+    n_col: str = "trailing_n",
+    sum_col: str = "trailing_sum",
+):
+    """``COUNT/SUM(val) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN INTERVAL width PRECEDING AND CURRENT ROW)`` — the
+    VALUE-range frame (ROWS frames are :func:`moving_avg`).
+
+    SQL RANGE semantics are honoured exactly: the frame of a row is
+    every row of the key whose ts lies in ``[cur_ts - width, cur_ts]``
+    INCLUDING all peers of the current ts (even ones a tiebreak would
+    sort after it), which is why the frame bounds are two
+    ``searchsorted`` calls on the sorted ts array ('left' on the lower
+    edge, 'right' on the current value) rather than the row's own sort
+    position. In-group work is one sort + two searchsorteds + one
+    cumsum — O(rows log rows), no per-row Python. One hash shuffle
+    co-locates each key (same partitioning contract as sessionize).
+
+    Output: one row per input row — (key, tiebreak, n_col int64,
+    sum_col rounded half-away-from-zero to 6 digits for stable
+    comparison against a sequential SQL engine)."""
+    width_us = np.int64(round(width_seconds * 1_000_000))
+
+    def frame(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        vals = np.asarray(group.column(val_col).to_pylist(), dtype=np.float64)
+        order = np.argsort(ts, kind="stable")
+        t = ts[order]
+        v = vals[order]
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        hi = np.searchsorted(t, t, side="right")
+        lo = np.searchsorted(t, t - width_us, side="left")
+        n = (hi - lo).astype(np.int64)
+        s = cum[hi] - cum[lo]
+        rounded = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, s)
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(pa.array(order, pa.int64())),
+                n_col: pa.array(n, pa.int64()),
+                sum_col: pa.array(rounded, pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(frame, batch_format="pyarrow")

@@ -441,3 +441,64 @@ def test_compression_ratio_orders_entropy(ray_session):
     assert out.loc[2, "ratio"] > 0.5           # random text
     assert out.loc[3, "ratio"] == 1.0          # empty → nothing saved
     assert out.loc[3, "n_bytes"] == 0
+
+
+def test_range_frame_agg_peer_semantics(ray_session):
+    """SQL RANGE frames include ALL ts-peers of the current row — even
+    ones a tiebreak would sort after it — unlike ROWS frames."""
+    import datetime as dt
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import range_frame_agg
+
+    t0 = dt.datetime(2024, 1, 10)
+    day = dt.timedelta(days=1)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1] * 5 + [2], pa.int64()),
+        # user 1: days 1, 5, 5 (peers), 6, 20; user 2: one row
+        "ts": pa.array([t0, t0 + 4 * day, t0 + 4 * day, t0 + 5 * day,
+                        t0 + 19 * day, t0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "value": pa.array([1.0, 10.0, 100.0, 1000.0, 5.0, 7.0], pa.float64()),
+    }))
+    out = (
+        range_frame_agg(ds, key="user_id", ts_col="ts", val_col="value",
+                        tiebreak="event_id", width_seconds=3 * 86_400)
+        .to_pandas().set_index("event_id")
+    )
+    # day-5 rows are peers: BOTH see each other (n=2, sum=110)
+    assert out.loc[2, "trailing_n"] == 2 and out.loc[2, "trailing_sum"] == 110.0
+    assert out.loc[3, "trailing_n"] == 2 and out.loc[3, "trailing_sum"] == 110.0
+    # day-1 row: frame is itself (nothing precedes)
+    assert out.loc[1, "trailing_n"] == 1 and out.loc[1, "trailing_sum"] == 1.0
+    # day-6 row: covers days 3..6 → both peers + itself, not day 1
+    assert out.loc[4, "trailing_n"] == 3 and out.loc[4, "trailing_sum"] == 1110.0
+    # day-20 row: frame is itself again (gap > 3 days)
+    assert out.loc[5, "trailing_n"] == 1 and out.loc[5, "trailing_sum"] == 5.0
+    # other key unaffected
+    assert out.loc[6, "trailing_n"] == 1 and out.loc[6, "trailing_sum"] == 7.0
+
+
+def test_grouped_linreg_known_line(ray_session):
+    """Points generated on y = 3x + 2 (exact) plus a zero-variance-x
+    group and a singleton group → slope/intercept recovered exactly,
+    NULLs where SQL's regr_slope is NULL."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_linreg
+
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["line"] * 4 + ["flatx"] * 3 + ["one"], pa.string()),
+        "x": pa.array(xs + [5.0, 5.0, 5.0] + [9.0], pa.float64()),
+        "y": pa.array([3 * v + 2 for v in xs] + [1.0, 2.0, 3.0] + [4.0],
+                      pa.float64()),
+    }))
+    out = grouped_linreg(ds, key="g", xcol="x", ycol="y").to_pandas()
+    out = out.set_index("g")
+    assert out.loc["line", "slope"] == 3.0
+    assert out.loc["line", "intercept"] == 2.0
+    assert out.loc["line", "regr_count"] == 4
+    assert np.isnan(out.loc["flatx", "slope"])   # zero x-variance
+    assert np.isnan(out.loc["one", "slope"])     # n < 2
