@@ -974,6 +974,46 @@ def _q_orders_price_bands(sf_dir: str):
     )
 
 
+def _q_dsir_select_docs(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023), probe-set shape:
+    the target is a small fixed probe corpus over a SUBSET of the
+    vocabulary (the "data I want more of"), the source is the whole
+    documents table; every doc is scored by its hashed byte-4-gram log
+    importance ratio and 50 winners are Gumbel-resampled
+    deterministically. Rows-only (iterative model fit — not
+    SQL-expressible); enrichment + determinism pinned in test_dsir.py."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.dsir import dsir_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    probe_words = ["sort", "merge", "join", "filter", "query", "scan"]
+    probe_texts = [
+        " ".join(probe_words[i % 6] for i in range(j, j + 30))
+        for j in range(6)
+    ]
+    target = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(-6, 0)), pa.int64()),
+        "text": pa.array(probe_texts, pa.string()),
+    }))
+    # length-normalized log weights live on a ~0.2-std scale here, so
+    # unit Gumbel noise would swamp them — 0.1 keeps resampling
+    # stochastic while the probe signal (weight↔probe-word fraction
+    # corr ≈ 0.92 on this corpus) still drives selection
+    picked = dsir_select(docs, target, n=50, gumbel_scale=0.1)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "dsir_logw": pc.round(b.column("dsir_logw"), ndigits=6),
+        })
+
+    return picked.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL distinct sketch (p=12, ~1.6% error) — approximate, rows-only;
     merge associativity + accuracy covered by tests."""
@@ -2685,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_trailing_3d": _q_events_trailing_3d,
         "lineitem_price_qty_regr": _q_lineitem_price_qty_regr,
+        "dsir_select_docs": _q_dsir_select_docs,
         "customer_order_full": _q_customer_order_full,
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,

@@ -29,6 +29,12 @@ from .window import (  # noqa: F401
 from .url import normalize_urls, parse_urls  # noqa: F401
 from .sample import fixed_sample, hash_sample, stratified_sample  # noqa: F401
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
+from .dsir import (  # noqa: F401
+    dsir_select,
+    dsir_weights,
+    fit_feature_counts,
+    log_importance_ratio,
+)
 from .dedup import (  # noqa: F401
     add_exact_hash,
     bucket_collision_pairs,
