@@ -974,6 +974,21 @@ def _q_orders_price_bands(sf_dir: str):
     )
 
 
+def _q_train_shuffle_docs(sf_dir: str):
+    """Deterministic training-data shuffle: md5-hash shard assignment
+    plus in-shard position for every document — the reproducible,
+    seed-rotatable, resumable replacement for random_shuffle(). The
+    ENTIRE permutation hash-matches the SQL twin."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import train_shuffle
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return train_shuffle(docs, key_col="doc_id", n_shards=8, seed="42")
+
+
 def _q_dsir_select_docs(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023), probe-set shape:
     the target is a small fixed probe corpus over a SUBSET of the
@@ -2726,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_3d": _q_events_trailing_3d,
         "lineitem_price_qty_regr": _q_lineitem_price_qty_regr,
         "dsir_select_docs": _q_dsir_select_docs,
+        "train_shuffle_docs": _q_train_shuffle_docs,
         "customer_order_full": _q_customer_order_full,
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,
@@ -3836,6 +3852,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
             FROM vals a JOIN vals b
             ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
+        """,
+        "train_shuffle_docs": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(
+                       md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS UBIGINT) % 8 AS BIGINT) AS shard,
+                   CAST(CAST(concat('0x', substr(
+                       md5(concat('42:', CAST(doc_id AS VARCHAR))), 9, 13))
+                     AS UBIGINT) AS BIGINT) AS pos
+            FROM documents
         """,
         "weighted_sample_docs": """
             WITH r AS (

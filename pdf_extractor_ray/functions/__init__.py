@@ -27,7 +27,14 @@ from .window import (  # noqa: F401
     topk_per_group,
 )
 from .url import normalize_urls, parse_urls  # noqa: F401
-from .sample import fixed_sample, hash_sample, stratified_sample  # noqa: F401
+from .sample import (  # noqa: F401
+    fixed_sample,
+    hash_sample,
+    shard_assign,
+    stratified_sample,
+    train_shuffle,
+    weighted_sample,
+)
 from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
 from .dsir import (  # noqa: F401
     dsir_select,

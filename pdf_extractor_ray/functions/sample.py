@@ -157,3 +157,53 @@ def weighted_sample(ds, key_col: str, weight_col: str, n: int):
         .limit(n)
         .drop_columns(["__rank"])
     )
+
+
+def shard_assign(ds, key_col: str, n_shards: int, seed: str = ""):
+    """Deterministic training-shard assignment: every row gets
+    ``shard`` (int64 in [0, n_shards)) and ``pos`` (int64 in-shard sort
+    key) derived from ``md5(f"{seed}:{key}")`` — hex digits 1-8 pick
+    the shard, digits 9-21 the position.
+
+    This is the 100-TB replacement for ``Dataset.random_shuffle()``:
+    a true random shuffle is an all-to-all sort of the ENTIRE corpus
+    with non-reproducible placement, while a hash shuffle is (a)
+    reproducible across runs/retries (a resumed job rebuilds the same
+    shards — required for checkpointed training-data jobs), (b)
+    seed-rotatable (new ``seed`` → statistically independent
+    permutation, the per-epoch reshuffle), and (c) SQL-mirrorable, so
+    the whole permutation is oracle-checkable. md5 is a partitioner
+    here, not security."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        shards, poss = [], []
+        for v in batch.column(key_col).to_pylist():
+            h = hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+            shards.append(int(h[:8], 16) % n_shards)
+            poss.append(int(h[8:21], 16))
+        batch = batch.append_column("shard", pa.array(shards, pa.int64()))
+        return batch.append_column("pos", pa.array(poss, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def train_shuffle(ds, key_col: str, n_shards: int, seed: str = ""):
+    """Globally shuffled, shard-clustered dataset: rows are hash-
+    assigned to shards (:func:`shard_assign`), ONE hash shuffle
+    co-locates each shard, and each shard is ordered by (pos, key)
+    with an in-group lexsort — no corpus-wide sort. Consume with
+    ``write_parquet`` for one directory-per-shard resumable layout, or
+    ``iter_batches`` for direct training ingestion."""
+    import numpy as np
+
+    assigned = shard_assign(ds, key_col, n_shards, seed)
+
+    def order(group: pa.Table) -> pa.Table:
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        keys = np.asarray(group.column(key_col).to_pylist())
+        take = np.lexsort((keys, pos))
+        return group.take(pa.array(take, pa.int64()))
+
+    return assigned.groupby("shard").map_groups(order, batch_format="pyarrow")

@@ -248,3 +248,31 @@ def test_dense_rank_ties_and_multicol(ray_session):
     out = out.sort_values("id")
     # distinct (a,b) in order: (10,1)=1 (10,2)=2 (20,1)=3 (30,1)=4
     assert list(out["drank"]) == [1, 1, 2, 3, 3, 4]
+
+
+def test_train_shuffle_deterministic_and_clustered(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import shard_assign, train_shuffle
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(400)), pa.int64()),
+    }))
+    out = train_shuffle(docs, key_col="doc_id", n_shards=8, seed="s1")
+    df = out.to_pandas()
+    assert df.shape[0] == 400
+    # every shard populated, no shard hogging (md5 is uniform)
+    counts = df["shard"].value_counts()
+    assert len(counts) == 8 and counts.max() < 3 * counts.min()
+    # in-shard rows are ordered by pos (shard-clustered blocks)
+    for s, g in df.groupby("shard"):
+        assert (np.diff(g["pos"].to_numpy()) >= 0).all()
+    # reproducible: second run gives the identical permutation
+    df2 = train_shuffle(docs, key_col="doc_id", n_shards=8, seed="s1").to_pandas()
+    assert df.sort_values("doc_id").reset_index(drop=True).equals(
+        df2.sort_values("doc_id").reset_index(drop=True))
+    # seed rotation re-permutes (epochs): assignments must differ
+    df3 = shard_assign(docs, key_col="doc_id", n_shards=8, seed="s2").to_pandas()
+    merged = df.merge(df3, on="doc_id", suffixes=("_1", "_2"))
+    assert (merged["shard_1"] != merged["shard_2"]).mean() > 0.5
