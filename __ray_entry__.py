@@ -974,6 +974,33 @@ def _q_orders_price_bands(sf_dir: str):
     )
 
 
+def _q_upsample_docs(sf_dir: str):
+    """Epoch upsampling (data mixing): each document replicated
+    ceil(n_chars/200) times capped at 3 — longer docs weighted up,
+    copies numbered. Zero shuffle, per-batch np.repeat expansion."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.sample import repeat_rows
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def weights(b: pa.Table) -> pa.Table:
+        k = pc.min_element_wise(
+            pc.cast(pc.ceil(pc.divide(
+                pc.cast(b.column("n_chars"), pa.float64()), 200.0
+            )), pa.int64()),
+            pa.scalar(3, pa.int64()),
+        )
+        return b.append_column("k", k)
+
+    return repeat_rows(
+        docs.map_batches(weights, batch_format="pyarrow"), times_col="k"
+    ).drop_columns(["k"])
+
+
 def _q_train_shuffle_docs(sf_dir: str):
     """Deterministic training-data shuffle: md5-hash shard assignment
     plus in-shard position for every document — the reproducible,
@@ -2742,6 +2769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_qty_regr": _q_lineitem_price_qty_regr,
         "dsir_select_docs": _q_dsir_select_docs,
         "train_shuffle_docs": _q_train_shuffle_docs,
+        "upsample_docs": _q_upsample_docs,
         "customer_order_full": _q_customer_order_full,
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,
@@ -3852,6 +3880,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
             FROM vals a JOIN vals b
             ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
+        """,
+        "upsample_docs": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       least(CAST(ceil(n_chars / 200.0) AS BIGINT), 3) AS k
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CAST(unnest(range(k)) AS BIGINT) AS copy_idx
+            FROM w
         """,
         "train_shuffle_docs": """
             SELECT doc_id,

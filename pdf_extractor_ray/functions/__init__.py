@@ -30,6 +30,7 @@ from .url import normalize_urls, parse_urls  # noqa: F401
 from .sample import (  # noqa: F401
     fixed_sample,
     hash_sample,
+    repeat_rows,
     shard_assign,
     stratified_sample,
     train_shuffle,

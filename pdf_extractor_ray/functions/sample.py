@@ -207,3 +207,34 @@ def train_shuffle(ds, key_col: str, n_shards: int, seed: str = ""):
         return group.take(pa.array(take, pa.int64()))
 
     return assigned.groupby("shard").map_groups(order, batch_format="pyarrow")
+
+
+def repeat_rows(ds, times_col: str, max_repeat: int = 1000,
+                out_col: str = "copy_idx"):
+    """Integer row replication — the epoch-upsampling / data-mixing
+    primitive (emit row k times where k = ``times_col``, with
+    ``out_col`` numbering the copies 0..k-1). Zero shuffle: each batch
+    expands in place with one ``np.repeat`` take plus arange-cumsum
+    copy indices; k=0 rows drop (downweighting to exclusion).
+
+    ``max_repeat`` is a LOUD contract, not a silent clamp: a corrupt
+    weight column multiplying the corpus 10^6× should fail the stage,
+    not OOM the cluster."""
+    import numpy as np
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(times_col).to_pylist(), dtype=np.int64)
+        if len(k) and k.max() > max_repeat:
+            raise ValueError(
+                f"repeat_rows: weight {k.max()} exceeds max_repeat="
+                f"{max_repeat}; raise the cap explicitly if intended"
+            )
+        k = np.clip(k, 0, None)
+        tot = int(k.sum())
+        idx = np.repeat(np.arange(len(k)), k)
+        out = batch.take(pa.array(idx, pa.int64()))
+        cum = np.concatenate([[0], np.cumsum(k)])
+        copy_idx = np.arange(tot) - np.repeat(cum[:-1], k)
+        return out.append_column(out_col, pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -276,3 +276,26 @@ def test_train_shuffle_deterministic_and_clustered(ray_session):
     df3 = shard_assign(docs, key_col="doc_id", n_shards=8, seed="s2").to_pandas()
     merged = df.merge(df3, on="doc_id", suffixes=("_1", "_2"))
     assert (merged["shard_1"] != merged["shard_2"]).mean() > 0.5
+
+
+def test_repeat_rows_expansion_and_loud_cap(ray_session):
+    import pytest as _pytest
+    import ray.data
+    import ray.exceptions
+
+    from pdf_extractor_ray.functions.sample import repeat_rows
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([0, 1, 3, 2], pa.int64()),
+    }))
+    df = repeat_rows(ds, times_col="k").to_pandas()
+    got = sorted(zip(df["id"], df["copy_idx"]))
+    assert got == [(2, 0), (3, 0), (3, 1), (3, 2), (4, 0), (4, 1)]
+    bad = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "k": pa.array([10_000], pa.int64()),
+    }))
+    with _pytest.raises((ray.exceptions.RayTaskError, ValueError),
+                        match="max_repeat"):
+        repeat_rows(bad, times_col="k").take_all()
