@@ -2438,6 +2438,54 @@ def _q_lineitem_price_qty_regr(sf_dir: str):
                           x_scale=100, y_scale=100)
 
 
+def _q_events_value_zscore(sf_dir: str):
+    """Per-type z-score standardization (feature scaling): group
+    moments from exact int64 cent statistics in ONE partial aggregate,
+    broadcast back and applied vectorized — rows never shuffle."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import zscore_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = zscore_by(ds, key="event_type", val_col="value", scale=100)
+    return out.select_columns(["event_id", "event_type", "zscore"])
+
+
+def _q_events_locf_fill(sf_dir: str):
+    """Forward fill (LOCF): error events observe no value (synthesized
+    NULLs), each row carries the user's last observed value forward —
+    last_value IGNORE NULLS semantics, NULL before the first
+    observation."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import locf_fill
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def gap(b: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(b.column("event_type"), "error"),
+            pa.nulls(b.num_rows, pa.float64()),
+            pc.cast(b.column("value"), pa.float64()),
+        )
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "v": v,
+        })
+
+    return locf_fill(ds.map_batches(gap, batch_format="pyarrow"),
+                     key="user_id", ts_col="ts", val_col="v",
+                     tiebreak="event_id")
+
+
 def _q_events_unpivot_daily(sf_dir: str):
     """UNPIVOT (melt): the daily per-type pivot table back to long
     (day, event_type, n) rows — zero-shuffle per-batch reshape over the
@@ -2767,6 +2815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_trailing_3d": _q_events_trailing_3d,
         "lineitem_price_qty_regr": _q_lineitem_price_qty_regr,
+        "events_value_zscore": _q_events_value_zscore,
+        "events_locf_fill": _q_events_locf_fill,
         "dsir_select_docs": _q_dsir_select_docs,
         "train_shuffle_docs": _q_train_shuffle_docs,
         "upsample_docs": _q_upsample_docs,
@@ -3848,6 +3898,37 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_slope(yi, xi), 6) AS slope,
                    round(regr_intercept(yi, xi) / 100.0, 6) AS intercept
             FROM t GROUP BY l_returnflag
+        """,
+        "events_value_zscore": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(cents) AS s1, sum(cents * cents) AS s2
+                FROM c GROUP BY event_type
+            )
+            SELECT event_id, c.event_type,
+                   CASE WHEN n < 2 OR s2 - CAST(s1 AS DOUBLE) * s1 / n <= 0
+                        THEN NULL
+                        ELSE round(
+                            (cents - CAST(s1 AS DOUBLE) / n)
+                            / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+                                   / (n - 1)), 6)
+                   END AS zscore
+            FROM c JOIN s USING (event_type)
+        """,
+        "events_locf_fill": """
+            SELECT user_id, event_id,
+                   last_value(
+                       CASE WHEN event_type = 'error' THEN NULL
+                            ELSE value END IGNORE NULLS
+                   ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS filled
+            FROM events
         """,
         "events_hour_value_corr": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -17,6 +17,7 @@ from .window import (  # noqa: F401
     dense_rank_in_group,
     lag_attach,
     lag_gap_stats,
+    locf_fill,
     moving_avg,
     ntile_in_group,
     percent_rank_in_group,
@@ -79,6 +80,7 @@ from .agg import (  # noqa: F401
     grouped_linreg,
     lowcard_groupby_agg,
     rollup_agg,
+    zscore_by,
 )
 from .sketch import (  # noqa: F401
     approx_distinct,

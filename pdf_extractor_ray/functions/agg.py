@@ -936,3 +936,73 @@ def grouped_linreg(ds, key: str, xcol: str, ycol: str,
             "intercept": pa.array(intercepts, pa.float64()),
         }
     )
+
+
+def zscore_by(ds, key: str, val_col: str, scale: int = 100,
+              out_col: str = "zscore"):
+    """Per-group standardization (the feature-scaling transform):
+    every row gets ``(x − mean_g) / sd_g`` with SAMPLE stddev, where
+    the group moments come from exact fixed-point int64 sufficient
+    statistics (the ``events_value_stddev`` recipe) folded through ONE
+    partial aggregate; the tiny (group → mean, sd) map is then
+    broadcast back and applied vectorized per batch — a two-pass,
+    zero-shuffle normalize (rows never move). Rounded
+    half-away-from-zero to 6 digits; NULL where n < 2 or sd = 0."""
+    import numpy as np
+    import pyarrow.compute as pc2
+    import ray
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(val_col), pa.float64()), float(scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table({key: batch.column(key), "__x": x,
+                         "__xx": pc2.multiply(x, x)})
+
+    t = lowcard_groupby_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        [key],
+        [("__x", "count", "n"), ("__x", "sum", "s1"), ("__xx", "sum", "s2")],
+    )
+    stats = {}
+    for r in t.to_pylist():
+        n, s1, s2 = float(r["n"]), float(r["s1"]), float(r["s2"])
+        if n < 2:
+            stats[r[key]] = None
+            continue
+        var = (s2 - s1 * s1 / n) / (n - 1.0)
+        sd = var ** 0.5 if var > 0 else 0.0
+        stats[r[key]] = None if sd == 0.0 else (s1 / n, sd)
+    stats_ref = ray.put(stats)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        x = np.asarray(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(val_col), pa.float64()), float(scale)
+            ), ndigits=0).to_pylist(), dtype=np.float64)
+        # dictionary-encode the key: Python touches each DISTINCT key
+        # once, the per-row work is two numpy gathers
+        enc = pc2.dictionary_encode(
+            batch.column(key).combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = enc.dictionary.to_pylist()
+        means = np.full(len(dict_vals), np.nan)
+        sds = np.full(len(dict_vals), np.nan)
+        for i, g in enumerate(dict_vals):
+            ms = st.get(g)
+            if ms is not None:
+                means[i], sds[i] = ms
+        out = (x - means[codes]) / sds[codes]
+        rounded = np.where(np.isnan(out), np.nan,
+                           np.copysign(np.floor(np.abs(out) * 1e6 + 0.5) / 1e6,
+                                       out))
+        arr = pa.array(rounded, pa.float64())
+        arr = pc.if_else(pc.is_nan(arr), pa.nulls(len(x), pa.float64()), arr)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

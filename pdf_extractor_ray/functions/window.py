@@ -609,3 +609,56 @@ def range_frame_agg(
         )
 
     return ds.groupby(key).map_groups(frame, batch_format="pyarrow")
+
+
+def locf_fill(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    out_col: str = "filled",
+):
+    """Forward fill (LOCF — last observation carried forward): SQL
+    ``last_value(val IGNORE NULLS) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak ROWS UNBOUNDED PRECEDING)``. The time-series gap-fill
+    every sensor/metrics pipeline needs; NULL until a key's first
+    observation. Same one-shuffle plan as the other windows; in-group
+    fill is one lexsort + ``np.maximum.accumulate`` over observed row
+    indices — no per-row Python. Emits (key, tiebreak, out_col)."""
+
+    def fill(group: pa.Table) -> pa.Table:
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        col = group.column(val_col).combine_chunks()
+        valid = np.asarray(col.is_valid().to_pylist(), dtype=bool)
+        # NaN stands in for null during the gather (fine for value
+        # columns that carry no literal NaN — nulls are the gap marker)
+        vals = np.asarray(col.cast(pa.float64()).fill_null(np.nan).to_pylist(),
+                          dtype=np.float64)
+        order = np.lexsort((tb, ts))
+        v_sorted = vals[order]
+        ok = valid[order]
+        n = len(ok)
+        # index of the latest observed row at or before each position
+        src = np.maximum.accumulate(np.where(ok, np.arange(n), -1))
+        filled = v_sorted[np.clip(src, 0, None)]
+        filled[src < 0] = np.nan
+        arr = pa.array(filled, pa.float64())
+        import pyarrow.compute as pc
+
+        arr = pc.if_else(pc.is_nan(arr), pa.nulls(n, pa.float64()), arr)
+        return pa.table(
+            {
+                key: group.column(key),
+                tiebreak: group.column(tiebreak).take(pa.array(order, pa.int64())),
+                out_col: arr,
+            }
+        )
+
+    return ds.groupby(key).map_groups(fill, batch_format="pyarrow")

@@ -502,3 +502,42 @@ def test_grouped_linreg_known_line(ray_session):
     assert out.loc["line", "regr_count"] == 4
     assert np.isnan(out.loc["flatx", "slope"])   # zero x-variance
     assert np.isnan(out.loc["one", "slope"])     # n < 2
+
+
+def test_locf_fill_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import locf_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + h, t0 + 2 * h, t0 + 3 * h, t0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([None, 7.5, None, 9.0, None], pa.float64()),
+    }))
+    out = locf_fill(ds, key="user_id", ts_col="ts", val_col="v",
+                    tiebreak="event_id").to_pandas().set_index("event_id")
+    assert np.isnan(out.loc[1, "filled"])       # before first observation
+    assert out.loc[2, "filled"] == 7.5
+    assert out.loc[3, "filled"] == 7.5          # carried forward
+    assert out.loc[4, "filled"] == 9.0          # replaced by newer value
+    assert np.isnan(out.loc[5, "filled"])       # other key never observed
+
+
+def test_zscore_by_known_values(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import zscore_by
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"] * 3 + ["b"], pa.string()),
+        "x": pa.array([1.0, 2.0, 3.0, 42.0], pa.float64()),
+    }))
+    out = zscore_by(ds, key="g", val_col="x").to_pandas()
+    za = out.loc[out["g"] == "a", "zscore"].tolist()
+    assert za == [-1.0, 0.0, 1.0]               # mean 2, sample sd 1
+    assert out.loc[out["g"] == "b", "zscore"].isna().all()  # n < 2
