@@ -2696,6 +2696,116 @@ def _q_doc_compression_ratio(sf_dir: str):
     ).select_columns(["doc_id", "n_bytes", "n_compressed", "ratio"])
 
 
+def _q_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10): membership
+    is a pure function of md5(doc_id), so the split is reproducible
+    across runs/retries and stable under corpus growth — a document
+    never migrates between train and test (contamination control).
+    Oracle checks the FULL per-row assignment, not just the counts."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.mix import split_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return split_assign(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select_columns(["doc_id", "split"])
+
+
+def _q_lang_rebalance(sf_dir: str):
+    """Equal-mix language rebalancing: downsample every language to the
+    smallest language's count by the deterministic (md5(doc_id),
+    doc_id) order — the mixture-balancing step before tokenizer
+    training on a multilingual corpus."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.mix import rebalance_equal
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return rebalance_equal(ds, "lang", "doc_id").select_columns(
+        ["doc_id", "lang"]
+    )
+
+
+def _q_quality_len_filter(sf_dir: str):
+    """Drop the shortest quartile of documents against a GLOBAL exact
+    quantile_cont threshold (histogram partials → one driver scalar →
+    broadcast stateless filter; no row ever shuffles), then profile the
+    survivors per language."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.mix import percentile_keep
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    kept, _thr = percentile_keep(ds, "n_chars", 0.25, keep="upper")
+    return lowcard_groupby_agg(
+        kept,
+        keys=["lang"],
+        specs=[
+            ("n_chars", "count", "n_docs"),
+            ("n_chars", "min", "min_chars"),
+        ],
+    )
+
+
+def _q_crawl_diff_users(sf_dir: str):
+    """Recrawl snapshot diff: each user's last event value in H1-2024
+    vs in Apr-Dec 2024, classified added / removed / changed / same in
+    one vectorized hash-partition pass (no join bookkeeping) — the
+    triage step before an incremental ingest."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import latest_by_key
+    from pdf_extractor_ray.functions.mix import snapshot_diff
+
+    import datetime
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    import pyarrow.compute as pc
+
+    cut_lo = datetime.datetime(2024, 4, 1)
+    cut_hi = datetime.datetime(2024, 7, 1)
+
+    def before(batch):
+        return batch.filter(pc.less(batch.column("ts"), pa.scalar(cut_hi)))
+
+    def after(batch):
+        return batch.filter(
+            pc.greater_equal(batch.column("ts"), pa.scalar(cut_lo))
+        )
+
+    old = latest_by_key(
+        ev.map_batches(before, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", tiebreak="event_id",
+    ).select_columns(["user_id", "value"])
+    new = latest_by_key(
+        ev.map_batches(after, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", tiebreak="event_id",
+    ).select_columns(["user_id", "value"])
+    return snapshot_diff(old, new, "user_id", "value")
+
+
+def _q_doc_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy (bits) — alphabet-
+    diversity quality signal; one np.add.at histogram scatter per
+    batch, exact twin of DuckDB's entropy() aggregate."""
+    from pdf_extractor_ray.functions.text import char_entropy
+
+    return _docs(sf_dir).map_batches(
+        char_entropy, batch_format="pyarrow"
+    ).select_columns(["doc_id", "entropy"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2838,11 +2948,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pagerank": _q_url_pagerank,
         "quantiles_chars_cont": _q_quantiles_chars_cont,
         "doc_compression_ratio": _q_doc_compression_ratio,
+        # corpus-mixture stages (split / rebalance / percentile gate /
+        # snapshot diff) + entropy quality signal
+        "train_split": _q_train_split,
+        "lang_rebalance": _q_lang_rebalance,
+        "quality_len_filter": _q_quality_len_filter,
+        "crawl_diff_users": _q_crawl_diff_users,
+        "doc_char_entropy": _q_doc_char_entropy,
     }
+
+
+def _split_sql() -> str:
+    """SQL twin of ``mix.split_assign`` with the SAME integer
+    thresholds inlined — computing 0.8·2^52 independently in two
+    engines risks one-ulp disagreement at a band boundary."""
+    from pdf_extractor_ray.functions.mix import split_thresholds
+
+    bands = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    (n1, t1), (n2, t2), (n3, _) = bands
+    return f"""
+        SELECT doc_id,
+               CASE WHEN u < {t1} THEN '{n1}'
+                    WHEN u < {t2} THEN '{n2}'
+                    ELSE '{n3}' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x',
+                        substr(md5(concat(':', CAST(doc_id AS VARCHAR))),
+                               1, 13)) AS UBIGINT) AS u
+            FROM documents
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "train_split": _split_sql(),
+        "lang_rebalance": """
+            WITH c AS (
+                SELECT min(cnt) AS n FROM (
+                    SELECT count(*) AS cnt FROM documents GROUP BY lang
+                )
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM r, c WHERE rn <= c.n
+        """,
+        "quality_len_filter": """
+            WITH t AS (
+                SELECT round(quantile_cont(n_chars, 0.25), 6) AS thr
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars
+            FROM documents, t WHERE n_chars >= thr GROUP BY lang
+        """,
+        "crawl_diff_users": """
+            WITH o AS (
+                SELECT user_id, value FROM (
+                    SELECT user_id, value,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events WHERE ts < TIMESTAMP '2024-07-01'
+                ) WHERE rn = 1
+            ), n AS (
+                SELECT user_id, value FROM (
+                    SELECT user_id, value,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events WHERE ts >= TIMESTAMP '2024-04-01'
+                ) WHERE rn = 1
+            )
+            SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.value <> n.value THEN 'changed'
+                        ELSE 'same' END AS status,
+                   o.value AS old_value, n.value AS new_value
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        """,
+        "doc_char_entropy": """
+            SELECT doc_id, round(entropy(c), 6) AS entropy
+            FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+            )
+            GROUP BY doc_id
+        """,
         "doc_stats": """
             SELECT lang,
                    count(*) AS n_docs,

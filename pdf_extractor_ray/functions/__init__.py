@@ -100,3 +100,10 @@ from .multimodal import (  # noqa: F401
     video_frames,
 )
 from .chunk import chunk_text, pack_sequences  # noqa: F401
+from .mix import (  # noqa: F401
+    percentile_keep,
+    rebalance_equal,
+    snapshot_diff,
+    split_assign,
+)
+from .text import char_entropy  # noqa: F401

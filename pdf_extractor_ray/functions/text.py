@@ -903,3 +903,64 @@ def compression_ratio(batch: pa.Table, text_col: str = "text",
             "ratio": pa.array(ratio, pa.float64()),
         }
     )
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon character entropy (bits) — the alphabet-
+    diversity quality signal (keyboard-mash and repeated-char spam sit
+    far below prose; a cousin of :func:`compression_ratio` with an
+    exact SQL twin via DuckDB's ``entropy()`` aggregate over
+    ``unnest(string_split(text, ''))``).
+
+    Vectorized: the batch's texts are concatenated once, viewed as a
+    uint8 array, and per-doc byte histograms accumulate with one
+    ``np.add.at`` scatter — no per-character Python. Byte-level equals
+    character-level only for ASCII, so any batch containing a
+    non-ASCII byte falls back to exact per-doc character counting
+    (correct for the SQL twin, slower; the synthetic corpus is ASCII).
+
+    Empty documents are emitted with NULL entropy (SQL's ``entropy()``
+    over zero rows). Output: (doc_id, entropy) rounded half-up to 6
+    digits.
+    """
+    import collections
+
+    import numpy as np
+
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    joined = "".join(texts)
+    ent = np.full(len(texts), np.nan)
+    try:
+        data = joined.encode("ascii")
+        lens = np.asarray([len(t) for t in texts], dtype=np.int64)
+        if len(data):
+            doc_idx = np.repeat(np.arange(len(texts)), lens)
+            bytes_a = np.frombuffer(data, dtype=np.uint8)
+            hist = np.zeros((len(texts), 256), dtype=np.int64)
+            np.add.at(hist, (doc_idx, bytes_a), 1)
+            tot = hist.sum(axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = hist / np.maximum(tot, 1)
+                terms = np.where(hist > 0, -p * np.log2(
+                    np.where(p > 0, p, 1.0)), 0.0)
+            ent = np.where(tot[:, 0] > 0, terms.sum(axis=1), np.nan)
+    except UnicodeEncodeError:
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            counts = np.asarray(
+                list(collections.Counter(t).values()), dtype=np.float64
+            )
+            p = counts / counts.sum()
+            ent[i] = float(-(p * np.log2(p)).sum())
+    ent = np.floor(ent * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "entropy": pa.array(
+                [None if np.isnan(e) else float(e) for e in ent],
+                pa.float64(),
+            ),
+        }
+    )
