@@ -2806,6 +2806,34 @@ def _q_doc_char_entropy(sf_dir: str):
     ).select_columns(["doc_id", "entropy"])
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE tokenizer merges (Sennrich et al. 2016): ONE
+    distributed word-frequency pass (per-block Counter partials →
+    hash-groupby → associative top-n cap), then the indexed merge loop
+    over the bounded word table. Rows-only: the merge loop is
+    iterative/greedy, not SQL-expressible; determinism + hand-computed
+    merges pinned in test_bpe.py."""
+    from pdf_extractor_ray.functions.bpe import bpe_pipeline
+
+    merges, _ = bpe_pipeline(_docs(sf_dir), top_words=5000, n_merges=200)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+    })
+
+
+def _q_bpe_encode_stats(sf_dir: str):
+    """Per-document token counts under the trained BPE vocabulary —
+    the token-budgeting pass before packing sequences. Actor-pool
+    encode with per-word memoization (Zipf ⇒ cache absorbs nearly all
+    lookups)."""
+    from pdf_extractor_ray.functions.bpe import bpe_pipeline
+
+    _, encoded = bpe_pipeline(_docs(sf_dir), top_words=5000, n_merges=200)
+    return encoded.select_columns(["doc_id", "n_words", "n_bpe_tokens"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -2955,6 +2983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_len_filter": _q_quality_len_filter,
         "crawl_diff_users": _q_crawl_diff_users,
         "doc_char_entropy": _q_doc_char_entropy,
+        # tokenizer training (BPE merges + encode)
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
     }
 
 

@@ -107,3 +107,9 @@ from .mix import (  # noqa: F401
     split_assign,
 )
 from .text import char_entropy  # noqa: F401
+from .bpe import (  # noqa: F401
+    BpeEncodeStage,
+    bpe_pipeline,
+    bpe_train,
+    word_freqs,
+)
