@@ -2806,6 +2806,60 @@ def _q_doc_char_entropy(sf_dir: str):
     ).select_columns(["doc_id", "entropy"])
 
 
+def _q_orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((status, priority), (priority), ()) —
+    the arbitrary-subset generalization ROLLUP/CUBE are sugar for; one
+    distributed pass at the finest level, requested sets re-aggregate
+    the driver-resident table (note (priority) is NOT a rollup prefix
+    of (status, priority) — this plan cube/rollup cannot express)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouping_sets_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    t = grouping_sets_agg(
+        ds,
+        keys=["o_orderstatus", "o_orderpriority"],
+        sets=[
+            ("o_orderstatus", "o_orderpriority"),
+            ("o_orderpriority",),
+            (),
+        ],
+        specs=[
+            ("o_totalprice", "sum", "sum_price"),
+            ("o_totalprice", "count", "n_orders"),
+        ],
+    )
+    return t.set_column(
+        t.column_names.index("sum_price"),
+        "sum_price",
+        pc.round(t.column("sum_price"), ndigits=2),
+    )
+
+
+def _q_blocked_hosts_filter(sf_dir: str):
+    """Host deny-list gate (the UT1-style domain filter): blocklist
+    broadcast once via ray.put, vectorized is_in per batch, rows never
+    shuffle. Survivor profile per host keeps the oracle small."""
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.url import host_blocklist_filter
+
+    blocked = [f"src{i}.example.com" for i in (0, 3, 7, 11)] + [
+        f"src{i}.example.org" for i in (1, 5)
+    ]
+    kept = host_blocklist_filter(_doc_urls(sf_dir), blocked)
+    from pdf_extractor_ray.functions.url import parse_urls
+
+    parsed = kept.map_batches(parse_urls, batch_format="pyarrow")
+    return lowcard_groupby_agg(
+        parsed, ["host"], [("doc_id", "count", "n_docs")]
+    )
+
+
 def _q_bpe_merges(sf_dir: str):
     """Learned BPE tokenizer merges (Sennrich et al. 2016): ONE
     distributed word-frequency pass (per-block Counter partials →
@@ -2986,6 +3040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer training (BPE merges + encode)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_stats": _q_bpe_encode_stats,
+        # grouping sets + host deny-list gate
+        "orders_grouping_sets": _q_orders_grouping_sets,
+        "blocked_hosts_filter": _q_blocked_hosts_filter,
     }
 
 
@@ -3069,6 +3126,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY doc_id
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())
+        """,
+        "blocked_hosts_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       lower(source || '.example.' ||
+                             (CASE WHEN doc_id % 3 = 0
+                                   THEN 'org' ELSE 'com' END)) AS host
+                FROM documents
+            )
+            SELECT host, count(*) AS n_docs
+            FROM u
+            WHERE host NOT IN (
+                'src0.example.com', 'src3.example.com',
+                'src7.example.com', 'src11.example.com',
+                'src1.example.org', 'src5.example.org'
+            )
+            GROUP BY host
         """,
         "doc_stats": """
             SELECT lang,

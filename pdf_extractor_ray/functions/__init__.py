@@ -113,3 +113,5 @@ from .bpe import (  # noqa: F401
     bpe_train,
     word_freqs,
 )
+from .agg import grouping_sets_agg  # noqa: F401
+from .url import host_blocklist_filter  # noqa: F401

@@ -206,6 +206,60 @@ def cube_agg(
     return _grouping_sets_agg(ds, keys, specs, sets, max_partial_rows, "cube_agg")
 
 
+def grouping_sets_agg(
+    ds,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    specs: Sequence[AggSpec],
+    max_partial_rows: int = 500_000,
+) -> pa.Table:
+    """``GROUP BY GROUPING SETS(...)`` — aggregate at an ARBITRARY list
+    of key subsets (the generalization ROLLUP and CUBE are sugar for).
+    Same one-corpus-pass plan: only the finest level (all ``keys``)
+    touches the data; every requested set re-aggregates the
+    driver-resident finest table. Each set must be a subset of
+    ``keys``; NULL marks a grouped-out column (SQL semantics, same
+    no-data-NULLs contract as :func:`rollup_agg`)."""
+    keys = list(keys)
+    norm: List[tuple] = []
+    for s in sets:
+        extra = set(s) - set(keys)
+        if extra:
+            raise ValueError(
+                f"grouping set {tuple(s)!r} references non-key columns "
+                f"{sorted(extra)}"
+            )
+        s = tuple(k for k in keys if k in set(s))  # canonical key order
+        if s not in norm:  # duplicate sets would duplicate output rows
+            norm.append(s)
+    if not norm:
+        raise ValueError("at least one grouping set is required")
+    # the finest pass needs every key; ensure it exists in the plan
+    finest = tuple(keys)
+    plan = norm if finest in norm else [finest] + norm
+    tbl = _grouping_sets_agg(
+        ds, keys, specs, plan, max_partial_rows, "grouping_sets_agg"
+    )
+    if finest in norm:
+        return tbl
+    # drop the helper finest level the caller did not ask for: keep
+    # exactly the rows whose key NULL-pattern matches a requested set
+    import pyarrow.compute as pc
+
+    sel = None
+    for s in norm:
+        smask = None
+        for col in keys:
+            cm = (
+                pc.is_null(tbl.column(col))
+                if col not in s
+                else pc.is_valid(tbl.column(col))
+            )
+            smask = cm if smask is None else pc.and_(smask, cm)
+        sel = smask if sel is None else pc.or_(sel, smask)
+    return tbl.filter(sel)
+
+
 def _grouping_sets_agg(
     ds,
     keys: List[str],

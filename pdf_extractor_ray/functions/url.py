@@ -179,3 +179,39 @@ def extract_outlinks(pages_ds, concurrency=None):
         batch_format="pyarrow",
         concurrency=concurrency or pool_size(),
     )
+
+
+def host_blocklist_filter(ds, blocked_hosts, url_col: str = "url",
+                          keep_cols=None):
+    """Drop rows whose URL host (lowercased) is on a deny list — the
+    UT1/robots-style domain-filter stage every web-corpus pipeline runs
+    before expensive processing.
+
+    Scale shape: the blocklist is a SMALL side (even UT1 is a few
+    million hosts) broadcast once via ``ray.put`` and read by every
+    filter task — never a shuffle join; rows never move, the filter is
+    a stateless vectorized ``pc.is_in`` per batch. For a blocklist too
+    big to broadcast, use ``joins.semi_anti_join(how='anti')`` on the
+    parsed host instead (keys-only shuffle).
+    """
+    import ray
+
+    blocked_ref = ray.put(
+        pa.array(sorted({h.lower() for h in blocked_hosts}), pa.string())
+    )
+
+    def flt(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        parts = pc.extract_regex(
+            pc.fill_null(batch.column(url_col), ""), _URL_RE
+        )
+        host = pc.utf8_lower(
+            pc.fill_null(pc.struct_field(parts, "host"), "")
+        )
+        keep = pc.invert(pc.is_in(host, value_set=blocked))
+        out = batch.filter(keep)
+        if keep_cols is not None:
+            out = out.select(list(keep_cols))
+        return out
+
+    return ds.map_batches(flt, batch_format="pyarrow")

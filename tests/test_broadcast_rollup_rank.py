@@ -168,3 +168,53 @@ def test_cube_agg_all_subsets(ray_session):
         (None, "p"): 5, (None, "q"): 2,
         (None, None): 7,
     }
+
+
+def test_grouping_sets_arbitrary_subsets(ray_session):
+    from pdf_extractor_ray.functions.agg import grouping_sets_agg
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y"]),
+            "b": pa.array(["p", "q", "p", "p"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    # (b) alone is NOT a rollup prefix of (a, b); () is the grand total
+    out = grouping_sets_agg(
+        _ds(t), ["a", "b"], sets=[("b",), ()],
+        specs=[("v", "sum", "s"), ("v", "count", "n")],
+    )
+    rows = {(r["a"], r["b"]): (r["s"], r["n"]) for r in out.to_pylist()}
+    assert rows == {
+        (None, "p"): (8.0, 3),
+        (None, "q"): (2.0, 1),
+        (None, None): (10.0, 4),
+    }
+
+
+def test_grouping_sets_includes_finest_when_requested(ray_session):
+    from pdf_extractor_ray.functions.agg import grouping_sets_agg
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "y"]),
+            "v": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    out = grouping_sets_agg(
+        _ds(t), ["a"], sets=[("a",), ("a",), ()],  # duplicate set deduped
+        specs=[("v", "sum", "s")],
+    )
+    rows = {r["a"]: r["s"] for r in out.to_pylist()}
+    assert rows == {"x": 1.0, "y": 2.0, None: 3.0}
+    assert len(out) == 3
+
+
+def test_grouping_sets_rejects_unknown_column(ray_session):
+    from pdf_extractor_ray.functions.agg import grouping_sets_agg
+
+    t = pa.table({"a": pa.array(["x"]), "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="non-key columns"):
+        grouping_sets_agg(_ds(t), ["a"], sets=[("z",)],
+                          specs=[("v", "sum", "s")])

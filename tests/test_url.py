@@ -71,3 +71,37 @@ def test_normalize_idempotent():
         pa.table({"url": once}), url_col="url"
     ).column("url_norm")
     assert once.to_pylist() == twice.to_pylist()
+
+
+def test_host_blocklist_filter_drops_denied_hosts(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.url import host_blocklist_filter
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": pa.array([
+            "https://good.example.com/a",
+            "https://Bad.example.com/b",      # case-insensitive match
+            "http://bad.example.com:8080/c",  # port excluded from host
+            "not a url",                      # unparseable → kept
+        ]),
+    }))
+    out = host_blocklist_filter(
+        docs, ["bad.example.com"]
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 4]
+
+
+def test_host_blocklist_filter_keep_cols(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.url import host_blocklist_filter
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "url": pa.array(["https://ok.org/x"]),
+        "extra": pa.array(["z"]),
+    }))
+    out = host_blocklist_filter(docs, ["nope.com"], keep_cols=["doc_id"])
+    assert out.to_pandas().columns.tolist() == ["doc_id"]
