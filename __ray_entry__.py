@@ -2756,43 +2756,57 @@ def _q_quality_len_filter(sf_dir: str):
 
 
 def _q_crawl_diff_users(sf_dir: str):
-    """Recrawl snapshot diff: each user's last event value in H1-2024
-    vs in Apr-Dec 2024, classified added / removed / changed / same in
-    one vectorized hash-partition pass (no join bookkeeping) — the
-    triage step before an incremental ingest."""
+    """Recrawl snapshot diff: the latest value per (user, event_type)
+    in the first four days vs the last three days of the month,
+    classified added / removed / changed in one vectorized
+    hash-partition pass (no join bookkeeping) — the triage step before
+    an incremental ingest. Composite key via the standard concat idiom
+    (the same expression the oracle uses)."""
+    import datetime
+
+    import pyarrow.compute as pc
     import ray.data
 
     from pdf_extractor_ray.functions.dedup import latest_by_key
     from pdf_extractor_ray.functions.mix import snapshot_diff
 
-    import datetime
-
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_id", "value"],
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
     )
-    import pyarrow.compute as pc
+    cut_hi = datetime.datetime(2024, 1, 5)
+    cut_lo = datetime.datetime(2024, 1, 28)
 
-    cut_lo = datetime.datetime(2024, 4, 1)
-    cut_hi = datetime.datetime(2024, 7, 1)
-
-    def before(batch):
-        return batch.filter(pc.less(batch.column("ts"), pa.scalar(cut_hi)))
-
-    def after(batch):
-        return batch.filter(
-            pc.greater_equal(batch.column("ts"), pa.scalar(cut_lo))
-        )
+    def window(pred):
+        def f(batch):
+            b = batch.filter(pred(batch.column("ts")))
+            k = pc.binary_join_element_wise(
+                pc.cast(b.column("user_id"), pa.string()),
+                b.column("event_type"),
+                ":",
+            )
+            return pa.table({
+                "k": k, "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+            })
+        return f
 
     old = latest_by_key(
-        ev.map_batches(before, batch_format="pyarrow"),
-        key="user_id", ts_col="ts", tiebreak="event_id",
-    ).select_columns(["user_id", "value"])
+        ev.map_batches(
+            window(lambda ts: pc.less(ts, pa.scalar(cut_hi))),
+            batch_format="pyarrow",
+        ),
+        key="k", ts_col="ts", tiebreak="event_id",
+    ).select_columns(["k", "value"])
     new = latest_by_key(
-        ev.map_batches(after, batch_format="pyarrow"),
-        key="user_id", ts_col="ts", tiebreak="event_id",
-    ).select_columns(["user_id", "value"])
-    return snapshot_diff(old, new, "user_id", "value")
+        ev.map_batches(
+            window(lambda ts: pc.greater_equal(ts, pa.scalar(cut_lo))),
+            batch_format="pyarrow",
+        ),
+        key="k", ts_col="ts", tiebreak="event_id",
+    ).select_columns(["k", "value"])
+    return snapshot_diff(old, new, "k", "value")
 
 
 def _q_doc_char_entropy(sf_dir: str):
@@ -2804,6 +2818,67 @@ def _q_doc_char_entropy(sf_dir: str):
     return _docs(sf_dir).map_batches(
         char_entropy, batch_format="pyarrow"
     ).select_columns(["doc_id", "entropy"])
+
+
+def _ev_halves(sf_dir: str):
+    """(H1, Apr-Dec) event projections for the set-op queries."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    cut = datetime.datetime(2024, 1, 28)
+
+    def h1(batch):
+        return batch.filter(pc.less(batch.column("ts"), pa.scalar(cut)))
+
+    def h2(batch):
+        return batch.filter(
+            pc.greater_equal(batch.column("ts"), pa.scalar(cut))
+        )
+
+    return (
+        ev.map_batches(h1, batch_format="pyarrow"),
+        ev.map_batches(h2, batch_format="pyarrow"),
+    )
+
+
+def _q_user_type_intersect(sf_dir: str):
+    """SQL INTERSECT as a distributed set op: distinct (user, type)
+    pairs active in BOTH halves of the year — left side distinct
+    groupby + keys-only semi join on row digests (right rows never
+    shuffle)."""
+    from pdf_extractor_ray.functions.setops import intersect_distinct
+
+    h1, h2 = _ev_halves(sf_dir)
+    return intersect_distinct(h1, h2, ["user_id", "event_type"])
+
+
+def _q_user_type_except(sf_dir: str):
+    """SQL EXCEPT: (user, type) pairs active in H1 but gone in H2 —
+    the churn set; same digest plan with an anti join."""
+    from pdf_extractor_ray.functions.setops import except_distinct
+
+    h1, h2 = _ev_halves(sf_dir)
+    return except_distinct(h1, h2, ["user_id", "event_type"])
+
+
+def _q_chars_mad_by_lang(sf_dir: str):
+    """Robust per-language dispersion profile: MEDIAN + MAD of document
+    length (the outlier gate heavy-tailed web data needs where 3-sigma
+    breaks). Two histogram passes, zero row shuffles."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import mad_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return mad_by(ds, "lang", "n_chars")
 
 
 def _q_orders_grouping_sets(sf_dir: str):
@@ -3043,6 +3118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouping sets + host deny-list gate
         "orders_grouping_sets": _q_orders_grouping_sets,
         "blocked_hosts_filter": _q_blocked_hosts_filter,
+        # whole-row set ops + robust dispersion
+        "user_type_intersect": _q_user_type_intersect,
+        "user_type_except": _q_user_type_except,
+        "chars_mad_by_lang": _q_chars_mad_by_lang,
     }
 
 
@@ -3097,27 +3176,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_diff_users": """
             WITH o AS (
-                SELECT user_id, value FROM (
-                    SELECT user_id, value,
-                           row_number() OVER (PARTITION BY user_id
+                SELECT k, value FROM (
+                    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+                           value,
+                           row_number() OVER (
+                               PARTITION BY user_id, event_type
                                ORDER BY ts DESC, event_id DESC) AS rn
-                    FROM events WHERE ts < TIMESTAMP '2024-07-01'
+                    FROM events WHERE ts < TIMESTAMP '2024-01-05'
                 ) WHERE rn = 1
             ), n AS (
-                SELECT user_id, value FROM (
-                    SELECT user_id, value,
-                           row_number() OVER (PARTITION BY user_id
+                SELECT k, value FROM (
+                    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+                           value,
+                           row_number() OVER (
+                               PARTITION BY user_id, event_type
                                ORDER BY ts DESC, event_id DESC) AS rn
-                    FROM events WHERE ts >= TIMESTAMP '2024-04-01'
+                    FROM events WHERE ts >= TIMESTAMP '2024-01-28'
                 ) WHERE rn = 1
             )
-            SELECT coalesce(o.user_id, n.user_id) AS user_id,
-                   CASE WHEN o.user_id IS NULL THEN 'added'
-                        WHEN n.user_id IS NULL THEN 'removed'
+            SELECT coalesce(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
                         WHEN o.value <> n.value THEN 'changed'
                         ELSE 'same' END AS status,
                    o.value AS old_value, n.value AS new_value
-            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+            FROM o FULL OUTER JOIN n ON o.k = n.k
         """,
         "doc_char_entropy": """
             SELECT doc_id, round(entropy(c), 6) AS entropy
@@ -3134,6 +3217,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderpriority), ())
+        """,
+        "user_type_intersect": """
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-28'
+            INTERSECT
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-28'
+        """,
+        "user_type_except": """
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-28'
+            EXCEPT
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-28'
+        """,
+        "chars_mad_by_lang": """
+            SELECT lang,
+                   round(median(n_chars), 6) AS median_n_chars,
+                   round(mad(n_chars), 6) AS mad_n_chars
+            FROM documents GROUP BY lang
         """,
         "blocked_hosts_filter": """
             WITH u AS (

@@ -68,6 +68,17 @@ def lowcard_groupby_agg(
 
     keys = list(keys)
     flat = _expand(specs)
+    aliases = [alias for _, _, alias in flat]
+    clash = (set(aliases) & set(keys)) or {
+        a for a in aliases if aliases.count(a) > 1
+    }
+    if clash:
+        # a dict-shaped output means a colliding alias would silently
+        # overwrite a key (or another alias) — fail loudly instead
+        raise ValueError(
+            f"lowcard_groupby_agg: output alias collides with a key or "
+            f"another alias: {sorted(clash)}"
+        )
 
     def partial_core(batch: pa.Table) -> pa.Table:
         batch = batch.append_column(
@@ -352,14 +363,14 @@ def exact_quantiles(ds, col: str, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
 
     import numpy as np
 
-    hist = lowcard_groupby_agg(ds, [col], [(col, "count", "n")])
+    hist = lowcard_groupby_agg(ds, [col], [(col, "count", "__qn")])
     if hist.num_rows == 0:
         return pa.table(
             {"q": pa.array([], pa.float64()),
              "value": pa.array([], hist.schema.field(col).type)}
         )
     vals = np.asarray(hist.column(col).to_pylist())
-    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    cnts = np.asarray(hist.column("__qn").to_pylist(), dtype=np.int64)
     order = np.argsort(vals)
     vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
@@ -418,7 +429,7 @@ def exact_quantiles_by(ds, key: str, col: str,
 
     import numpy as np
 
-    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "n")])
+    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "__qn")])
     if hist.num_rows == 0:
         return pa.table(
             {key: pa.array([], hist.schema.field(key).type),
@@ -427,7 +438,7 @@ def exact_quantiles_by(ds, key: str, col: str,
         )
     keys = np.asarray(hist.column(key).to_pylist())
     vals = np.asarray(hist.column(col).to_pylist())
-    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    cnts = np.asarray(hist.column("__qn").to_pylist(), dtype=np.int64)
     out_k, out_q, out_v = [], [], []
     for g in sorted(set(keys.tolist())):
         m = keys == g
@@ -862,7 +873,7 @@ def exact_quantiles_cont_by(ds, key: str, col: str,
     comparison."""
     import numpy as np
 
-    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "n")])
+    hist = lowcard_groupby_agg(ds, [key, col], [(col, "count", "__qn")])
     if hist.num_rows == 0:
         return pa.table(
             {key: pa.array([], hist.schema.field(key).type),
@@ -871,7 +882,7 @@ def exact_quantiles_cont_by(ds, key: str, col: str,
         )
     keys = np.asarray(hist.column(key).to_pylist())
     vals = np.asarray(hist.column(col).to_pylist(), dtype=np.float64)
-    cnts = np.asarray(hist.column("n").to_pylist(), dtype=np.int64)
+    cnts = np.asarray(hist.column("__qn").to_pylist(), dtype=np.int64)
     out_k, out_q, out_v = [], [], []
     for g in sorted(set(keys.tolist())):
         m = keys == g
@@ -1060,3 +1071,63 @@ def zscore_by(ds, key: str, val_col: str, scale: int = 100,
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def mad_by(ds, key: str, col: str):
+    """Per-group MEDIAN and MAD (median absolute deviation) — the
+    robust dispersion profile an outlier gate runs on (3-sigma breaks
+    on heavy-tailed web data; median ± k·MAD does not).
+
+    Two histogram passes, zero row shuffles: pass 1 reads the group
+    medians off (key, value, count) partials (`exact_quantiles_cont_by`
+    — SQL quantile_cont/type-7, DuckDB median()); the low-card medians
+    broadcast into a stateless map that attaches |x − median|, and
+    pass 2 reads the deviation medians the same way (DuckDB mad()).
+    Medians of integer data are exact halves, so the broadcast value is
+    exact and the deviations stay exact. Output: (key, median_<col>,
+    mad_<col>) rounded half-up to 6 digits.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    med_tbl = exact_quantiles_cont_by(
+        ds.select_columns([key, col]), key=key, col=col, qs=(0.5,)
+    )
+    medians = {
+        k: v for k, v in zip(
+            med_tbl.column(key).to_pylist(),
+            med_tbl.column("value").to_pylist(),
+        )
+    }
+
+    def dev(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_pylist()
+        xs = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        meds = np.asarray([medians[k] for k in ks], dtype=np.float64)
+        return pa.table({
+            key: batch.column(key),
+            "__dev": pa.array(np.abs(xs - meds), pa.float64()),
+        })
+
+    mad_tbl = exact_quantiles_cont_by(
+        ds.select_columns([key, col]).map_batches(
+            dev, batch_format="pyarrow"
+        ),
+        key=key, col="__dev", qs=(0.5,),
+    )
+    mads = {
+        k: v for k, v in zip(
+            mad_tbl.column(key).to_pylist(),
+            mad_tbl.column("value").to_pylist(),
+        )
+    }
+    keys_sorted = sorted(medians)
+    return pa.table({
+        key: pa.array(keys_sorted),
+        f"median_{col}": pa.array(
+            [medians[k] for k in keys_sorted], pa.float64()
+        ),
+        f"mad_{col}": pa.array([mads[k] for k in keys_sorted], pa.float64()),
+    })

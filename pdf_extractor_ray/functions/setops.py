@@ -1,0 +1,79 @@
+"""Whole-row set operations: INTERSECT / EXCEPT (SQL set semantics —
+distinct rows), completing the §2.7 set-ops family next to the
+key-based ``semi_anti_join`` and ``dedup_exact``.
+
+Plan shape: the LEFT side reduces to DISTINCT rows (native
+multi-column hash groupby — one shuffle), both sides gain a row-digest
+key, and the membership test is the existing keys-only semi/anti join
+— the right side ships 32-char digests only, never rows and never a
+distinct shuffle (membership ignores multiplicity). At 100 TB both
+inputs stream; nothing driver-side scales with data.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import pyarrow as pa
+
+_SEP = "\x1f"  # unit separator: cannot appear in the str() of test keys
+
+
+def _distinct(ds, cols: Sequence[str]):
+    """Native multi-key distinct: groupby(cols).count() then drop the
+    count — one hash shuffle, unbounded key cardinality."""
+    cols = list(cols)
+    return (
+        ds.select_columns(cols)
+        .groupby(cols)
+        .count()
+        .drop_columns(["count()"])
+    )
+
+
+def _with_row_key(ds, cols: Sequence[str]):
+    cols = list(cols)
+
+    def add(batch: pa.Table) -> pa.Table:
+        col_lists = [batch.column(c).to_pylist() for c in cols]
+        keys = [
+            hashlib.md5(
+                _SEP.join("\x00" if v is None else str(v) for v in row)
+                .encode()
+            ).hexdigest()
+            for row in zip(*col_lists)
+        ]
+        return batch.append_column("__rk", pa.array(keys, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def intersect_distinct(a_ds, b_ds, cols: Sequence[str],
+                       num_partitions: int = 32):
+    """SQL ``INTERSECT``: distinct rows of A that also appear in B."""
+    return _set_op(a_ds, b_ds, cols, "semi", num_partitions)
+
+
+def except_distinct(a_ds, b_ds, cols: Sequence[str],
+                    num_partitions: int = 32):
+    """SQL ``EXCEPT``: distinct rows of A that do NOT appear in B."""
+    return _set_op(a_ds, b_ds, cols, "anti", num_partitions)
+
+
+def _set_op(a_ds, b_ds, cols, how, num_partitions):
+    from .joins import semi_anti_join
+
+    cols = list(cols)
+    a_keyed = _with_row_key(_distinct(a_ds, cols), cols)
+    # B needs no distinct pass: membership ignores multiplicity and the
+    # join ships only digests — skipping it saves B's groupby shuffle
+    b_keyed = _with_row_key(b_ds, cols)
+    return semi_anti_join(
+        a_keyed,
+        b_keyed.select_columns(["__rk"]),
+        "__rk",
+        "__rk",
+        left_cols=cols,
+        how=how,
+        num_partitions=num_partitions,
+    )
