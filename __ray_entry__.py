@@ -2881,6 +2881,19 @@ def _q_chars_mad_by_lang(sf_dir: str):
     return mad_by(ds, "lang", "n_chars")
 
 
+def _q_tfidf_similar_pairs(sf_dir: str):
+    """EXACT sparse TF-IDF cosine self-join over word-trigram shingles
+    (inverted-index all-pairs search, Bayardo et al. WWW'07 shape) —
+    the exact-sparse sibling of MinHash (probabilistic) and embedding
+    dedup (dense). Counts/weights shuffle, never text; df cap bounds
+    every pair bucket."""
+    from pdf_extractor_ray.functions.similarity import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(sf_dir), threshold=0.3, max_df=100, ngram=3
+    )
+
+
 def _q_orders_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS((status, priority), (priority), ()) —
     the arbitrary-subset generalization ROLLUP/CUBE are sugar for; one
@@ -3122,6 +3135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_intersect": _q_user_type_intersect,
         "user_type_except": _q_user_type_except,
         "chars_mad_by_lang": _q_chars_mad_by_lang,
+        # exact sparse similarity self-join
+        "tfidf_similar_pairs": _q_tfidf_similar_pairs,
     }
 
 
@@ -3237,6 +3252,40 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "tfidf_similar_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)]) AS g
+                FROM toks WHERE len(t) >= 3
+            ), tok AS (
+                SELECT doc_id, g AS token, CAST(count(*) AS DOUBLE) AS tf
+                FROM sh GROUP BY doc_id, g
+            ), df AS (
+                SELECT token, CAST(count(*) AS DOUBLE) AS df
+                FROM tok GROUP BY token
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), w AS (
+                SELECT doc_id, tok.token, tf * ln(n / df) AS w
+                FROM tok JOIN df ON tok.token = df.token, nn
+                WHERE df <= 100
+            ), nrm AS (
+                SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id
+            ), wn AS (
+                SELECT w.doc_id, token, w / nrm AS wn
+                FROM w JOIN nrm USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(sum(a.wn*b.wn), 6) AS cosine
+            FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(a.wn*b.wn) >= 0.3
         """,
         "blocked_hosts_filter": """
             WITH u AS (

@@ -527,3 +527,261 @@ def semantic_dedup(emb_ds, threshold: float = 0.95, n_clusters: int = 16,
         .groupby("cluster")
         .map_groups(in_cluster, batch_format="pyarrow")
     )
+
+
+def tfidf_cosine_pairs(
+    docs_ds,
+    threshold: float = 0.3,
+    max_df: int = 100,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    broadcast_max_docs: int = 2_000_000,
+):
+    """EXACT sparse TF-IDF cosine similarity self-join — the
+    inverted-index all-pairs search (Bayardo et al., WWW 2007 "Scaling
+    Up All Pairs Similarity Search" shape), completing the similarity
+    family: MinHash = probabilistic set overlap, embedding dedup =
+    dense vectors, THIS = exact sparse lexical similarity.
+
+    The unit is a word ``ngram`` shingle (default trigram), not a bare
+    token: shingles keep the inverted index discriminative even over a
+    small word vocabulary AND keep every pair bucket inside the
+    ``max_df`` bound (single common words would blow both).
+
+    Plan — after the explode, ONLY int64 keys and float weights move;
+    shingle strings never shuffle (they collapse to a cached 64-bit
+    md5 fingerprint at the source, collision odds ~|vocab|²/2⁶⁵):
+      1. explode to (doc, shingle-hash, tf);
+      2. ONE shingle-space shuffle: each hash partition lexsorts its
+         runs, reads df = run length for free, drops df > ``max_df``
+         (stop shingles — simultaneously the recall knob and the hard
+         O(df²) bucket bound), and emits w = tf·ln(N/df) in place —
+         no df table, no df join;
+      3. per-doc L2 norms: bincount partials → doc-space groupby,
+         joined back (int-keyed), ŵ = w/‖d‖;
+      4. second shingle-space shuffle: per-run outer products;
+      5. pair-space groupby sum = cosine; threshold + round(6).
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, cosine ≥
+    ``threshold``. Deterministic and SQL-mirrorable end-to-end (the
+    oracle works in shingle strings; fingerprinting only renames the
+    join keys).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    n_docs = docs_ds.count()
+    log_n = float(np.log(float(n_docs)))
+
+    class ShingleStage:
+        def __init__(self) -> None:
+            self.cache: dict = {}
+
+        def _h(self, g: str) -> int:
+            v = self.cache.get(g)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big", signed=True
+                )
+                self.cache[g] = v
+            return v
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ths, tfs = [], [], []
+            for d, t in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            ):
+                ws = (t or "").lower().split()
+                c: dict = {}
+                for i in range(len(ws) - ngram + 1):
+                    g = " ".join(ws[i:i + ngram])
+                    c[g] = c.get(g, 0) + 1
+                ids.extend([d] * len(c))
+                ths.extend(self._h(g) for g in c)
+                tfs.extend(c.values())
+            t = pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "th": pa.array(ths, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            })
+            part = (np.asarray(ths, dtype=np.int64).view(np.uint64)
+                    % num_partitions
+                    ).astype(np.int32)
+            return t.append_column("__part", pa.array(part, pa.int32()))
+
+    tok = docs_ds.select_columns([id_col, text_col]).map_batches(
+        ShingleStage, batch_format="pyarrow", concurrency=pool_size()
+    )
+
+    def weigh_runs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        th = group.column("th").to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.lexsort((ids, th))
+        sth, sid, stf = th[order], ids[order], tf[order]
+        starts = np.nonzero(np.concatenate([[True], sth[1:] != sth[:-1]]))[0]
+        run_id = np.cumsum(
+            np.concatenate([[0], (sth[1:] != sth[:-1]).astype(np.int64)])
+        )
+        df = np.bincount(run_id)[run_id]  # run length per row = df
+        keep = df <= max_df
+        w = stf[keep] * (log_n - np.log(df[keep].astype(np.float64)))
+        # df == n_docs ⇒ idf = 0 ⇒ w = 0: zero-information shingles.
+        # Dropping them here (they contribute nothing to any dot
+        # product) also prevents 0/0 NaN norms for docs made ONLY of
+        # universal shingles — the oracle reaches the same no-output
+        # answer through NaN -> HAVING false.
+        nz = w > 0
+        return pa.table({
+            id_col: pa.array(sid[keep][nz], pa.int64()),
+            "th": pa.array(sth[keep][nz], pa.int64()),
+            "w": pa.array(w[nz], pa.float64()),
+        })
+
+    from .dedup import compact_blocks
+
+    # consumed twice (norm partials + join left side): pin it so the
+    # shingle explode and the df shuffle run ONCE
+    weighted = compact_blocks(
+        tok.groupby("__part").map_groups(weigh_runs, batch_format="pyarrow")
+    )
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "nrm2": pa.array(np.bincount(inv, weights=w * w), pa.float64()),
+        })
+
+    norms = (
+        weighted.map_batches(norm_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("nrm2", alias_name="nrm2"))
+    )
+
+    # norms are ONE float per doc: under the gate they broadcast
+    # (ray.put once, dict lookup per batch — kills a whole join
+    # exchange); above it, the int-keyed hash join is the scale path
+    if n_docs <= broadcast_max_docs:
+        import ray as _ray
+
+        norm_rows = norms.take_all()
+        # store ‖d‖ and DIVIDE (not multiply by a reciprocal): the
+        # oracle divides, and x/n vs x·(1/n) differ in the last ulp
+        nrm_ref = _ray.put({
+            r[id_col]: float(np.sqrt(r["nrm2"])) for r in norm_rows
+        })
+
+        def unit(batch: pa.Table) -> pa.Table:
+            nrm = _ray.get(nrm_ref)
+            ids = batch.column(id_col).to_pylist()
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            denom = np.asarray([nrm[d] for d in ids], dtype=np.float64)
+            th = batch.column("th").to_numpy(zero_copy_only=False)
+            part = (th.view(np.uint64) % num_partitions).astype(np.int32)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "th": batch.column("th"),
+                "wn": pa.array(w / denom, pa.float64()),
+                "__part": pa.array(part, pa.int32()),
+            })
+
+        unit_ds = weighted.map_batches(unit, batch_format="pyarrow")
+    else:
+        normed = hash_join(
+            weighted, norms, id_col, id_col,
+            [id_col, "th", "w"], ["nrm2"],
+            how="inner", num_partitions=num_partitions,
+        )
+
+        def unit(batch: pa.Table) -> pa.Table:
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            n2 = batch.column("nrm2").to_numpy(zero_copy_only=False)
+            th = batch.column("th").to_numpy(zero_copy_only=False)
+            part = (th.view(np.uint64) % num_partitions).astype(np.int32)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "th": batch.column("th"),
+                "wn": pa.array(w / np.sqrt(n2), pa.float64()),
+                "__part": pa.array(part, pa.int32()),
+            })
+
+        unit_ds = normed.map_batches(unit, batch_format="pyarrow")
+
+    def pair_products(group: pa.Table) -> pa.Table:
+        th = group.column("th").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        wn = group.column("wn").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, th))
+        st, si, sw = th[order], ids[order], wn[order]
+        starts = np.nonzero(np.concatenate([[True], st[1:] != st[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(st)]])
+        out_a, out_b, out_p = [], [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, k=1)
+            out_a.append(si[s:e][ii])
+            out_b.append(si[s:e][jj])
+            out_p.append(sw[s:e][ii] * sw[s:e][jj])
+        if not out_a:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "p": pa.array([], pa.float64()),
+            })
+        # partial fold: the same pair recurs across this partition's
+        # shingles — collapse to one row per (a, b) before the shuffle,
+        # so the final pair-space aggregate sees partitions×pairs rows,
+        # not Σ df² product rows
+        aa = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        pp = np.concatenate(out_p)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        folded = np.bincount(inv, weights=pp)
+        # route each pair to its fold partition now: one partition
+        # exchange replaces a global composite-key sort-aggregate
+        ppart = (
+            (uniq[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + uniq[:, 1].view(np.uint64)) % num_partitions
+        ).astype(np.int32)
+        return pa.table({
+            "doc_a": pa.array(uniq[:, 0], pa.int64()),
+            "doc_b": pa.array(uniq[:, 1], pa.int64()),
+            "p": pa.array(folded, pa.float64()),
+            "__ppart": pa.array(ppart, pa.int32()),
+        })
+
+    def fold_finish(group: pa.Table) -> pa.Table:
+        aa = group.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = group.column("doc_b").to_numpy(zero_copy_only=False)
+        pp = group.column("p").to_numpy(zero_copy_only=False)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        cos = np.bincount(inv, weights=pp)
+        keep = cos >= threshold
+        cos6 = np.floor(cos[keep] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_a": pa.array(uniq[keep, 0], pa.int64()),
+            "doc_b": pa.array(uniq[keep, 1], pa.int64()),
+            "cosine": pa.array(cos6, pa.float64()),
+        })
+
+    return (
+        unit_ds.groupby("__part")
+        .map_groups(pair_products, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(fold_finish, batch_format="pyarrow")
+    )
