@@ -2881,6 +2881,33 @@ def _q_chars_mad_by_lang(sf_dir: str):
     return mad_by(ds, "lang", "n_chars")
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps, 36-hour window): one key-space partition exchange,
+    chained per-user step mins read off masked run boundaries — no
+    per-user Python. Output is 3 rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    cut = datetime.datetime(2024, 1, 2, 12)
+
+    def window(batch):
+        return batch.filter(pc.less(batch.column("ts"), pa.scalar(cut)))
+
+    return funnel_counts(
+        ev.map_batches(window, batch_format="pyarrow"),
+        steps=["view", "click", "purchase"],
+    )
+
+
 def _q_tfidf_similar_pairs(sf_dir: str):
     """EXACT sparse TF-IDF cosine self-join over word-trigram shingles
     (inverted-index all-pairs search, Bayardo et al. WWW'07 shape) —
@@ -3137,6 +3164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_mad_by_lang": _q_chars_mad_by_lang,
         # exact sparse similarity self-join
         "tfidf_similar_pairs": _q_tfidf_similar_pairs,
+        # ordered funnel analytics
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -3252,6 +3281,29 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "events_funnel": """
+            WITH ev AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE ts < TIMESTAMP '2024-01-02 12:00:00'
+            ), s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         "tfidf_similar_pairs": """
             WITH toks AS (

@@ -118,3 +118,4 @@ from .url import host_blocklist_filter  # noqa: F401
 from .similarity import tfidf_cosine_pairs  # noqa: F401
 from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .agg import mad_by  # noqa: F401
+from .window import funnel_counts  # noqa: F401

@@ -190,24 +190,22 @@ def bucket_collision_pairs(
     count_col: str | None = None,
     max_bucket: int | None = None,
     distinct: bool = True,
+    num_partitions: int = 64,
 ):
     """(bucket_key, id) stream → distinct candidate pairs (a < b).
 
-    Collision-first plan shared by the MinHash and hyperplane-LSH
-    dedup paths (the fast path at every scale): almost all buckets are
-    singletons, so pair generation never touches them —
-
-    1. vectorized count per bucket_key → keys with >1 id   [sort-based
-       aggregate, no per-group Python]
-    2. broadcast the (small) hot-key set; semi-join filter the bucket
-       stream down to collision rows                       [vectorized]
-    3. group ONLY collision buckets → pairwise candidates via
-       ``np.triu_indices`` (vectorized, no nested Python loop); a
-       final groupby dedups pairs that collide in several buckets
-
-    The hot-key broadcast is proportional to the near-dup cluster
-    count, not the corpus. ``bucket_ds`` should be materialized by the
-    caller if producing it is expensive (it is consumed twice).
+    Collision-first plan shared by the MinHash, winnowing and span
+    dedup paths. ONE key-space partition exchange does everything: a
+    bucket's rows land wholly in one partition, so each partition task
+    lexsorts its rows, reads bucket sizes off the run lengths
+    (singletons skip free), generates pairs only from 2..``max_bucket``
+    runs (vectorized ``np.triu_indices`` per run), and pre-folds
+    duplicate pairs in place. A second exchange over pair-hash
+    partitions finishes the exact global fold. There is NO count
+    pre-pass, NO hot-key broadcast and NO composite-key
+    sort-aggregate — the previous plan used all three, and the native
+    composite-key Aggregate alone measured ~5× the wall of a
+    partition-fold at sf0.1 (see ``tfidf_cosine_pairs``).
 
     ``min_count`` keeps only pairs colliding in ≥ that many buckets
     (fingerprint-overlap semantics); ``count_col`` additionally emits
@@ -215,58 +213,83 @@ def bucket_collision_pairs(
     larger than that size entirely — keys so common (boilerplate
     fingerprints, stop-phrases) they are non-discriminative AND would
     cost O(size²) pairs; the winnowing literature's standard guard.
-    ``distinct=False`` skips the pair-dedup shuffle and returns raw
-    (possibly repeated) pairs — for callers whose downstream groupby
-    dedups anyway (one less all-to-all).
+    ``distinct=False`` skips the global fold and returns
+    partition-folded (possibly still repeated across partitions) pairs
+    — for callers whose downstream groupby dedups anyway.
     """
-    import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Count
-
-    counts = bucket_ds.groupby(key_col).aggregate(Count(alias_name="n"))
-    hot_expr = "n > 1" if max_bucket is None else f"n > 1 and n <= {max_bucket}"
-    hot = counts.filter(expr=hot_expr).select_columns([key_col]).take_all()
-    hot_keys = np.asarray(sorted(r[key_col] for r in hot), dtype=np.int64)
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = pc.is_in(batch.column(key_col), value_set=pa.array(keys, pa.int64()))
-        return batch.filter(mask)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(
-            np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
         )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {out_a: pa.array(ids[ia], pa.int64()), out_b: pa.array(ids[ib], pa.int64())}
-        )
+        part = (k.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        sk, si = keys[order], ids[order]
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        out_as, out_bs = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or (max_bucket is not None and n > max_bucket):
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            out_as.append(si[s:e][ia])
+            out_bs.append(si[s:e][ib])
+        if not out_as:
+            return pa.table({
+                out_a: pa.array([], pa.int64()),
+                out_b: pa.array([], pa.int64()),
+                "__n": pa.array([], pa.int64()),
+                "__ppart": pa.array([], pa.int32()),
+            })
+        aa = np.concatenate(out_as)
+        bb = np.concatenate(out_bs)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n_fold = np.bincount(inv).astype(np.int64)
+        ppart = (
+            (uniq[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + uniq[:, 1].view(np.uint64)) % num_partitions
+        ).astype(np.int32)
+        return pa.table({
+            out_a: pa.array(uniq[:, 0], pa.int64()),
+            out_b: pa.array(uniq[:, 1], pa.int64()),
+            "__n": pa.array(n_fold, pa.int64()),
+            "__ppart": pa.array(ppart, pa.int32()),
+        })
 
     pairs = (
-        bucket_ds.map_batches(only_hot, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        bucket_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pyarrow")
     )
     if not distinct:
         assert min_count == 1 and count_col is None
-        return pairs
-    # distinct pairs (a pair can collide in several buckets)
-    counted = pairs.groupby([out_a, out_b]).aggregate(Count(alias_name="__n"))
-    if min_count > 1:
-        counted = counted.filter(expr=f"__n >= {min_count}")
-    if count_col is not None:
-        import pyarrow.compute as pc2
+        return pairs.drop_columns(["__n", "__ppart"])
 
-        def rename(batch: pa.Table) -> pa.Table:
-            return batch.set_column(
-                batch.column_names.index("__n"),
-                count_col,
-                pc2.cast(batch.column("__n"), pa.int64()),
-            )
+    def fold(group: pa.Table) -> pa.Table:
+        aa = group.column(out_a).to_numpy(zero_copy_only=False)
+        bb = group.column(out_b).to_numpy(zero_copy_only=False)
+        nn = group.column("__n").to_numpy(zero_copy_only=False)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        tot = np.bincount(inv, weights=nn.astype(np.float64)).astype(
+            np.int64
+        )
+        keep = tot >= min_count
+        cols = {
+            out_a: pa.array(uniq[keep, 0], pa.int64()),
+            out_b: pa.array(uniq[keep, 1], pa.int64()),
+        }
+        if count_col is not None:
+            cols[count_col] = pa.array(tot[keep], pa.int64())
+        return pa.table(cols)
 
-        return counted.map_batches(rename, batch_format="pyarrow")
-    return counted.drop_columns(["__n"])
+    return pairs.groupby("__ppart").map_groups(fold, batch_format="pyarrow")
 
 
 def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, seed: int = 42,
@@ -711,68 +734,100 @@ def hamming_bucket_pairs(sig_ds, max_hamming: int = 3, id_col: str = "doc_id",
     """Banded (bucket, id, simhash) stream → DISTINCT pairs with Hamming
     distance ≤ ``max_hamming``.
 
-    Shared by text SimHash and image perceptual-hash dedup. Plan is
-    collision-first (same as ``bucket_collision_pairs``): a vectorized
-    count pass finds buckets with >1 member, only those groups run the
-    in-bucket XOR+popcount verify, and a final pair-groupby folds the
-    duplicates a pair produces by colliding in several bands. Buckets
-    larger than ``max_bucket`` are dropped LOUDLY-by-contract: a band
-    value shared by that many signatures is non-discriminative
-    (boilerplate-dominated corpora) and would cost O(size²) in one task
-    — the same guard ``winnow_dup_pairs`` applies.
+    Shared by text SimHash and image perceptual-hash dedup. Same
+    single-exchange partition plan as ``bucket_collision_pairs``: each
+    bucket lives wholly in one partition; runs of length 2..
+    ``max_bucket`` get the vectorized XOR+popcount verify in place, and
+    a pair-hash partition fold dedups pairs that collide in several
+    bands (hamming is a property of the pair — identical in every
+    band). Buckets larger than ``max_bucket`` are dropped
+    LOUDLY-by-contract: a band value shared by that many signatures is
+    non-discriminative (boilerplate-dominated corpora) and would cost
+    O(size²) in one task — the same guard ``winnow_dup_pairs``
+    applies.
     """
-    import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Count, Min
+    num_partitions = 64
 
-    counts = sig_ds.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr=f"n > 1 and n <= {max_bucket}").select_columns(
-        ["bucket"]
-    ).take_all()
-    hot_keys = np.asarray(sorted(r["bucket"] for r in hot), dtype=np.int64)
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = pc.is_in(batch.column("bucket"), value_set=pa.array(keys, pa.int64()))
-        return batch.filter(mask)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-        sigs = np.asarray(group.column("simhash").to_pylist(), dtype=np.uint64)
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {out_a: pa.array([], pa.int64()),
-                 out_b: pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int32())}
-            )
-        ia, ib = np.triu_indices(n, k=1)
-        x = sigs[ia] ^ sigs[ib]
-        # vectorized popcount: 8 unpacked bytes per uint64
-        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = d <= max_hamming
-        return pa.table(
-            {
-                out_a: pa.array(ids[ia[keep]], pa.int64()),
-                out_b: pa.array(ids[ib[keep]], pa.int64()),
-                "hamming": pa.array(d[keep].astype(np.int32), pa.int32()),
-            }
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("bucket").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
         )
+        part = (k.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
 
-    raw = (
-        sig_ds.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # a pair collides once per intact band — fold to distinct pairs
-    # (hamming is a property of the pair, identical in every band)
-    out = raw.groupby([out_a, out_b]).aggregate(Min("hamming"))
-    return out.map_batches(
-        lambda b: b.rename_columns([out_a, out_b, "hamming"]),
-        batch_format="pyarrow",
+    def part_pairs(group: pa.Table) -> pa.Table:
+        keys = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = group.column("simhash").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False).view(np.uint64)
+        order = np.lexsort((ids, keys))
+        sk, si, ss = keys[order], ids[order], sigs[order]
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        out_as, out_bs, out_ds = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > max_bucket:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            x = ss[s:e][ia] ^ ss[s:e][ib]
+            # vectorized popcount: 8 unpacked bytes per uint64
+            d = np.unpackbits(
+                x.view(np.uint8).reshape(-1, 8), axis=1
+            ).sum(axis=1)
+            keep = d <= max_hamming
+            out_as.append(si[s:e][ia[keep]])
+            out_bs.append(si[s:e][ib[keep]])
+            out_ds.append(d[keep].astype(np.int64))
+        if not out_as:
+            return pa.table({
+                out_a: pa.array([], pa.int64()),
+                out_b: pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+                "__ppart": pa.array([], pa.int32()),
+            })
+        aa = np.concatenate(out_as)
+        bb = np.concatenate(out_bs)
+        dd = np.concatenate(out_ds)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        # partial fold: keep one row per pair (hamming identical)
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        ppart = (
+            (uniq[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + uniq[:, 1].view(np.uint64)) % num_partitions
+        ).astype(np.int32)
+        return pa.table({
+            out_a: pa.array(uniq[:, 0], pa.int64()),
+            out_b: pa.array(uniq[:, 1], pa.int64()),
+            "hamming": pa.array(dd[first], pa.int64()),
+            "__ppart": pa.array(ppart, pa.int32()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        aa = group.column(out_a).to_numpy(zero_copy_only=False)
+        bb = group.column(out_b).to_numpy(zero_copy_only=False)
+        dd = group.column("hamming").to_numpy(zero_copy_only=False)
+        key = np.stack([aa, bb], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        return pa.table({
+            out_a: pa.array(uniq[:, 0], pa.int64()),
+            out_b: pa.array(uniq[:, 1], pa.int64()),
+            "hamming": pa.array(
+                dd[first].astype(np.int32), pa.int32()
+            ),
+        })
+
+    return (
+        sig_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 

@@ -662,3 +662,100 @@ def locf_fill(
         )
 
     return ds.groupby(key).map_groups(fill, batch_format="pyarrow")
+
+
+def funnel_counts(
+    ds,
+    steps,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+):
+    """Ordered funnel analysis: how many keys (users) reach each step
+    of ``steps`` with STRICTLY increasing timestamps (step k must
+    happen after the key's chained min of step k−1) — the classic
+    product-analytics sequence query.
+
+    ONE key-space partition exchange (rows pre-filtered to the step
+    types); inside a partition everything is vectorized: rows sort by
+    (key, ts) once, then per step a masked run-boundary pass reads the
+    chained min per key (first qualifying row of each key run — no
+    per-key Python). Per-partition (step, n) partials concat on the
+    driver: output is len(steps) rows total.
+
+    Output: (step int64 1-based, event_type, n_users), including zero
+    rows for steps no key reaches.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    steps = list(steps)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.is_in(batch.column(type_col),
+                     value_set=pa.array(steps, pa.string()))
+        )
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        part = (k.view(np.uint64) % num_partitions).astype(np.int32)
+        t = b.select([key, ts_col, type_col])
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def funnel_partial(group: pa.Table) -> pa.Table:
+        ks = group.column(key).to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        ty = np.asarray(group.column(type_col).to_pylist())
+        order = np.lexsort((ts, ks))
+        sk, st, sy = ks[order], ts[order], ty[order]
+        uniq, inv = np.unique(sk, return_inverse=True)
+        NONE = np.iinfo(np.int64).max
+        prev = np.full(len(uniq), -1, dtype=np.int64)  # before everything
+        counts = []
+        for step in steps:
+            sel = (sy == step) & (st > prev[inv]) & (prev[inv] != NONE)
+            cur = np.full(len(uniq), NONE, dtype=np.int64)
+            if sel.any():
+                ku, tu = inv[sel], st[sel]
+                # rows sorted by (key, ts): first selected row of each
+                # key run is that key's chained min
+                firsts = np.nonzero(
+                    np.concatenate([[True], ku[1:] != ku[:-1]])
+                )[0]
+                cur[ku[firsts]] = tu[firsts]
+            counts.append(int((cur != NONE).sum()))
+            prev = cur
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            type_col: pa.array(steps, pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(funnel_partial, batch_format="pyarrow")
+    )
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            type_col: pa.array(steps, pa.string()),
+            "n_users": pa.array([0] * len(steps), pa.int64()),
+        })
+    cat = pa.concat_tables(tables)
+    g = cat.group_by(["step", type_col]).aggregate([("n_users", "sum")])
+    import pyarrow.compute as pc2
+
+    idx = pc2.sort_indices(g.column("step"))
+    return pa.table({
+        "step": g.column("step").take(idx),
+        type_col: g.column(type_col).take(idx),
+        "n_users": pc2.cast(g.column("n_users_sum").take(idx), pa.int64()),
+    })

@@ -541,3 +541,49 @@ def test_zscore_by_known_values(ray_session):
     za = out.loc[out["g"] == "a", "zscore"].tolist()
     assert za == [-1.0, 0.0, 1.0]               # mean 2, sample sd 1
     assert out.loc[out["g"] == "b", "zscore"].isna().all()  # n < 2
+
+
+def test_funnel_counts_ordered_steps(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import funnel_counts
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # user 2: purchase BEFORE click -> only reaches step 2
+        (2, ts(1), "view"), (2, ts(3), "click"), (2, ts(2), "purchase"),
+        # user 3: never views -> reaches nothing (click/purchase exist)
+        (3, ts(1), "click"), (3, ts(2), "purchase"),
+        # user 4: view only
+        (4, ts(5), "view"),
+        # user 5: view and click SAME ts -> strict > excludes the click
+        (5, ts(1), "view"), (5, ts(1), "click"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = funnel_counts(ds, ["view", "click", "purchase"])
+    got = {r["step"]: r["n_users"] for r in out.to_pylist()}
+    assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_funnel_counts_empty_and_unreached(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import funnel_counts
+
+    empty = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+    }))
+    out = funnel_counts(empty, ["view", "click"])
+    assert {r["step"]: r["n_users"] for r in out.to_pylist()} == {1: 0, 2: 0}
