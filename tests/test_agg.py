@@ -291,3 +291,34 @@ def test_key_skew_profile_counts_and_ties(ray_session):
     assert [r["k"] for r in out] == ["hot", "a", "warm"]  # tie → key asc
     assert [r["n_rows"] for r in out] == [6, 3, 3]
     assert out[0]["share"] == round(6 / 13, 6)
+
+
+def test_partition_fold_matches_pandas_groupby(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 40, n),
+        "k2": rng.choice(["x", "y", "zebra", "quux"], n),
+        "v": rng.randn(n),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    for fn, ref in [
+        ("sum", df.groupby(["k1", "k2"])["v"].sum()),
+        ("min", df.groupby(["k1", "k2"])["v"].min()),
+        ("max", df.groupby(["k1", "k2"])["v"].max()),
+        ("count", df.groupby(["k1", "k2"])["v"].count()),
+    ]:
+        got = (
+            partition_fold(ds, ["k1", "k2"], "v", fn=fn, out_val="o")
+            .to_pandas().set_index(["k1", "k2"])["o"].sort_index()
+        )
+        want = ref.sort_index()
+        assert len(got) == len(want)
+        assert np.allclose(got.values, want.values.astype(float), atol=1e-9)
