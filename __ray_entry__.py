@@ -2884,6 +2884,48 @@ def _q_chars_mad_by_lang(sf_dir: str):
     return mad_by(ds, "lang", "n_chars")
 
 
+def _q_error_purchase_overlap(sf_dir: str):
+    """Keyed interval-OVERLAP join (two-sided sibling of range_join):
+    per user, error windows [ts, ts+2h) intersecting purchase windows
+    — one hash shuffle, double-searchsorted in-group match, max_width
+    prune makes in-group cost O(pairs)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import interval_overlap_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    two_h = pa.scalar(7_200_000_000, pa.duration("us"))
+
+    def windows(etype: str, out_id: str):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.filter(
+                pc.equal(batch.column("event_type"), etype)
+            )
+            return pa.table({
+                "user_id": b.column("user_id"),
+                out_id: b.column("event_id"),
+                "ts": b.column("ts"),
+                "ts_end": pc.add(b.column("ts"), two_h),
+            })
+        return f
+
+    err = ev.map_batches(windows("error", "err_id"), batch_format="pyarrow")
+    pur = ev.map_batches(
+        windows("purchase", "pur_id"), batch_format="pyarrow"
+    )
+    return interval_overlap_join(
+        err, pur, key="user_id",
+        left_lo="ts", left_hi="ts_end",
+        right_lo="ts", right_hi="ts_end",
+        left_cols=["user_id", "err_id"], right_cols=["pur_id"],
+        max_width=7_200_000_000,
+    )
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase, strictly increasing
     timestamps, 36-hour window): one key-space partition exchange,
@@ -3167,8 +3209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_mad_by_lang": _q_chars_mad_by_lang,
         # exact sparse similarity self-join
         "tfidf_similar_pairs": _q_tfidf_similar_pairs,
-        # ordered funnel analytics
+        # ordered funnel analytics + interval overlap join
         "events_funnel": _q_events_funnel,
+        "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
 
@@ -3284,6 +3327,14 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "error_purchase_overlap": """
+            SELECT e.user_id AS user_id, e.event_id AS err_id,
+                   p.event_id AS pur_id
+            FROM events e JOIN events p ON e.user_id = p.user_id
+             AND e.event_type = 'error' AND p.event_type = 'purchase'
+             AND e.ts < p.ts + INTERVAL 2 HOUR
+             AND p.ts < e.ts + INTERVAL 2 HOUR
         """,
         "events_funnel": """
             WITH ev AS (

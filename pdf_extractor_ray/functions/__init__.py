@@ -120,3 +120,4 @@ from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401
 from .agg import partition_fold  # noqa: F401
+from .joins import interval_overlap_join  # noqa: F401

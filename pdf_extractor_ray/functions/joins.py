@@ -906,3 +906,147 @@ def broadcast_range_join(
         return batch
 
     return left_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def interval_overlap_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    max_width=None,
+):
+    """Keyed interval-OVERLAP join — INNER, many-to-many: one row per
+    (left, right) pair with the same ``key`` whose HALF-OPEN intervals
+    intersect (``l_lo < r_hi AND r_lo < l_hi``). The two-sided sibling
+    of :func:`range_join` (point-in-interval); serves span-overlap
+    shapes: contaminated-span vs document-span, session-vs-session
+    concurrency, maintenance-window impact.
+
+    Same single-shuffle plan as range_join: tag → union → one
+    ``groupby(key)``; in-group, right intervals sort by ``lo`` and for
+    every left interval a double ``searchsorted`` bounds the candidate
+    slice (upper: ``r_lo < l_hi``; lower via the loudly-validated
+    ``max_width`` contract on right intervals: ``r_lo > l_lo −
+    max_width``), flattened with repeat/cumsum arithmetic and masked
+    by ``r_hi > l_lo`` — no per-row Python. Without ``max_width``
+    correctness holds but early-starting intervals degrade to a scan.
+
+    Values may be timestamps (exact int64 µs) or numerics (float64).
+    Output columns: left_cols + right_cols (must be disjoint).
+    """
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_types[key]
+    val_is_ts = pa.types.is_timestamp(l_types[left_lo])
+    num_type = pa.int64() if val_is_ts else pa.float64()
+
+    fields = [pa.field("__key", key_type), pa.field("__lo", num_type),
+              pa.field("__hi", num_type), pa.field("__side", pa.int8())]
+    fields += [pa.field(f"l_{c}", l_types[c]) for c in left_cols]
+    fields += [pa.field(f"r_{c}", r_types[c]) for c in right_cols]
+    schema = pa.schema(fields)
+
+    def to_common(side: int, lo_name: str, hi_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            lo, _ = _numcast(batch.column(lo_name))
+            hi, _ = _numcast(batch.column(hi_name))
+            arrays = {
+                "__key": batch.column(key).cast(key_type),
+                "__lo": pa.array(lo, num_type),
+                "__hi": pa.array(hi, num_type),
+                "__side": pa.array([side] * n, pa.int8()),
+            }
+            for f in schema:
+                pre, c = f.name[:2], f.name[2:]
+                if pre == "l_":
+                    arrays[f.name] = (batch.column(c) if side == 0
+                                      else pa.nulls(n, f.type))
+                elif pre == "r_":
+                    arrays[f.name] = (batch.column(c) if side == 1
+                                      else pa.nulls(n, f.type))
+            return pa.table(arrays, schema=schema)
+
+        return fn
+
+    both = left_ds.map_batches(
+        to_common(0, left_lo, left_hi), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        to_common(1, right_lo, right_hi), batch_format="pyarrow"
+    ))
+    from .dedup import compact_blocks
+
+    both = compact_blocks(both, skip_above_bytes=4 << 30)
+
+    out_fields = [pa.field(c, l_types[c]) for c in left_cols]
+    out_fields += [pa.field(c, r_types[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+    width = None if max_width is None else (
+        np.int64(max_width) if val_is_ts else np.float64(max_width))
+
+    def match_group(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("__side").to_pylist(), dtype=np.int8)
+        lo = np.asarray(group.column("__lo").to_pylist())
+        hi = np.asarray(group.column("__hi").to_pylist())
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return out_schema.empty_table()
+        r_lo, r_hi = lo[r_idx], hi[r_idx]
+        if width is not None:
+            w = r_hi - r_lo
+            if len(w) and w.max() > width:
+                raise ValueError(
+                    f"interval_overlap_join: right interval wider than "
+                    f"max_width={max_width} (saw {w.max()})"
+                )
+        order = np.argsort(r_lo, kind="stable")
+        r_sorted = r_idx[order]
+        lo_s, hi_s = r_lo[order], r_hi[order]
+        l_lo, l_hi = lo[l_idx], hi[l_idx]
+        a = np.searchsorted(lo_s, l_hi, side="left")   # r_lo < l_hi
+        if width is not None:
+            b = np.searchsorted(lo_s, l_lo - width, side="right")
+        else:
+            b = np.zeros(len(l_lo), dtype=np.int64)
+        counts = a - b
+        counts = np.maximum(counts, 0)
+        tot = int(counts.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        offs = (np.arange(tot) - np.repeat(cum[:-1], counts)
+                + np.repeat(b, counts))
+        l_rep = np.repeat(l_idx, counts)
+        cand = r_sorted[offs]
+        cand_hi = hi_s[offs]
+        keep = cand_hi > np.repeat(l_lo, counts)        # r_hi > l_lo
+        if not keep.any():
+            return out_schema.empty_table()
+        lefts = group.take(pa.array(l_rep[keep], pa.int64()))
+        rights = group.take(pa.array(cand[keep], pa.int64()))
+        cols = {c: lefts.column(f"l_{c}") for c in left_cols}
+        for c in right_cols:
+            cols[c] = rights.column(f"r_{c}")
+        return pa.table(cols, schema=out_schema)
+
+    import ray.data
+
+    matched = both.groupby("__key").map_groups(
+        match_group, batch_format="pyarrow"
+    )
+    return ray.data.from_arrow(out_schema.empty_table()).union(
+        _coerce_blocks(matched, out_schema)
+    )
