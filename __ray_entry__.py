@@ -2926,6 +2926,24 @@ def _q_error_purchase_overlap(sf_dir: str):
     )
 
 
+def _q_mix_weighted(sf_dir: str):
+    """Target-mix resampling (Pile/Dolma-style data mixing): downsample
+    languages to the largest corpus satisfying explicit weights;
+    deterministic (md5(doc_id), doc_id) per-group order, per-group
+    quotas broadcast."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.mix import rebalance_weighted
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return rebalance_weighted(
+        ds, "lang", "doc_id",
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1},
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase, strictly increasing
     timestamps, 36-hour window): one key-space partition exchange,
@@ -3211,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_similar_pairs": _q_tfidf_similar_pairs,
         # ordered funnel analytics + interval overlap join
         "events_funnel": _q_events_funnel,
+        "mix_weighted": _q_mix_weighted,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3327,6 +3346,29 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "mix_weighted": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+                FROM documents GROUP BY lang
+            ), w(lang, w) AS (
+                VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+                       ('es', 0.1), ('zh', 0.1)
+            ), s AS (
+                SELECT min(cnt / w) AS scale FROM c JOIN w USING (lang)
+            ), q AS (
+                SELECT w.lang, CAST(floor(w.w * s.scale) AS BIGINT) AS n_keep
+                FROM w, s
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang
+            FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.n_keep
         """,
         "error_purchase_overlap": """
             SELECT e.user_id AS user_id, e.event_id AS err_id,

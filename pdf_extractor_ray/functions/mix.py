@@ -217,3 +217,65 @@ def snapshot_diff(old_ds, new_ds, key_col: str, val_col: str,
         })
 
     return both.groupby("__part").map_groups(classify, batch_format="pyarrow")
+
+
+def rebalance_weighted(ds, group_col: str, key_col: str,
+                       weights: Mapping[str, float]):
+    """Target-mix resampling: downsample groups to the LARGEST corpus
+    that satisfies explicit mixture ``weights`` (the Pile/Dolma-style
+    data-mixing step — "50% en, 30% de, 20% fr"). Groups not in
+    ``weights`` are dropped.
+
+    The feasible scale is ``min_g(count_g / w_g)``; each kept group
+    contributes ``floor(w_g · scale)`` rows chosen by the deterministic
+    ``(md5(key), key)`` order — reproducible, SQL-mirrorable, no RNG.
+    Same two-pass plan as :func:`rebalance_equal` (count-only groupby
+    → one stratified shuffle); per-group quotas broadcast as a dict.
+    """
+    import numpy as np
+
+    w = {g: float(v) for g, v in weights.items()}
+    if not w or any(v <= 0 for v in w.values()):
+        raise ValueError("weights must be a non-empty map of positives")
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    missing = set(w) - set(counts)
+    if missing:
+        raise ValueError(
+            f"rebalance_weighted: weight groups absent from data: "
+            f"{sorted(missing)}"
+        )
+    scale = min(counts[g] / v for g, v in w.items())
+    quota = {g: int(np.floor(v * scale)) for g, v in w.items()}
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(
+            pc.is_in(batch.column(group_col),
+                     value_set=pa.array(sorted(w), pa.string()))
+        )
+        ranks = [
+            hashlib.md5(str(v).encode()).hexdigest()
+            for v in b.column(key_col).to_pylist()
+        ]
+        return b.append_column("__rank", pa.array(ranks, pa.string()))
+
+    def head(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = group.column(group_col)[0].as_py()
+        r = np.asarray(group.column("__rank").to_pylist())
+        k = np.asarray(group.column(key_col).to_pylist())
+        order = np.lexsort((k, r))[: quota[g]]
+        return group.take(pa.array(order, pa.int64())).drop_columns(
+            ["__rank"]
+        )
+
+    return (
+        ds.map_batches(add_rank, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(head, batch_format="pyarrow")
+    )

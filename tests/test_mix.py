@@ -199,3 +199,32 @@ def test_char_entropy_non_ascii_fallback_matches_counter():
         p = counts / counts.sum()
         want = float(-(p * np.log2(p)).sum())
         assert out[i] == pytest.approx(want, abs=1e-6)
+
+
+def test_rebalance_weighted_quotas_and_determinism(ray_session):
+    from pdf_extractor_ray.functions.mix import rebalance_weighted
+
+    df = rebalance_weighted(
+        _docs_ds(200), "lang", "doc_id", {"en": 0.5, "de": 0.5}
+    ).to_pandas()
+    src = _docs_ds(200).to_pandas()
+    cnt = src.groupby("lang").size()
+    scale = min(cnt["en"] / 0.5, cnt["de"] / 0.5)
+    sizes = df.groupby("lang").size()
+    assert set(sizes.index) == {"en", "de"}  # 'fr' dropped (no weight)
+    assert sizes["en"] == int(0.5 * scale)
+    assert sizes["de"] == int(0.5 * scale)
+    # deterministic pick: first-quota by (md5(doc_id), doc_id) in group
+    for lang in ("en", "de"):
+        grp = src[src["lang"] == lang]["doc_id"]
+        ranked = sorted(
+            grp, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[: int(sizes[lang])]
+        assert set(df[df["lang"] == lang]["doc_id"]) == set(ranked)
+
+
+def test_rebalance_weighted_rejects_missing_group(ray_session):
+    from pdf_extractor_ray.functions.mix import rebalance_weighted
+
+    with pytest.raises(ValueError, match="absent from data"):
+        rebalance_weighted(_docs_ds(50), "lang", "doc_id", {"xx": 1.0})
