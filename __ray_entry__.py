@@ -2944,6 +2944,47 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_training_mix(sf_dir: str):
+    """END-TO-END training-mix pipeline, every stage SQL-expressible so
+    the ORACLE CHECKS THE WHOLE COMPOSITION: length gate (global exact
+    percentile, broadcast scalar) → exact dedup (hash groupby, min-id
+    representative) → weighted language mixing (Pile/Dolma-style) →
+    deterministic train/val split → per-(lang, split) profile. One
+    streaming plan; no stage materializes the corpus."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.dedup import add_exact_hash
+    from pdf_extractor_ray.functions.mix import (
+        percentile_keep,
+        rebalance_weighted,
+        split_assign,
+    )
+    from pdf_extractor_ray.pipelines.corpus_prep import exact_dedup_rows
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "text", "n_chars"],
+    )
+    gated, _thr = percentile_keep(docs, "n_chars", 0.1, keep="upper")
+    deduped = exact_dedup_rows(
+        gated.map_batches(add_exact_hash, batch_format="pyarrow")
+    )
+    mixed = rebalance_weighted(
+        deduped, "lang", "doc_id",
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1},
+    )
+    split = split_assign(mixed, "doc_id", {"train": 0.9, "val": 0.1})
+    return lowcard_groupby_agg(
+        split,
+        keys=["lang", "split"],
+        specs=[
+            ("doc_id", "count", "n_docs"),
+            ("n_chars", "sum", "sum_chars"),
+        ],
+    )
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase, strictly increasing
     timestamps, 36-hour window): one key-space partition exchange,
@@ -3230,6 +3271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered funnel analytics + interval overlap join
         "events_funnel": _q_events_funnel,
         "mix_weighted": _q_mix_weighted,
+        "training_mix": _q_training_mix,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3346,6 +3388,50 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "training_mix": """
+            WITH t AS (
+                SELECT round(quantile_cont(n_chars, 0.1), 6) AS thr
+                FROM documents
+            ), g AS (
+                SELECT doc_id, lang, text, n_chars
+                FROM documents, t WHERE n_chars >= thr
+            ), reps AS (
+                SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)
+            ), dd AS (
+                SELECT g.* FROM g JOIN reps USING (doc_id)
+            ), c AS (
+                SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+                FROM dd GROUP BY lang
+            ), w(lang, w) AS (
+                VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+                       ('es', 0.1), ('zh', 0.1)
+            ), s AS (
+                SELECT min(cnt / w) AS scale FROM c JOIN w USING (lang)
+            ), q AS (
+                SELECT w.lang, CAST(floor(w.w * s.scale) AS BIGINT) AS n_keep
+                FROM w, s
+            ), r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM dd
+            ), m AS (
+                SELECT r.doc_id, r.lang, r.n_chars
+                FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.n_keep
+            ), sp AS (
+                SELECT lang, n_chars,
+                       CASE WHEN CAST(concat('0x',
+                                substr(md5(concat(':', CAST(doc_id AS VARCHAR))),
+                                       1, 13)) AS UBIGINT) < 4053239664633446
+                            THEN 'train' ELSE 'val' END AS split
+                FROM m
+            )
+            SELECT lang, split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM sp GROUP BY lang, split
         """,
         "mix_weighted": """
             WITH c AS (
