@@ -2944,6 +2944,43 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_next_purchase_after_error(sf_dir: str):
+    """FORWARD as-of join with tolerance (merge_asof parity): each
+    error event attributed to the user's NEXT purchase within 2 days
+    (NULL when none) — the attribution shape backward asof cannot
+    express. Ties break to the smallest (ts, event_id)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def pick(etype, idname):
+        def f(batch):
+            b = batch.filter(pc.equal(batch.column("event_type"), etype))
+            return pa.table({
+                idname: b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+            })
+        return f
+
+    err = ev.map_batches(pick("error", "err_id"), batch_format="pyarrow")
+    pur = ev.map_batches(pick("purchase", "pur_id"), batch_format="pyarrow")
+    return asof_join(
+        err, pur, key="user_id", left_ts="ts", right_ts="ts",
+        right_tiebreak="pur_id",
+        left_cols=["err_id", "user_id"], right_cols=["pur_id"],
+        direction="forward", tolerance=datetime.timedelta(days=2),
+    )
+
+
 def _q_training_mix(sf_dir: str):
     """END-TO-END training-mix pipeline, every stage SQL-expressible so
     the ORACLE CHECKS THE WHOLE COMPOSITION: length gate (global exact
@@ -3272,6 +3309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "mix_weighted": _q_mix_weighted,
         "training_mix": _q_training_mix,
+        "next_purchase_after_error": _q_next_purchase_after_error,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3388,6 +3426,19 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "next_purchase_after_error": """
+            SELECT err_id, user_id, pur_id FROM (
+                SELECT e.event_id AS err_id, e.user_id,
+                       p.event_id AS pur_id,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY p.ts, p.event_id) AS rn
+                FROM events e LEFT JOIN events p
+                  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 2 DAY
+                WHERE e.event_type = 'error'
+            ) WHERE rn = 1
         """,
         "training_mix": """
             WITH t AS (

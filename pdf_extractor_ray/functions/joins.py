@@ -39,9 +39,33 @@ def asof_join(
     right_tiebreak: str,
     left_cols: Sequence[str],
     right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance=None,
 ):
-    """Left-outer as-of join. Output columns: ``left_cols`` +
-    ``right_cols`` (nullable where no right row qualifies)."""
+    """Left-outer as-of join (pandas ``merge_asof`` surface). Output
+    columns: ``left_cols`` + ``right_cols`` (nullable where no right
+    row qualifies).
+
+    ``direction``: ``backward`` (default — latest right row with
+    ``r_ts <= l_ts``, ties to the LARGEST tiebreak) or ``forward``
+    (earliest right row with ``r_ts >= l_ts``, ties to the SMALLEST
+    tiebreak — the "next event after" attribution shape).
+    ``tolerance``: optional max |r_ts − l_ts| as a
+    ``datetime.timedelta`` or int µs; matches outside it become NULL.
+    """
+    import datetime
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    tol_us = None
+    if tolerance is not None:
+        tol_us = (
+            int(tolerance.total_seconds() * 1_000_000)
+            if isinstance(tolerance, datetime.timedelta)
+            else int(tolerance)
+        )
     left_cols = list(left_cols)
     right_cols = list(right_cols)
 
@@ -120,12 +144,25 @@ def asof_join(
             for c in right_cols:
                 cols[c] = pa.nulls(len(l_idx), out_schema.field(c).type)
             return pa.table(cols, schema=out_schema)
-        # sort right side by (ts, tiebreak) — searchsorted then walks back
+        # sort right side by (ts, tiebreak); backward walks back from
+        # searchsorted-right, forward takes searchsorted-left
         order = np.lexsort((tb[r_idx], ts[r_idx]))
         r_sorted = r_idx[order]
         r_ts = ts[r_sorted]
-        pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
-        has = pos >= 0
+        l_ts = ts[l_idx]
+        if direction == "backward":
+            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+            has = pos >= 0
+            if tol_us is not None:
+                has &= (l_ts - r_ts[np.clip(pos, 0, None)]) <= tol_us
+        else:
+            pos = np.searchsorted(r_ts, l_ts, side="left")
+            has = pos < len(r_ts)
+            if tol_us is not None:
+                has &= (
+                    r_ts[np.clip(pos, 0, len(r_ts) - 1)] - l_ts
+                ) <= tol_us
+            pos = np.clip(pos, 0, len(r_ts) - 1)
         take_r = np.where(has, r_sorted[np.clip(pos, 0, None)], -1)
         rights = group.take(pa.array(np.clip(take_r, 0, None), pa.int64()))
         cols = {c: lefts.column(f"l_{c}") for c in left_cols}

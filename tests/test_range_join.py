@@ -192,3 +192,31 @@ def test_interval_overlap_join_width_contract(ray_session):
             right_lo="lo", right_hi="hi",
             left_cols=["lid"], right_cols=["rid"], max_width=10,
         ).to_pandas()
+
+
+def test_asof_forward_with_tolerance(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import asof_join
+
+    def mk(rows, idc):
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            idc: pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, r[2], r[3]) for r in rows],
+                           pa.timestamp("us")),
+        }))
+
+    left = mk([(1, 10, 1, 0), (1, 11, 5, 0), (2, 20, 1, 0)], "lid")
+    right = mk([(1, 90, 1, 6), (1, 91, 1, 6), (1, 92, 2, 0),
+                (2, 93, 9, 0)], "rid")
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_tiebreak="rid", left_cols=["lid"], right_cols=["rid"],
+        direction="forward", tolerance=dt.timedelta(days=2),
+    ).to_pandas().set_index("lid")["rid"]
+    assert out[10] == 90      # tie at same ts -> smallest tiebreak
+    assert np.isnan(out[11])  # next right is 4 days earlier side: none ahead
+    assert np.isnan(out[20])  # right at day 9 is beyond 2-day tolerance
