@@ -2944,6 +2944,29 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Zipf power-law fit of the token frequency distribution (corpus
+    health diagnostic — natural corpora fit slope ≈ −1; synthetic /
+    template corpora run flat): one distributed word-frequency pass
+    (bounded top-k), log-log least squares on the driver."""
+    from pdf_extractor_ray.functions.bpe import word_freqs
+
+    rows = word_freqs(_docs(sf_dir), top_words=100).take_all()
+    n = np.asarray([r["n"] for r in rows], dtype=np.float64)
+    r = np.arange(1, len(n) + 1, dtype=np.float64)
+    x, y = np.log(r), np.log(n)
+    mx, my = x.mean(), y.mean()
+    varx = (x * x).mean() - mx * mx
+    slope = ((x * y).mean() - mx * my) / varx
+    intercept = my - slope * mx
+    rnd = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6 * np.sign(v))
+    return pa.table({
+        "slope": pa.array([rnd(slope)], pa.float64()),
+        "intercept": pa.array([rnd(intercept)], pa.float64()),
+        "k": pa.array([len(n)], pa.int64()),
+    })
+
+
 def _q_next_purchase_after_error(sf_dir: str):
     """FORWARD as-of join with tolerance (merge_asof parity): each
     error event attributed to the user's NEXT purchase within 2 days
@@ -3310,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_weighted": _q_mix_weighted,
         "training_mix": _q_training_mix,
         "next_purchase_after_error": _q_next_purchase_after_error,
+        "zipf_fit": _q_zipf_fit,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3426,6 +3450,23 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "zipf_fit": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+                FROM documents
+            ), cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+            top AS (
+                SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r
+                FROM cnt ORDER BY n DESC, w LIMIT 100
+            )
+            SELECT round(regr_slope(ln(CAST(n AS DOUBLE)),
+                                    ln(CAST(r AS DOUBLE))), 6) AS slope,
+                   round(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                        ln(CAST(r AS DOUBLE))), 6) AS intercept,
+                   count(*) AS k
+            FROM top
         """,
         "next_purchase_after_error": """
             SELECT err_id, user_id, pur_id FROM (
