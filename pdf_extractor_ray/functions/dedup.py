@@ -445,55 +445,69 @@ def minhash_lsh_verified(
         how="inner", num_partitions=8,  # candidate-sized join — few buckets
     )
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        slots = group.column("slot").to_pylist()
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("pair_a").to_numpy(zero_copy_only=False)
+        b = batch.column("pair_b").to_numpy(zero_copy_only=False)
+        part = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + b.view(np.uint64)) % 32
+        ).astype(np.int32)
+        return batch.append_column("__vpart", pa.array(part, pa.int32()))
+
+    def verify_partition(group: pa.Table) -> pa.Table:
+        # all rows of one (pair_a, pair_b) land in this partition;
+        # lexsort + run detection replaces the per-pair map_groups
+        # (composite-key groupby measured ~5x the partition fold)
+        a = group.column("pair_a").to_numpy(zero_copy_only=False)
+        b = group.column("pair_b").to_numpy(zero_copy_only=False)
+        slot = group.column("slot").to_numpy(zero_copy_only=False)
         sh = group.column("shingles").to_pylist()
-        sa = sb = None
-        for s, v in zip(slots, sh):  # repeats collapse: first per slot
-            if s == 0 and sa is None:
-                sa = v
-            elif s == 1 and sb is None:
-                sb = v
-        if sa is None or sb is None:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        na, nb = len(sa), len(sb)
-        if na == 0 and nb == 0:
-            sim = 1.0
-        elif na == 0 or nb == 0:
-            sim = 0.0
-        else:
-            inter = len(
-                np.intersect1d(
-                    np.asarray(sa, np.uint32),
-                    np.asarray(sb, np.uint32),
-                    assume_unique=True,
+        order = np.lexsort((slot, b, a))
+        sa_, sb_, ss = a[order], b[order], slot[order]
+        change = np.concatenate(
+            [[True], (sa_[1:] != sa_[:-1]) | (sb_[1:] != sb_[:-1])]
+        )
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [len(sa_)]])
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            run_slots = ss[s:e]
+            i0 = np.nonzero(run_slots == 0)[0]
+            i1 = np.nonzero(run_slots == 1)[0]
+            if len(i0) == 0 or len(i1) == 0:
+                continue
+            va = sh[order[s + i0[0]]]
+            vb = sh[order[s + i1[0]]]
+            na, nb = len(va), len(vb)
+            if na == 0 and nb == 0:
+                sim = 1.0
+            elif na == 0 or nb == 0:
+                sim = 0.0
+            else:
+                inter = len(
+                    np.intersect1d(
+                        np.asarray(va, np.uint32),
+                        np.asarray(vb, np.uint32),
+                        assume_unique=True,
+                    )
                 )
-            )
-            sim = inter / (na + nb - inter)
-        if sim < threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+                sim = inter / (na + nb - inter)
+            if sim >= threshold:
+                out_a.append(int(sa_[s]))
+                out_b.append(int(sb_[s]))
+                out_j.append(round(sim, 6))
         return pa.table(
             {
-                "doc_a": group.column("pair_a").slice(0, 1),
-                "doc_b": group.column("pair_b").slice(0, 1),
-                "jaccard": pa.array([round(sim, 6)], pa.float64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
-    return joined.groupby(["pair_a", "pair_b"]).map_groups(
-        verify_group, batch_format="pyarrow"
+    return (
+        joined.map_batches(add_vpart, batch_format="pyarrow")
+        .groupby("__vpart")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
 
 
