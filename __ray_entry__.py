@@ -2944,6 +2944,16 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction: top-25 bigrams scored with pointwise
+    mutual information (Church & Hanks 1990); two bounded passes —
+    distributed bigram top-k, then one streaming fold of the needed
+    unigram counts + totals (word set broadcast, ≤2k words)."""
+    from pdf_extractor_ray.functions.text import pmi_top_bigrams
+
+    return pmi_top_bigrams(_docs(sf_dir), k=25)
+
+
 def _q_zipf_fit(sf_dir: str):
     """Zipf power-law fit of the token frequency distribution (corpus
     health diagnostic — natural corpora fit slope ≈ −1; synthetic /
@@ -3334,6 +3344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": _q_training_mix,
         "next_purchase_after_error": _q_next_purchase_after_error,
         "zipf_fit": _q_zipf_fit,
+        "pmi_bigrams": _q_pmi_bigrams,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3450,6 +3461,29 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "pmi_bigrams": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), uni AS (SELECT unnest(t) AS w FROM toks),
+            n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            bi AS (
+                SELECT unnest([array_to_string(t[i:i+1], ' ')
+                               for i in range(1, len(t))]) AS g
+                FROM toks WHERE len(t) >= 2
+            ), n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bi),
+            topb AS (
+                SELECT g, count(*) AS c FROM bi GROUP BY g
+                ORDER BY c DESC, g LIMIT 25
+            ), uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                      FROM uni GROUP BY w)
+            SELECT topb.g AS ngram, CAST(topb.c AS BIGINT) AS n,
+                   round(ln( (topb.c / n2.n)
+                             / ((ua.c / n1.n) * (ub.c / n1.n)) ), 6) AS pmi
+            FROM topb, n1, n2
+            JOIN uc ua ON ua.w = string_split(topb.g, ' ')[1]
+            JOIN uc ub ON ub.w = string_split(topb.g, ' ')[2]
         """,
         "zipf_fit": """
             WITH tok AS (

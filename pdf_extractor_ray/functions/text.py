@@ -964,3 +964,86 @@ def char_entropy(batch: pa.Table, text_col: str = "text",
             ),
         }
     )
+
+
+def pmi_top_bigrams(docs_ds, k: int = 25, text_col: str = "text"):
+    """Collocation extraction: the top-k bigrams by count, scored with
+    pointwise mutual information
+    ``PMI = ln( P(xy) / (P(x)·P(y)) )`` (Church & Hanks 1990) — the
+    classic signal separating true collocations ("new york") from
+    merely-frequent pairs ("of the").
+
+    Two passes, both bounded: (1) the existing distributed bigram
+    count → top-k (sort over DISTINCT grams only); (2) one streaming
+    pass that folds, per block, the total token / bigram-window counts
+    plus counts of ONLY the ≤2k words appearing in the top bigrams
+    (word set broadcast — tiny by construction). PMI is derived on the
+    driver from k+2k+2 numbers. Output: (ngram, n, pmi) rounded 6,
+    sorted by (pmi desc, ngram).
+    """
+    import collections
+
+    import numpy as np
+    import ray
+
+    top = top_ngrams(docs_ds, n=2, k=k, text_col=text_col).take_all()
+    if not top:
+        return pa.table({
+            "ngram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        })
+    grams = [(r["ngram"], int(r["n"])) for r in top]
+    words = sorted({w for g, _ in grams for w in g.split(" ")})
+    words_ref = ray.put(frozenset(words))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(words_ref)
+        c: collections.Counter = collections.Counter()
+        tot_uni = tot_bi = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            tot_uni += len(toks)
+            tot_bi += max(len(toks) - 1, 0)
+            for w in toks:
+                if w in wanted:
+                    c[w] += 1
+        keys = list(c.keys()) + ["\x00uni", "\x00bi"]
+        vals = list(c.values()) + [tot_uni, tot_bi]
+        return pa.table({
+            "w": pa.array(keys, pa.string()),
+            "n": pa.array(vals, pa.int64()),
+        })
+
+    from .agg import lowcard_groupby_agg
+
+    folded = lowcard_groupby_agg(
+        docs_ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["w"],
+        specs=[("n", "sum", "c")],
+    )
+    counts = {
+        w: int(n) for w, n in zip(
+            folded.column("w").to_pylist(), folded.column("c").to_pylist()
+        )
+    }
+    n1 = float(counts.pop("\x00uni"))
+    n2 = float(counts.pop("\x00bi"))
+    out_g, out_n, out_p = [], [], []
+    for g, c_xy in grams:
+        x, y = g.split(" ")
+        pmi = float(np.log(
+            (c_xy / n2) / ((counts[x] / n1) * (counts[y] / n1))
+        ))
+        out_g.append(g)
+        out_n.append(c_xy)
+        out_p.append(float(np.floor(abs(pmi) * 1e6 + 0.5) / 1e6
+                           * np.sign(pmi)) if pmi != 0 else 0.0)
+    order = sorted(range(len(out_g)), key=lambda i: (-out_p[i], out_g[i]))
+    return pa.table({
+        "ngram": pa.array([out_g[i] for i in order], pa.string()),
+        "n": pa.array([out_n[i] for i in order], pa.int64()),
+        "pmi": pa.array([out_p[i] for i in order], pa.float64()),
+    })

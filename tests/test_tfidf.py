@@ -112,3 +112,28 @@ def test_tfidf_short_docs_yield_no_shingles(ray_session):
         "text": pa.array(["one two", "one two"]),  # < ngram words
     }))
     assert tfidf_cosine_pairs(docs, threshold=0.1, max_df=10).count() == 0
+
+
+def test_pmi_bigrams_scores_collocations(ray_session):
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import pmi_top_bigrams
+
+    # "strong coffee" always co-occurs; "the cat" shares 'the' with
+    # many other pairs -> lower PMI
+    texts = (["strong coffee please"] * 4
+             + ["the cat sat", "the dog ran", "the bird flew",
+                "the cat ran", "the the the the"])
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = pmi_top_bigrams(docs, k=10).to_pandas().set_index("ngram")
+    # manual PMI for 'strong coffee': c_xy=4, N2=19, c_x=c_y=4, N1=28
+    want = math.log((4 / 19) / ((4 / 28) * (4 / 28)))
+    assert out.loc["strong coffee", "pmi"] == pytest.approx(want, abs=1e-6)
+    assert out.loc["strong coffee", "pmi"] > out.loc["the cat", "pmi"]
+    # sorted by pmi desc
+    assert list(out["pmi"]) == sorted(out["pmi"], reverse=True)
