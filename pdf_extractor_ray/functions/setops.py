@@ -20,14 +20,21 @@ _SEP = "\x1f"  # unit separator: cannot appear in the str() of test keys
 
 
 def _distinct(ds, cols: Sequence[str]):
-    """Native multi-key distinct: groupby(cols).count() then drop the
-    count — one hash shuffle, unbounded key cardinality."""
+    """Multi-key distinct as a partition fold (the native composite-key
+    groupby measured ~5x slower — see ``agg.partition_fold``): one
+    partition exchange, per-partition lexsort run-detection keeps one
+    row per key combination."""
+    from .agg import partition_fold
+
     cols = list(cols)
-    return (
-        ds.select_columns(cols)
-        .groupby(cols)
-        .count()
-        .drop_columns(["count()"])
+    keyed = ds.select_columns(cols).map_batches(
+        lambda b: b.append_column(
+            "__one", pa.array([1] * b.num_rows, pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    return partition_fold(keyed, cols, "__one", fn="min").drop_columns(
+        ["__one"]
     )
 
 
