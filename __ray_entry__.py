@@ -2944,6 +2944,27 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_host_group_split(sf_dir: str):
+    """GROUP-level train/test split: the split key is the URL HOST, so
+    every page of a site lands in ONE split — the leakage control a
+    per-document split cannot give (near-dup pages of one site would
+    straddle train/test). Same md5-band machinery, zero shuffle."""
+    from pdf_extractor_ray.functions.mix import split_assign
+    from pdf_extractor_ray.functions.url import parse_urls
+
+    parsed = _doc_urls(sf_dir).map_batches(
+        parse_urls, batch_format="pyarrow"
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "host"])
+
+    return split_assign(
+        parsed.map_batches(slim, batch_format="pyarrow"),
+        "host", {"train": 0.8, "test": 0.2},
+    ).select_columns(["doc_id", "host", "split"])
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top-25 bigrams scored with pointwise
     mutual information (Church & Hanks 1990); two bounded passes —
@@ -3345,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_purchase_after_error": _q_next_purchase_after_error,
         "zipf_fit": _q_zipf_fit,
         "pmi_bigrams": _q_pmi_bigrams,
+        "host_group_split": _q_host_group_split,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3461,6 +3483,21 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "host_group_split": """
+            WITH u AS (
+                SELECT doc_id,
+                       source || '.example.' ||
+                       (CASE WHEN doc_id % 3 = 0
+                             THEN 'org' ELSE 'com' END) AS host
+                FROM documents
+            )
+            SELECT doc_id, host,
+                   CASE WHEN CAST(concat('0x',
+                            substr(md5(concat(':', host)), 1, 13))
+                        AS UBIGINT) < 3602879701896397
+                        THEN 'train' ELSE 'test' END AS split
+            FROM u
         """,
         "pmi_bigrams": """
             WITH toks AS (
