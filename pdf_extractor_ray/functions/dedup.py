@@ -967,20 +967,33 @@ def interdoc_line_dedup(docs_ds, max_docs: int = 1, text_col: str = "text",
         how="anti",
     )
 
+    def add_rpart(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids.view(np.uint64) % 64).astype(np.int32)
+        return batch.append_column("__rpart", pa.array(part, pa.int32()))
+
     def reassemble(group: pa.Table) -> pa.Table:
-        order = np.argsort(
-            np.asarray(group.column("idx").to_pylist()), kind="stable"
-        )
-        lines = group.column("line").take(pa.array(order, pa.int64()))
-        clean = "\n".join(lines.to_pylist())
+        # partition fold: all surviving lines of a doc land here; one
+        # (doc, idx) lexsort + run walk reassembles every doc in the
+        # partition (per-doc map_groups measured ~5x slower)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        idx = group.column("idx").to_numpy(zero_copy_only=False)
+        lines = group.column("line").to_pylist()
+        order = np.lexsort((idx, ids))
+        si = ids[order]
+        starts = np.nonzero(np.concatenate([[True], si[1:] != si[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(si)]])
+        out_id, out_n, out_md5 = [], [], []
+        for s, e in zip(starts, ends):
+            clean = "\n".join(lines[order[j]] for j in range(s, e))
+            out_id.append(int(si[s]))
+            out_n.append(int(e - s))
+            out_md5.append(hashlib.md5(clean.encode("utf-8")).hexdigest())
         return pa.table(
             {
-                id_col: group.column(id_col).slice(0, 1),
-                "n_kept": pa.array([len(order)], pa.int64()),
-                "clean_md5": pa.array(
-                    [hashlib.md5(clean.encode("utf-8")).hexdigest()],
-                    pa.string(),
-                ),
+                id_col: pa.array(out_id, pa.int64()),
+                "n_kept": pa.array(out_n, pa.int64()),
+                "clean_md5": pa.array(out_md5, pa.string()),
             }
         )
 
@@ -1002,9 +1015,9 @@ def interdoc_line_dedup(docs_ds, max_docs: int = 1, text_col: str = "text",
     )
     agg = ray.data.from_arrow(agg_schema.empty_table()).union(
         _coerce_blocks(
-            kept.groupby(id_col).map_groups(
-                reassemble, batch_format="pyarrow"
-            ),
+            kept.map_batches(add_rpart, batch_format="pyarrow")
+            .groupby("__rpart")
+            .map_groups(reassemble, batch_format="pyarrow"),
             agg_schema,
         )
     )
