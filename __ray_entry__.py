@@ -2944,6 +2944,20 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_chars_skew_by_lang(sf_dir: str):
+    """Per-language sample skewness + excess kurtosis of document
+    length — the higher-moment profile (heavy-tail detection) from
+    exact int64 power sums; order-independent by construction."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_skew_kurt
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_skew_kurt(ds, "lang", "n_chars")
+
+
 def _q_host_group_split(sf_dir: str):
     """GROUP-level train/test split: the split key is the URL HOST, so
     every page of a site lands in ONE split — the leakage control a
@@ -3367,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "pmi_bigrams": _q_pmi_bigrams,
         "host_group_split": _q_host_group_split,
+        "chars_skew_by_lang": _q_chars_skew_by_lang,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3482,6 +3497,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
+            FROM documents GROUP BY lang
+        """,
+        "chars_skew_by_lang": """
+            SELECT lang, count(*) AS n,
+                   round(skewness(n_chars), 6) AS skewness,
+                   round(kurtosis(n_chars), 6) AS kurtosis
             FROM documents GROUP BY lang
         """,
         "host_group_split": """

@@ -1212,3 +1212,84 @@ def partition_fold(ds, key_cols: Sequence[str], val_col: str,
         .groupby("__fpart")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def grouped_skew_kurt(ds, key: str, col: str):
+    """Per-group sample SKEWNESS and excess KURTOSIS (DuckDB / pandas
+    definitions: adjusted Fisher–Pearson g1, bias-corrected g2) from
+    EXACT integer power sums — the higher-moment tail of the grouped
+    statistics family (mean/stddev/corr/regr/median/MAD already
+    covered).
+
+    ``col`` must be integral: per-block partials fold Σx, Σx², Σx³,
+    Σx⁴ as int64s through :func:`lowcard_groupby_agg` (exact — shuffle
+    order can never flip an oracle hash); moments derive on the driver
+    in float64. HEADROOM CONTRACT (same style as grouped_linreg):
+    Σ|x|⁴ per group must stay ≤ 9.2e18 — |x| ≤ 5,000 allows ~1.4e4
+    rows/group; |x| ≤ 500 allows ~1.4e8. Scale wider columns down (or
+    extend the fold to a second int64 limb) before calling.
+
+    Output: (key, n int64, skewness, kurtosis) rounded half-away to 6
+    digits; NULL where n < 3 / n < 4 respectively or variance is zero
+    (SQL semantics).
+    """
+    import numpy as np
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.int64())
+        x2 = pc.multiply_checked(x, x)
+        x3 = pc.multiply_checked(x2, x)
+        x4 = pc.multiply_checked(x3, x)  # checked: overflow raises loudly
+        return pa.table({
+            key: batch.column(key),
+            "__s1": x, "__s2": x2, "__s3": x3, "__s4": x4,
+        })
+
+    t = lowcard_groupby_agg(
+        ds.select_columns([key, col]).map_batches(
+            widen, batch_format="pyarrow"
+        ),
+        keys=[key],
+        specs=[
+            ("__s1", "count", "n"),
+            ("__s1", "sum", "s1"),
+            ("__s2", "sum", "s2"),
+            ("__s3", "sum", "s3"),
+            ("__s4", "sum", "s4"),
+        ],
+    )
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = t.column("s1").to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+    s3 = t.column("s3").to_numpy(zero_copy_only=False).astype(np.float64)
+    s4 = t.column("s4").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+        m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+              - 3 * mu ** 4)
+        g1 = m3 / m2 ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / (m2 * m2) - 3.0
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    def rnd(v):
+        return np.where(
+            np.isfinite(v),
+            np.floor(np.abs(v) * 1e6 + 0.5) / 1e6 * np.sign(v),
+            np.nan,
+        )
+
+    skew = np.where((n >= 3) & (m2 > 0), rnd(skew), np.nan)
+    kurt = np.where((n >= 4) & (m2 > 0), rnd(kurt), np.nan)
+    return pa.table({
+        key: t.column(key),
+        "n": t.column("n"),
+        "skewness": pa.array(
+            [None if np.isnan(v) else float(v) for v in skew], pa.float64()
+        ),
+        "kurtosis": pa.array(
+            [None if np.isnan(v) else float(v) for v in kurt], pa.float64()
+        ),
+    })

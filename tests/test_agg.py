@@ -322,3 +322,42 @@ def test_partition_fold_matches_pandas_groupby(ray_session):
         want = ref.sort_index()
         assert len(got) == len(want)
         assert np.allclose(got.values, want.values.astype(float), atol=1e-9)
+
+
+def test_grouped_skew_kurt_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_skew_kurt
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 400),
+        "v": rng.randint(1, 500, 400),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = grouped_skew_kurt(ds, "k", "v").to_pandas().set_index("k")
+    for k, grp in df.groupby("k"):
+        assert out.loc[k, "skewness"] == pytest.approx(
+            grp["v"].skew(), abs=1e-6)
+        assert out.loc[k, "kurtosis"] == pytest.approx(
+            grp["v"].kurt(), abs=1e-6)
+
+
+def test_grouped_skew_kurt_degenerate_groups(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_skew_kurt
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["two", "two", "const", "const", "const", "const"]),
+        "v": pa.array([1, 5, 7, 7, 7, 7], pa.int64()),
+    }))
+    out = grouped_skew_kurt(ds, "k", "v").to_pandas().set_index("k")
+    assert pd.isna(out.loc["two", "skewness"])    # n < 3
+    assert pd.isna(out.loc["const", "skewness"])  # zero variance
+    assert pd.isna(out.loc["const", "kurtosis"])
