@@ -2944,6 +2944,23 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_nation_region_grid(sf_dir: str):
+    """CROSS JOIN (grid expansion): every nation x every region —
+    broadcast right side, zero shuffle, loud dimension contract."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import broadcast_cross_join
+
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    regions = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    return broadcast_cross_join(nations, regions)
+
+
 def _q_chars_skew_by_lang(sf_dir: str):
     """Per-language sample skewness + excess kurtosis of document
     length — the higher-moment profile (heavy-tail detection) from
@@ -3382,6 +3399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "host_group_split": _q_host_group_split,
         "chars_skew_by_lang": _q_chars_skew_by_lang,
+        "nation_region_grid": _q_nation_region_grid,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3498,6 +3516,10 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "nation_region_grid": """
+            SELECT n_nationkey, n_name, r_regionkey, r_name
+            FROM nation CROSS JOIN region
         """,
         "chars_skew_by_lang": """
             SELECT lang, count(*) AS n,

@@ -1087,3 +1087,46 @@ def interval_overlap_join(
     return ray.data.from_arrow(out_schema.empty_table()).union(
         _coerce_blocks(matched, out_schema)
     )
+
+
+def broadcast_cross_join(left_ds, right_table: pa.Table,
+                         max_right_rows: int = 10_000):
+    """CROSS JOIN against a SMALL driver-resident table — every left
+    row pairs with every right row (grid/calendar/template expansion
+    shapes). Map-side only, ZERO shuffle: the right table is
+    ``ray.put`` once; each batch expands with one repeat/tile index
+    pair. The dimension contract is loud: output is |left|×|right|
+    rows, so ``max_right_rows`` guards against an accidental
+    corpus-sized right side (use a real join instead).
+    """
+    import ray
+
+    if right_table.num_rows > max_right_rows:
+        raise ValueError(
+            f"broadcast_cross_join: right side has {right_table.num_rows} "
+            f"rows > max_right_rows={max_right_rows} — a cross product "
+            "this size needs a real shuffle plan, not a broadcast"
+        )
+    overlap = set(right_table.column_names)
+
+    r_ref = ray.put(right_table.combine_chunks())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        clash = overlap & set(batch.column_names)
+        if clash:
+            raise ValueError(f"output column collision: {sorted(clash)}")
+        right = ray.get(r_ref)
+        nl, nr = batch.num_rows, right.num_rows
+        if nl == 0 or nr == 0:
+            fields = list(batch.schema) + list(right.schema)
+            return pa.schema(fields).empty_table()
+        li = pa.array(np.repeat(np.arange(nl), nr), pa.int64())
+        ri = pa.array(np.tile(np.arange(nr), nl), pa.int64())
+        lt = batch.take(li)
+        rt = right.take(ri)
+        cols = {c: lt.column(c) for c in lt.column_names}
+        for c in rt.column_names:
+            cols[c] = rt.column(c)
+        return pa.table(cols)
+
+    return left_ds.map_batches(expand, batch_format="pyarrow")

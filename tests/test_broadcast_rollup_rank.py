@@ -218,3 +218,21 @@ def test_grouping_sets_rejects_unknown_column(ray_session):
     with pytest.raises(ValueError, match="non-key columns"):
         grouping_sets_agg(_ds(t), ["a"], sets=[("z",)],
                           specs=[("v", "sum", "s")])
+
+
+def test_broadcast_cross_join_grid_and_cap(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import broadcast_cross_join
+
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = pa.table({"b": pa.array(["x", "y"], pa.string())})
+    out = broadcast_cross_join(left, right).to_pandas()
+    assert len(out) == 6
+    assert sorted(map(tuple, out.itertuples(index=False))) == [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y")]
+    big = pa.table({"b": pa.array(range(20_001), pa.int64())})
+    with pytest.raises(ValueError, match="max_right_rows"):
+        broadcast_cross_join(left, big, max_right_rows=10_000)
