@@ -2944,6 +2944,52 @@ def _q_mix_weighted(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_url_canonical_dedup(sf_dir: str):
+    """Crawl URL dedup on the CANONICAL form: messy variants (default
+    port, uppercased host, fragment) of the same page collapse after
+    ``normalize_urls``; keep min doc_id + copy count per canonical URL
+    — the frontier-dedup stage of a crawler."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.url import normalize_urls
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids:
+            host, path = i % 7, i % 50
+            v = i % 3
+            if v == 0:
+                urls.append(
+                    f"https://W{host}.EXAMPLE.COM:443/p/{path}"
+                )
+            elif v == 1:
+                urls.append(f"https://w{host}.example.com/p/{path}#frag")
+            else:
+                urls.append(f"https://w{host}.example.com/p/{path}")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        .map_batches(messy, batch_format="pyarrow")
+        .map_batches(lambda b: normalize_urls(b), batch_format="pyarrow")
+    )
+    return lowcard_groupby_agg(
+        ds,
+        keys=["url_norm"],
+        specs=[
+            ("doc_id", "min", "representative"),
+            ("doc_id", "count", "n_copies"),
+        ],
+    )
+
+
 def _q_nation_region_grid(sf_dir: str):
     """CROSS JOIN (grid expansion): every nation x every region —
     broadcast right side, zero shuffle, loud dimension contract."""
@@ -3400,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_group_split": _q_host_group_split,
         "chars_skew_by_lang": _q_chars_skew_by_lang,
         "nation_region_grid": _q_nation_region_grid,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "error_purchase_overlap": _q_error_purchase_overlap,
     }
 
@@ -3516,6 +3563,17 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "url_canonical_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://w' || (doc_id % 7) || '.example.com/p/'
+                       || (doc_id % 50) AS url_norm
+                FROM documents
+            )
+            SELECT url_norm, min(doc_id) AS representative,
+                   count(*) AS n_copies
+            FROM u GROUP BY url_norm
         """,
         "nation_region_grid": """
             SELECT n_nationkey, n_name, r_regionkey, r_name
