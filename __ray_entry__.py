@@ -3275,6 +3275,131 @@ def _q_bpe_encode_stats(sf_dir: str):
     return encoded.select_columns(["doc_id", "n_words", "n_bpe_tokens"])
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle over the events stream: users bucketed
+    by first-active week, distinct-counted at each later active week.
+    One user-space exchange; shuffle payload is distinct user-weeks."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import cohort_retention
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ds, key="user_id", ts_col="ts")
+
+
+def _q_event_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    stream (LAG by (ts, event_id) inside user partitions) — the
+    behavioral transition-matrix shape. One user-space exchange,
+    in-partition vectorized shift, |vocab|² fold."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.window import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return transition_counts(
+        ds, key="user_id", ts_col="ts", val_col="event_type",
+        tiebreak="event_id",
+    )
+
+
+def _q_rolling_distinct_users(sf_dir: str):
+    """Trailing-3-day DISTINCT active users per observed day (rolling
+    DAU→WAU shape). COUNT(DISTINCT) over a sliding frame has no
+    partial, so the plan replicates each distinct (day, user) pair to
+    the ≤3 window slots it can serve (payload ∝ 3×distinct user-days)
+    and runs the exact-distinct fold per slot; a tiny observed-days
+    filter (days are low-card by contract) drops phantom slots past
+    gaps/corpus end."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_distinct_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(
+                batch.column("ts").cast(pa.timestamp("us")), unit="day"
+            ),
+            pa.date32(),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pairs = np.unique(np.stack([day, u], axis=1), axis=0)
+        reps = [pairs[:, 0] + off for off in (0, 1, 2)]
+        return pa.table({
+            "window_day": pa.array(
+                np.concatenate(reps).astype(np.int32), pa.date32()
+            ),
+            "user_id": pa.array(np.tile(pairs[:, 1], 3), pa.int64()),
+        })
+
+    counts = exact_distinct_by(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        "window_day", "user_id", out_col="n_users_3d",
+    )
+    # observed days: low-card by contract (calendar), tiny result
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    def days_only(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(
+                pc.floor_temporal(
+                    batch.column("ts").cast(pa.timestamp("us")), unit="day"
+                ),
+                pa.date32(),
+            ),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    obs = lowcard_groupby_agg(
+        ds.map_batches(days_only, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n")],
+    )  # pa.Table, small by low-card contract
+    observed = pa.array(sorted(obs.column("day").to_pylist()), pa.date32())
+
+    # counts is already the folded small table (one row per window day)
+    kept = counts.filter(
+        pc.is_in(counts.column("window_day"), value_set=observed)
+    )
+    return kept.rename_columns(["day", "n_users_3d"])
+
+
+def _q_trimmed_mean_value(sf_dir: str):
+    """Per-type TRIMMED mean of event value (p5–p95 band by the
+    group's own quantile_disc thresholds) — corpus-relative robust
+    aggregation; two linear passes, zero row shuffles."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import trimmed_mean_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return trimmed_mean_by(ds, "event_type", "value",
+                           lo_q=0.05, hi_q=0.95, scale=100)
+
+
+def _q_containment_dups(sf_dir: str):
+    """Directional Jaccard-containment near-dup (quote/template
+    inclusion): |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.6 over
+    word trigram fingerprints — exact, fully distributed (gram-rows
+    shuffle + collision-first pair counts + keys-only size join)."""
+    from pdf_extractor_ray.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), threshold=0.6, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -3448,6 +3573,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_grid": _q_nation_region_grid,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "error_purchase_overlap": _q_error_purchase_overlap,
+        # round-3 tranche: retention / transitions / rolling distinct /
+        # calendar densify / containment dedup
+        "cohort_retention": _q_cohort_retention,
+        "event_type_transitions": _q_event_type_transitions,
+        "rolling_distinct_users": _q_rolling_distinct_users,
+        "trimmed_mean_value": _q_trimmed_mean_value,
+        "containment_dups": _q_containment_dups,
     }
 
 
@@ -4971,5 +5103,93 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT lang, 0.9, round(quantile_cont(n_chars, 0.9), 6)
             FROM documents GROUP BY lang
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS w
+                FROM events
+            ),
+            c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+            SELECT c.cw AS cohort_week,
+                   CAST((uw.w - c.cw) // 7 AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "event_type_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT prev AS prev_type, event_type AS cur_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "rolling_distinct_users": """
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+                       AS n_users_3d
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 2 AND d.day
+            GROUP BY d.day
+        """,
+        "trimmed_mean_value": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS c
+                FROM events
+            ),
+            t AS (
+                SELECT event_type,
+                       quantile_disc(c, 0.05) AS lo,
+                       quantile_disc(c, 0.95) AS hi
+                FROM x GROUP BY event_type
+            )
+            SELECT x.event_type,
+                   round(CAST(t.lo AS DOUBLE) / 100.0, 6) AS lo,
+                   round(CAST(t.hi AS DOUBLE) / 100.0, 6) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(CAST(sum(x.c) AS DOUBLE) / count(*) / 100.0, 6)
+                       AS trimmed_mean
+            FROM x JOIN t ON x.event_type = t.event_type
+            WHERE x.c BETWEEN t.lo AND t.hi
+            GROUP BY x.event_type, t.lo, t.hi
+        """,
+        "containment_dups": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 3
+                         THEN [array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)]
+                         ELSE [array_to_string(t, ' ')] END)) AS gram
+                FROM toks
+                WHERE len(t) >= 1 AND array_to_string(t, '') <> ''
+            ),
+            sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM g GROUP BY doc_id
+            ),
+            shared AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       count(*) AS ns
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.src AS src_doc, s.dst AS dst_doc,
+                   round(CAST(s.ns AS DOUBLE) / sz.n, 6) AS containment
+            FROM shared s JOIN sz ON sz.doc_id = s.src
+            WHERE CAST(s.ns AS DOUBLE) / sz.n >= 0.6
         """,
     }

@@ -125,3 +125,6 @@ from .mix import rebalance_weighted  # noqa: F401
 from .text import pmi_top_bigrams  # noqa: F401
 from .agg import grouped_skew_kurt  # noqa: F401
 from .joins import broadcast_cross_join  # noqa: F401
+from .window import cohort_retention, transition_counts  # noqa: F401
+from .agg import trimmed_mean_by  # noqa: F401
+from .dedup import containment_pairs  # noqa: F401

@@ -1293,3 +1293,89 @@ def grouped_skew_kurt(ds, key: str, col: str):
             [None if np.isnan(v) else float(v) for v in kurt], pa.float64()
         ),
     })
+
+
+def trimmed_mean_by(ds, key: str, col: str,
+                    lo_q: float = 0.05, hi_q: float = 0.95,
+                    scale: int = 100):
+    """Per-group TRIMMED mean — the corpus-relative robust aggregate
+    (outliers clipped at the group's own ``quantile_disc`` thresholds,
+    not fixed constants). The quality-filter shape web pipelines use:
+    "keep the p5–p95 band of each source's length/score distribution,
+    then average".
+
+    Two linear passes, zero row shuffles: (1) the grouped fixed-point
+    histogram pass reads per-group lo/hi thresholds (only
+    (key, value, count) rows move — bounded by the low-card contract
+    underneath); (2) the tiny threshold map is broadcast back and a
+    vectorized filter + exact int64 sum/count fold computes the mean.
+    Float parity: values fixed-point scaled (``round(x·scale)`` int64),
+    mean = int sum / count, rounded half-away-from-zero to 6 digits.
+    Output: (key, lo, hi, n_kept, trimmed_mean)."""
+    import numpy as np
+    import pyarrow.compute as pc2
+    import ray
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(col), pa.float64()), float(scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table({key: batch.column(key), "__x": x})
+
+    scaled = ds.map_batches(widen, batch_format="pyarrow")
+    qt = exact_quantiles_by(scaled, key, "__x", qs=(lo_q, hi_q))
+    bounds = {}
+    for r in qt.to_pylist():
+        lo, hi = bounds.get(r[key], (None, None))
+        if r["q"] == lo_q:
+            lo = r["value"]
+        else:
+            hi = r["value"]
+        bounds[r[key]] = (lo, hi)
+    bounds_ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        x = batch.column("__x").to_numpy(zero_copy_only=False)
+        enc = pc2.dictionary_encode(batch.column(key).combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = enc.dictionary.to_pylist()
+        los = np.array([b.get(g, (np.iinfo(np.int64).min,) * 2)[0]
+                        for g in dict_vals], dtype=np.int64)
+        his = np.array([b.get(g, (0, np.iinfo(np.int64).max))[1]
+                        for g in dict_vals], dtype=np.int64)
+        keep = (x >= los[codes]) & (x <= his[codes])
+        return pa.table({
+            key: batch.column(key).filter(pa.array(keep)),
+            "__x": pa.array(x[keep], pa.int64()),
+        })
+
+    folded = lowcard_groupby_agg(
+        scaled.map_batches(clip, batch_format="pyarrow"),
+        [key],
+        [("__x", "count", "n_kept"), ("__x", "sum", "__s")],
+    )
+    ks = folded.column(key)
+    n = folded.column("n_kept").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    s = folded.column("__s").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    mean = s / n / float(scale)
+    mean = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6, mean)
+    key_list = ks.to_pylist()
+    return pa.table({
+        key: ks,
+        "lo": pa.array(
+            [bounds[g][0] / float(scale) for g in key_list], pa.float64()
+        ),
+        "hi": pa.array(
+            [bounds[g][1] / float(scale) for g in key_list], pa.float64()
+        ),
+        "n_kept": folded.column("n_kept"),
+        "trimmed_mean": pa.array(mean, pa.float64()),
+    })

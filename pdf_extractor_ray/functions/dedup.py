@@ -1141,3 +1141,117 @@ def dup_span_pairs(docs_ds, k: int = 8, max_bucket: int = 4096):
     return bucket_collision_pairs(
         grams, count_col="n_shared", max_bucket=max_bucket
     )
+
+
+def _word_gram64(text: str, k: int) -> "list[int]":
+    """DISTINCT word-k-gram 64-bit fingerprints (blake2b first 8
+    bytes, sign bit cleared). 64-bit space keeps corpus-wide collision
+    odds ~|grams|²/2⁶⁵ — negligible even at 10⁹ distinct grams — so
+    exact intersection COUNTS over the hashes equal counts over the
+    grams themselves (the 32-bit crc space MinHash uses is fine for
+    sketches but would visibly distort exact counts)."""
+    import hashlib
+
+    toks = text.split()
+    if len(toks) < k:
+        if not toks:
+            return []
+        grams = [" ".join(toks)]
+    else:
+        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return [
+        int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+        )
+        & 0x7FFFFFFFFFFFFFFF
+        for g in set(grams)
+    ]
+
+
+def containment_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                      max_bucket: "int | None" = None):
+    """DIRECTIONAL near-dup: (src, dst) pairs where
+    ``|grams(src) ∩ grams(dst)| / |grams(src)| ≥ threshold`` — Jaccard
+    *containment*, the asymmetric relation Jaccard misses: a short doc
+    quoted wholesale inside a long one scores ~1.0 here but low on
+    Jaccard. The quote-inclusion / page-template detector a crawl
+    corpus needs alongside symmetric near-dup.
+
+    Fully distributed EXACT plan (no driver-side corpus): distinct
+    per-doc gram fingerprints explode to (gram, doc_id) rows — the only
+    corpus-sized payload, and it is two int64s per gram; per-doc sizes
+    are ONE partition fold over the same rows; pair intersection counts
+    come from the shared collision-first plan
+    (:func:`bucket_collision_pairs` with ``count_col``); a keys-only
+    hash join attaches |src| and a vectorized filter applies the
+    threshold. ``max_bucket=None`` keeps counts EXACT (oracle parity);
+    pass a cap at web scale to drop stop-phrase grams that are
+    non-discriminative AND O(bucket²) — same trade the winnowing path
+    documents.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from ..functions.agg import partition_fold
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            hs = _word_gram64(t or "", k)
+            grams.extend(hs)
+            ids.extend([d] * len(hs))
+        return pa.table({
+            "gram": pa.array(grams, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    grams = compact_blocks(
+        docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            explode, batch_format="pyarrow"
+        )
+    )  # consumed twice (sizes + pairs) — compact prevents re-execution
+    sizes = partition_fold(
+        grams, ["doc_id"], "gram", fn="count", out_val="n_grams"
+    )
+    pairs = bucket_collision_pairs(
+        grams, key_col="gram", id_col="doc_id",
+        count_col="n_shared", max_bucket=max_bucket,
+    )
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({
+            "src_doc": batch.column("doc_a"),
+            "dst_doc": batch.column("doc_b"),
+            "n_shared": batch.column("n_shared"),
+        })
+        rev = pa.table({
+            "src_doc": batch.column("doc_b"),
+            "dst_doc": batch.column("doc_a"),
+            "n_shared": batch.column("n_shared"),
+        })
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    directional = pairs.map_batches(both_directions, batch_format="pyarrow")
+    joined = hash_join(
+        directional, sizes, "src_doc", "doc_id",
+        ["src_doc", "dst_doc", "n_shared"], ["n_grams"],
+        how="inner", validate="unique_right",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = pc.divide(
+            pc.cast(batch.column("n_shared"), pa.float64()),
+            pc.cast(batch.column("n_grams"), pa.float64()),
+        )
+        keep = pc.greater_equal(c, threshold)
+        out = pa.table({
+            "src_doc": batch.column("src_doc"),
+            "dst_doc": batch.column("dst_doc"),
+            "containment": pc.round(c, 6),
+        })
+        return out.filter(keep)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -759,3 +759,156 @@ def funnel_counts(
         type_col: g.column(type_col).take(idx),
         "n_users": pc2.cast(g.column("n_users_sum").take(idx), pa.int64()),
     })
+
+
+def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
+                     num_partitions: int = 64):
+    """Cohort retention triangle: users grouped by first-active week
+    (``cohort_week``), counted at each later active week
+    (``week_offset`` in whole weeks). The product-analytics staple the
+    reference's single-doc flow never needed; at corpus scale the same
+    shape answers "of hosts first crawled in week W, how many were
+    still live k weeks later".
+
+    Scale shape: ONE key-space exchange. Per-block partials dedup to
+    distinct (key, week) pairs first (shuffle payload ∝ active
+    user-weeks, not events); each key's pairs land wholly in one
+    partition (hash of key), so per-key min-week and offsets are
+    vectorized in-partition and only tiny (cohort_week, week_offset,
+    partial count) rows reach the final low-card fold — the
+    cohort×offset grid is bounded by (weeks spanned)², never by users.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import lowcard_groupby_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = pc.cast(
+            pc.floor_temporal(
+                batch.column(ts_col).cast(pa.timestamp("us")), unit="week"
+            ),
+            pa.date32(),
+        )
+        kv = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = wk.to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([kv, w], axis=1), axis=0)
+        part = (
+            pairs[:, 0].view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table({
+            "__k": pa.array(pairs[:, 0], pa.int64()),
+            "__w": pa.array(pairs[:, 1].astype(np.int32), pa.date32()),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column("__k").to_numpy(zero_copy_only=False)
+        w = group.column("__w").cast(pa.int32()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((w, k))
+        sk, sw = k[order], w[order]
+        keep = np.concatenate(
+            [[True], (sk[1:] != sk[:-1]) | (sw[1:] != sw[:-1])]
+        )
+        sk, sw = sk[keep], sw[keep]
+        starts = np.nonzero(
+            np.concatenate([[True], sk[1:] != sk[:-1]])
+        )[0]
+        runs = np.diff(np.concatenate([starts, [len(sk)]]))
+        cohort = np.repeat(sw[starts], runs)
+        offset = (sw - cohort) // 7
+        grid = np.stack([cohort, offset], axis=1)
+        uniq, inv = np.unique(grid, axis=0, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "cohort_week": pa.array(uniq[:, 0].astype(np.int32), pa.date32()),
+            "week_offset": pa.array(uniq[:, 1], pa.int64()),
+            "n_users": pa.array(cnt, pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return lowcard_groupby_agg(
+        partials,
+        ["cohort_week", "week_offset"],
+        [("n_users", "sum", "n_users")],
+    )
+
+
+def transition_counts(ds, key: str, ts_col: str, val_col: str,
+                      tiebreak: str, num_partitions: int = 64):
+    """First-order Markov transition counts: for each key's event
+    stream ordered by (ts, tiebreak), count (prev value → value)
+    adjacent pairs across the whole corpus — the behavioral
+    transition-matrix shape (and, over crawl status streams, the
+    recrawl state-churn profile).
+
+    Scale shape: ONE key-space exchange (hash of key; each key's rows
+    land wholly in one partition). In-partition: dictionary-encode the
+    value column once, lexsort by (key, ts, tiebreak), run-detect key
+    boundaries, shift codes by one INSIDE runs only — all vectorized —
+    then fold (prev, cur) code pairs via np.unique. Only tiny
+    (prev, cur, partial count) rows reach the final low-card fold; the
+    transition grid is |value vocabulary|², never event-count.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import lowcard_groupby_agg
+    from .joins import _bucket_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch.column(key), num_partitions)
+        return batch.select([key, ts_col, val_col, tiebreak]).append_column(
+            "__part", b
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            group.column(val_col).combine_chunks()
+        )
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        k = np.asarray(group.column(key).to_pylist())
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = np.asarray(group.column(tiebreak).to_pylist())
+        order = np.lexsort((tb, ts, k))
+        sk, sc = k[order], codes[order]
+        same_key = sk[1:] == sk[:-1]
+        prev, cur = sc[:-1][same_key], sc[1:][same_key]
+        if len(prev) == 0:
+            return pa.table({
+                "prev_type": pa.array([], pa.string()),
+                "cur_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        grid = prev * np.int64(len(vocab)) + cur
+        uniq, cnt = np.unique(grid, return_counts=True)
+        pv = [vocab[int(u) // len(vocab)] for u in uniq]
+        cv = [vocab[int(u) % len(vocab)] for u in uniq]
+        return pa.table({
+            "prev_type": pa.array(pv, pa.string()),
+            "cur_type": pa.array(cv, pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return lowcard_groupby_agg(
+        partials, ["prev_type", "cur_type"], [("n", "sum", "n")]
+    )
