@@ -123,6 +123,22 @@ def _q_extract_items(sf_dir: str):
     return items_pipeline(_pages(sf_dir))
 
 
+def _q_page_meta(sf_dir: str):
+    """HTML head-metadata channel: sniff-route the pages corpus, run
+    the head parser over HTML payloads, keep pages that declare a
+    canonical URL (drops garbage/boilerplate edge pages).  The oracle
+    reconstructs the synthesizer's deterministic head fields in SQL."""
+    from pdf_extractor_ray.stages.extract import PageMetaStage, sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'html'")
+    ds = ds.map_batches(PageMetaStage(), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.filter(b.column("canonical_url").is_valid()),
+        batch_format="pyarrow",
+    )
+
+
 def _q_extract_entities(sf_dir: str):
     import pyarrow.compute as pc
     from pdf_extractor_ray.pipelines.extraction import entities_pipeline
@@ -3408,6 +3424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_match": _q_extract_status_match,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
+        "page_meta": _q_page_meta,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
         "construction_result": _q_construction_result,
@@ -3695,6 +3712,27 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "page_meta": """
+            WITH h AS (
+                SELECT doc_id, lang, str_split(text, ' ') AS w
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            )
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                'Document ' || doc_id || ': '
+                    || array_to_string(w[1:3], ' ') AS title,
+                array_to_string(w[1:8], ' ') AS description,
+                'https://example.org/'
+                    || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS canonical_url,
+                lang AS html_lang,
+                'Document ' || doc_id || ': '
+                    || array_to_string(w[1:3], ' ') AS og_title
+            FROM h
         """,
         "url_canonical_dedup": """
             WITH u AS (

@@ -365,3 +365,78 @@ class HtmlCodec:
             status="ok",
             tables=parser.tables,
         )
+
+
+class _MetaParser(HTMLParser):
+    """Head-metadata collector: title text, meta description,
+    rel=canonical link, <html lang>, og:title. Stops caring after
+    </head> (body meta is non-standard; first-wins like browsers)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: Optional[str] = None
+        self.description: Optional[str] = None
+        self.canonical: Optional[str] = None
+        self.lang: Optional[str] = None
+        self.og_title: Optional[str] = None
+        self._in_title = False
+        self._title_buf: List[str] = []
+        self._done = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._done:
+            return
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html" and self.lang is None and a.get("lang"):
+            self.lang = a["lang"].strip().lower()
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            name = a.get("name", "").lower()
+            prop = a.get("property", "").lower()
+            content = a.get("content", "").strip()
+            if name == "description" and self.description is None and content:
+                self.description = content
+            elif prop == "og:title" and self.og_title is None and content:
+                self.og_title = content
+        elif tag == "link":
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and self.canonical is None and a.get("href"):
+                self.canonical = a["href"].strip()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_buf.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+            if self.title is None:
+                t = " ".join("".join(self._title_buf).split())
+                self.title = t or None
+        elif tag == "head":
+            self._done = True
+
+
+def extract_meta(payload: "bytes | str") -> dict:
+    """HTML payload → page metadata dict (all values nullable):
+    ``title, description, canonical_url, html_lang, og_title``.
+    Charset-sniffed like the main codec; never raises (crawled heads
+    are the most malformed HTML there is)."""
+    if isinstance(payload, bytes):
+        html = _decode_html_bytes(payload)
+    else:
+        html = payload
+    p = _MetaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return {
+        "title": p.title,
+        "description": p.description,
+        "canonical_url": p.canonical,
+        "html_lang": p.lang,
+        "og_title": p.og_title,
+    }

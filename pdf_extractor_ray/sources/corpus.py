@@ -85,7 +85,8 @@ def _construction_rows(doc_id: int, n: int = 3) -> List[Tuple[str, ...]]:
 
 
 # ------------------------------------------------------------------- HTML
-def _html_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
+def _html_doc(doc_id: int, text: str, giant: bool,
+              lang: str = "en") -> Tuple[bytes, str]:
     words = _words(text)
     title = f"Document {doc_id}: " + " ".join(words[:3])
     paras = _paragraphs(words)
@@ -94,8 +95,17 @@ def _html_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     with_table = doc_id % 5 == 0
     rows = _construction_rows(doc_id) if with_table else []
 
+    # deterministic head metadata (page_meta golden channel; the head
+    # subtree is ignored by the text codec so extraction goldens are
+    # unaffected)
+    desc = " ".join(words[:8])
+    canonical = f"https://example.org/{doc_id:09d}"
     parts = [
-        "<html><head><title>t</title><style>p{margin:0}</style></head><body>",
+        f'<html lang="{lang}"><head><title>{title}</title>'
+        f'<meta name="description" content="{desc}">'
+        f'<link rel="canonical" href="{canonical}">'
+        f'<meta property="og:title" content="{title}">'
+        "<style>p{margin:0}</style></head><body>",
         '<nav><a href="/">Home</a> <a href="/about">About</a> '
         '<a href="/contact">Contact</a> <a href="/login">Login</a></nav>',
         f"<h1>{title}</h1>",
@@ -224,7 +234,7 @@ class PageSynthesizer:
                     payload, golden = _pdf_doc(vid, text, giant)
                     status, kind = "ok", "pdf"
                 else:
-                    payload, golden = _html_doc(vid, text, giant)
+                    payload, golden = _html_doc(vid, text, giant, lang=lang)
                     status, kind = "ok", "html"
                 urls.append(f"https://example.org/{vid % 1000:04d}/{vid:09d}")
                 ts.append(_EPOCH + _dt.timedelta(seconds=vid))

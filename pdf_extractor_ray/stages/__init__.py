@@ -1,5 +1,6 @@
 from .extract import (  # noqa: F401
     HtmlExtractStage,
+    PageMetaStage,
     PdfExtractStage,
     sniff_doc_kind,
 )

@@ -117,3 +117,89 @@ def test_charset_detection():
     p4 = (f"<html><body><p>{body}</p></body></html>").encode("latin-1")
     r = codec.extract(p4)
     assert r.status == "ok" and "caf" in r.text
+
+
+def test_extract_meta_full_head():
+    from pdf_extractor_ray.codecs.html_codec import extract_meta
+
+    m = extract_meta(
+        '<html lang="EN-us"><head><title> My  Page \n Title </title>'
+        '<meta name="description" content="a short summary">'
+        '<link rel="canonical" href="https://ex.org/x">'
+        '<meta property="og:title" content="OG Title">'
+        "</head><body><p>body text</p></body></html>"
+    )
+    assert m["title"] == "My Page Title"          # whitespace-normalized
+    assert m["description"] == "a short summary"
+    assert m["canonical_url"] == "https://ex.org/x"
+    assert m["html_lang"] == "en-us"              # lowercased
+    assert m["og_title"] == "OG Title"
+
+
+def test_extract_meta_first_wins_and_head_scope():
+    from pdf_extractor_ray.codecs.html_codec import extract_meta
+
+    m = extract_meta(
+        "<html><head><title>first</title>"
+        '<meta name="description" content="first desc">'
+        '<meta name="description" content="second desc">'
+        "</head><body><title>body title</title>"
+        '<link rel="canonical" href="https://late.example/">'
+        "</body></html>"
+    )
+    assert m["title"] == "first"
+    assert m["description"] == "first desc"
+    assert m["canonical_url"] is None  # body metadata ignored after </head>
+
+
+def test_extract_meta_malformed_never_raises():
+    from pdf_extractor_ray.codecs.html_codec import extract_meta
+
+    for payload in (
+        b"",
+        b"\x00\xffnot-a-document\x01",
+        b"<html><head><title>unclosed",
+        "<head><meta name=description content></head>",
+        b"<html><body>no head at all</body></html>",
+    ):
+        m = extract_meta(payload)
+        assert set(m) == {
+            "title", "description", "canonical_url", "html_lang", "og_title"
+        }
+
+
+def test_extract_meta_charset_bytes():
+    from pdf_extractor_ray.codecs.html_codec import extract_meta
+
+    p = ('<html><head><meta charset="iso-8859-1">'
+         "<title>café menu</title></head><body></body></html>"
+         ).encode("latin-1")
+    assert extract_meta(p)["title"] == "café menu"
+
+
+def test_page_meta_stage_batch():
+    import pyarrow as pa
+    from pdf_extractor_ray.stages.extract import PageMetaStage
+
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"]),
+            "html": pa.array(
+                [
+                    b'<html lang="fr"><head><title>T1</title>'
+                    b'<link rel="canonical" href="https://c/1"></head>'
+                    b"<body></body></html>",
+                    b"<html><body>headless</body></html>",
+                    None,
+                ],
+                pa.large_binary(),
+            ),
+        }
+    )
+    out = PageMetaStage()(batch)
+    assert out.column_names == [
+        "url", "title", "description", "canonical_url", "html_lang", "og_title"
+    ]
+    assert out.column("title").to_pylist() == ["T1", None, None]
+    assert out.column("canonical_url").to_pylist() == ["https://c/1", None, None]
+    assert out.column("html_lang").to_pylist() == ["fr", None, None]
