@@ -3006,6 +3006,29 @@ def _q_url_canonical_dedup(sf_dir: str):
     )
 
 
+def _q_inverted_index(sf_dir: str):
+    """Search-index build: token → sorted doc-id posting list (df = true
+    document frequency).  Postings projected to a comma string so the
+    oracle can compare full content."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.text import inverted_index
+
+    idx = inverted_index(_docs(sf_dir), min_df=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        as_str = pc.cast(batch.column("postings"), pa.list_(pa.string()))
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "df": batch.column("df"),
+                "postings_str": pc.binary_join(as_str, ","),
+            }
+        )
+
+    return idx.map_batches(project, batch_format="pyarrow")
+
+
 def _q_nation_region_grid(sf_dir: str):
     """CROSS JOIN (grid expansion): every nation x every region —
     broadcast right side, zero shuffle, loud dimension contract."""
@@ -3425,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
+        "inverted_index": _q_inverted_index,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
         "construction_result": _q_construction_result,
@@ -3712,6 +3736,15 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "inverted_index": """
+            WITH t AS (
+                SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings_str
+            FROM t GROUP BY token HAVING count(*) >= 2
         """,
         "page_meta": """
             WITH h AS (

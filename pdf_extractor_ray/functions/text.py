@@ -1047,3 +1047,100 @@ def pmi_top_bigrams(docs_ds, k: int = 25, text_col: str = "text"):
         "n": pa.array([out_n[i] for i in order], pa.int64()),
         "pmi": pa.array([out_p[i] for i in order], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------- inverted index
+def inverted_index(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1, max_postings: "int | None" = None,
+                   num_partitions: int = 64):
+    """Distributed INVERTED-INDEX build: token → sorted posting list of
+    document ids (the search-index artifact; generalizes the reference's
+    per-document entity/token maps to a corpus-wide index).
+
+    Plan (one key-space exchange, the token-statistics shape):
+    1. per-block explode of DISTINCT (token, doc_id) pairs — each doc
+       contributes a token once, the text itself never shuffles;
+    2. hash-partition by token (``__fpart`` = mix64 bucket, same idiom
+       as ``agg.partition_fold``) so each token lands wholly in one
+       partition — per-partition posting assembly IS the global one;
+    3. in-partition vectorized fold: one lexsort by (token, doc_id),
+       run detection, ``ListArray.from_arrays`` over the run offsets —
+       no per-token Python loop.
+
+    ``min_df`` prunes hapax noise at the source of step 3 (before list
+    assembly); ``max_postings`` caps each posting list at the smallest
+    doc ids (df still reports the TRUE count) — the stop-word guard: a
+    corpus-frequent token's full posting list is corpus-sized and must
+    be capped (or the token dropped via an upstream deny list) at web
+    scale.  Returns (token, df:int64, postings:list<int64>).
+    """
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        ids: list = []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            uniq = set((t or "").split())
+            toks.extend(uniq)
+            ids.extend([i] * len(uniq))
+        tok_arr = pa.array(toks, pa.string())
+        part = _bucket_of(tok_arr, num_partitions)
+        return pa.table(
+            {
+                "token": tok_arr,
+                "doc_id": pa.array(ids, pa.int64()),
+                "__fpart": pc.cast(part, pa.int32()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        toks = np.asarray(group.column("token").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, toks))
+        st, si = toks[order], ids[order]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = st[1:] != st[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        df = (ends - starts).astype(np.int64)
+        keep = df >= min_df
+        starts, ends, df = starts[keep], ends[keep], df[keep]
+        if max_postings is not None:
+            ends = np.minimum(ends, starts + max_postings)
+        # gather kept runs into one contiguous values buffer + offsets
+        lens = ends - starts
+        take = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.array([], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        postings = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(si[take], pa.int64())
+        )
+        return pa.table(
+            {
+                "token": pa.array(st[starts].tolist(), pa.string()),
+                "df": pa.array(df, pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__fpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )

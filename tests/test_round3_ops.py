@@ -147,3 +147,41 @@ def test_containment_pairs_exact_counts_vs_python(ray_session):
             if c >= 0.2:
                 want[(a, b)] = round(c, 6)
     assert got == want
+
+
+def test_inverted_index_build(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import inverted_index
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(
+            ["a b c", "b c d", "c d a a", "e"], pa.string()
+        ),
+    })).repartition(3)  # postings must assemble across blocks
+    rows = {r["token"]: r for r in inverted_index(ds).take_all()}
+    assert rows["c"]["df"] == 3 and rows["c"]["postings"] == [10, 11, 12]
+    assert rows["a"]["df"] == 2 and rows["a"]["postings"] == [10, 12]
+    assert rows["e"]["df"] == 1 and rows["e"]["postings"] == [13]
+    # per-doc DISTINCT: 'a a' in doc 12 contributes once
+    assert rows["a"]["postings"].count(12) == 1
+
+
+def test_inverted_index_min_df_and_cap(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import inverted_index
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(
+            ["the x0", "the x1", "the x2", "the x3", "the x4", "the x5"],
+            pa.string(),
+        ),
+    }))
+    rows = {r["token"]: r
+            for r in inverted_index(ds, min_df=2, max_postings=3).take_all()}
+    assert list(rows) == ["the"]            # hapax xN pruned by min_df
+    assert rows["the"]["df"] == 6           # df is the TRUE count
+    assert rows["the"]["postings"] == [0, 1, 2]  # capped at smallest ids
