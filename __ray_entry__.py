@@ -3006,6 +3006,18 @@ def _q_url_canonical_dedup(sf_dir: str):
     )
 
 
+def _q_anchor_text_agg(sf_dir: str):
+    """Anchor-text index over the crawl: for each link TARGET, how many
+    pages reference it with each anchor text (the web-search relevance
+    signal).  Sniff-routed to HTML payloads; the oracle reconstructs
+    the synthesizer's deterministic static + related-links nav."""
+    from pdf_extractor_ray.functions.url import anchor_text_index
+    from pdf_extractor_ray.stages.extract import sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    return anchor_text_index(ds.filter(expr="doc_kind == 'html'"))
+
+
 def _q_inverted_index(sf_dir: str):
     """Search-index build: token → sorted doc-id posting list (df = true
     document frequency).  Postings projected to a comma string so the
@@ -3449,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
         "inverted_index": _q_inverted_index,
+        "anchor_text_agg": _q_anchor_text_agg,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
         "construction_result": _q_construction_result,
@@ -3736,6 +3749,44 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "anchor_text_agg": """
+            WITH h AS (
+                SELECT doc_id FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ),
+            static AS (
+                SELECT 'https://example.org' || s.path AS dst_url,
+                       s.anchor, count(*) AS n
+                FROM h CROSS JOIN (VALUES
+                    ('/', 'Home'), ('/about', 'About'),
+                    ('/contact', 'Contact'), ('/login', 'Login'),
+                    ('/ad1', 'Sponsored one'), ('/ad2', 'Sponsored two')
+                ) s(path, anchor)
+                GROUP BY 1, 2
+            ),
+            rel AS (
+                SELECT 'https://example.org/p/' || CAST(t AS VARCHAR) AS dst_url,
+                       'Doc ' || CAST(t AS VARCHAR) AS anchor, count(*) AS n
+                FROM (
+                    SELECT (doc_id * 31 + 7 * ks.k) % 1000 AS t
+                    FROM h CROSS JOIN (VALUES (1), (2), (3)) ks(k)
+                )
+                GROUP BY 1, 2
+            ),
+            b61 AS (
+                SELECT 'https://example.org' || s.path AS dst_url,
+                       s.anchor, count(*) AS n
+                FROM documents
+                CROSS JOIN (VALUES ('/', 'Home'), ('/a', 'About')) s(path, anchor)
+                WHERE (doc_id % 101) = 61
+                GROUP BY 1, 2
+            )
+            SELECT dst_url, anchor, CAST(sum(n) AS BIGINT) AS n_refs
+            FROM (SELECT * FROM static UNION ALL SELECT * FROM rel
+                  UNION ALL SELECT * FROM b61)
+            GROUP BY dst_url, anchor
         """,
         "inverted_index": """
             WITH t AS (

@@ -115,7 +115,7 @@ from .bpe import (  # noqa: F401
     word_freqs,
 )
 from .agg import grouping_sets_agg  # noqa: F401
-from .url import host_blocklist_filter  # noqa: F401
+from .url import host_blocklist_filter, anchor_text_index  # noqa: F401
 from .similarity import tfidf_cosine_pairs  # noqa: F401
 from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .agg import mad_by  # noqa: F401

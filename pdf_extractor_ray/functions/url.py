@@ -215,3 +215,85 @@ def host_blocklist_filter(ds, blocked_hosts, url_col: str = "url",
         return out
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+class AnchorTextStage:
+    """pages batch → one row per distinct (src_url, dst_url, anchor).
+
+    Like :class:`OutlinkStage` but also captures the anchor's inner
+    text (whitespace-normalized, inner markup stripped) — the classic
+    web-search relevance signal: what OTHER pages call a target.  One
+    compiled regex per actor; only (src, dst, anchor) string rows leave
+    the stage, payload bytes never shuffle.
+    """
+
+    def __init__(self) -> None:
+        import re
+
+        self._a = re.compile(
+            rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))
+                 [^>]*>(.*?)</a\s*>""",
+            re.IGNORECASE | re.DOTALL | re.VERBOSE,
+        )
+        self._tag = re.compile(rb"<[^>]*>")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from urllib.parse import urljoin
+
+        from ..codecs.html_codec import _decode_html_bytes
+
+        srcs, dsts, anchors = [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if not payload:
+                continue
+            seen = set()
+            for m in self._a.finditer(payload):
+                raw = next(g for g in m.groups()[:3] if g is not None)
+                try:
+                    href = _decode_html_bytes(raw).strip()
+                    text = " ".join(
+                        _decode_html_bytes(
+                            self._tag.sub(b" ", m.group(4))
+                        ).split()
+                    )
+                except Exception:
+                    continue
+                if not href or href.startswith("#"):
+                    continue
+                target = urljoin(url, href)
+                if not target.startswith(("http://", "https://")):
+                    continue
+                key = (target, text)
+                if key not in seen:
+                    seen.add(key)
+                    srcs.append(url)
+                    dsts.append(target)
+                    anchors.append(text)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+
+def anchor_text_index(pages_ds, concurrency=None):
+    """pages → (dst_url, anchor, n_refs): how many pages link to each
+    target with each anchor text.  Extraction never shuffles payloads;
+    the aggregate is one token-hash partition fold over string keys
+    (``agg.partition_fold``), so a hot target (every page links '/')
+    still folds vectorized inside one partition."""
+    from .agg import partition_fold
+    from .pool import pool_size
+
+    edges = pages_ds.map_batches(
+        AnchorTextStage,
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(),
+    )
+    return partition_fold(
+        edges, ["dst_url", "anchor"], "src_url", fn="count", out_val="n_refs"
+    )

@@ -108,6 +108,16 @@ def _html_doc(doc_id: int, text: str, giant: bool,
         "<style>p{margin:0}</style></head><body>",
         '<nav><a href="/">Home</a> <a href="/about">About</a> '
         '<a href="/contact">Contact</a> <a href="/login">Login</a></nav>',
+        # deterministic cross-links: make the link graph non-degenerate
+        # (anchor-text index / PageRank channel); <nav> is boilerplate,
+        # so extraction goldens are unaffected
+        "<nav class=\"related\">"
+        + " ".join(
+            f'<a href="/p/{(doc_id * 31 + 7 * k) % 1000}">'
+            f"Doc {(doc_id * 31 + 7 * k) % 1000}</a>"
+            for k in (1, 2, 3)
+        )
+        + "</nav>",
         f"<h1>{title}</h1>",
     ]
     if doc_id % 7 == 3:  # entity-bearing rows for the entities pipeline

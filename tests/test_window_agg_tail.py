@@ -587,3 +587,37 @@ def test_funnel_counts_empty_and_unreached(ray_session):
     }))
     out = funnel_counts(empty, ["view", "click"])
     assert {r["step"]: r["n_users"] for r in out.to_pylist()} == {1: 0, 2: 0}
+
+
+def test_anchor_text_stage_captures_inner_text(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.url import AnchorTextStage, anchor_text_index
+
+    html = (
+        b"<html><body>"
+        b"<a href='/about'>About <b>Us</b>\n now</a>"
+        b"<a href='/about'>About Us now</a>"          # same (dst, anchor): dedup
+        b"<a href='/about'>Other text</a>"            # same dst, new anchor
+        b"<a href='#x'>skip</a>"
+        b"</body></html>"
+    )
+    batch = pa.table({
+        "url": pa.array(["https://e.org/p"] * 1, pa.string()),
+        "html": pa.array([html], pa.large_binary()),
+    })
+    out = AnchorTextStage()(batch)
+    got = set(zip(out["dst_url"].to_pylist(), out["anchor"].to_pylist()))
+    assert got == {
+        ("https://e.org/about", "About Us now"),
+        ("https://e.org/about", "Other text"),
+    }
+
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://e.org/1", "https://e.org/2"], pa.string()),
+        "html": pa.array([html, html], pa.large_binary()),
+    }))
+    agg = {(r["dst_url"], r["anchor"]): r["n_refs"]
+           for r in anchor_text_index(ds).take_all()}
+    assert agg[("https://e.org/about", "About Us now")] == 2
+    assert agg[("https://e.org/about", "Other text")] == 2
