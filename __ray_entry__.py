@@ -3018,6 +3018,15 @@ def _q_anchor_text_agg(sf_dir: str):
     return anchor_text_index(ds.filter(expr="doc_kind == 'html'"))
 
 
+def _q_doc_bigram_cross_entropy(sf_dir: str):
+    """Order-2 statistical-LM quality signal: per-doc bigram
+    cross-entropy vs the corpus conditional bigram MLE (CCNet
+    perplexity-filter shape, deterministic)."""
+    from pdf_extractor_ray.functions.text import doc_bigram_cross_entropy
+
+    return doc_bigram_cross_entropy(_docs(sf_dir))
+
+
 def _q_inverted_index(sf_dir: str):
     """Search-index build: token → sorted doc-id posting list (df = true
     document frequency).  Postings projected to a comma string so the
@@ -3461,6 +3470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
         "inverted_index": _q_inverted_index,
+        "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
         "anchor_text_agg": _q_anchor_text_agg,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
@@ -3787,6 +3797,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM static UNION ALL SELECT * FROM rel
                   UNION ALL SELECT * FROM b61)
             GROUP BY dst_url, anchor
+        """,
+        "doc_bigram_cross_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM toks)
+            ),
+            cb AS (SELECT bg, CAST(sum(1) AS BIGINT) AS C FROM big GROUP BY bg),
+            cl AS (SELECT w1, CAST(sum(1) AS BIGINT) AS CL FROM big GROUP BY w1),
+            doc AS (
+                SELECT doc_id, bg, w1, count(*) AS m
+                FROM big GROUP BY doc_id, bg, w1
+            )
+            SELECT doc_id,
+                   round(sum(m * (log2(CAST(CL AS DOUBLE))
+                                  - log2(CAST(C AS DOUBLE)))) / sum(m), 6)
+                       AS bigram_cross_entropy
+            FROM doc JOIN cb USING (bg) JOIN cl USING (w1)
+            GROUP BY doc_id
         """,
         "inverted_index": """
             WITH t AS (

@@ -123,7 +123,7 @@ from .window import funnel_counts  # noqa: F401
 from .agg import partition_fold  # noqa: F401
 from .joins import interval_overlap_join  # noqa: F401
 from .mix import rebalance_weighted  # noqa: F401
-from .text import pmi_top_bigrams  # noqa: F401
+from .text import pmi_top_bigrams, doc_bigram_cross_entropy  # noqa: F401
 from .agg import grouped_skew_kurt  # noqa: F401
 from .joins import broadcast_cross_join  # noqa: F401
 from .window import cohort_retention, transition_counts  # noqa: F401

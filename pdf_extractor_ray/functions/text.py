@@ -1144,3 +1144,92 @@ def inverted_index(docs_ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("__fpart")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def doc_bigram_cross_entropy(docs_ds, text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Per-document BIGRAM cross-entropy against the corpus's own
+    conditional bigram model — the order-2 upgrade of
+    :func:`doc_unigram_cross_entropy` (CCNet's KenLM perplexity filter
+    shape, kept deterministic/SQL-mirrorable by using the corpus MLE):
+
+        H2(doc) = Σ_b m_b·(log2 CL(w1_b) − log2 C_b) ⁄ Σ_b m_b
+
+    with ``C_b`` the corpus count of bigram b, ``CL(w1)`` the count of
+    w1 as a left context, ``m_b`` the in-doc count.  Docs with <2
+    tokens emit no row.
+
+    Scale plan (same as unigram): only (id, bigram, count) rows
+    shuffle, the bigram vocabulary is never broadcast (token-space
+    hash joins for C and CL), final fold is one doc-space groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import compact_blocks
+    from .joins import hash_join
+
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bgs, lefts, cnts = [], [], [], []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            w = (t or "").split()
+            c: dict = {}
+            for a, b in zip(w, w[1:]):
+                c[(a, b)] = c.get((a, b), 0) + 1
+            ids.extend([d] * len(c))
+            bgs.extend(f"{a} {b}" for a, b in c)
+            lefts.extend(a for a, _ in c)
+            cnts.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "bg": pa.array(bgs, pa.string()),
+                "w1": pa.array(lefts, pa.string()),
+                "m": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    doc = compact_blocks(
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+    )  # consumed three times (C, CL, join left) — explode runs once
+    cb = doc.groupby("bg").aggregate(Sum("m", alias_name="C"))
+    cl = doc.groupby("w1").aggregate(Sum("m", alias_name="CL"))
+    j = hash_join(doc, cb, "bg", "bg", [id_col, "w1", "m"], ["C"], how="inner")
+    j = hash_join(j, cl, "w1", "w1", [id_col, "m", "C"], ["CL"], how="inner")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.float64)
+        C = batch.column("C").to_numpy(zero_copy_only=False).astype(np.float64)
+        CL = batch.column("CL").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        wsum = np.bincount(inv, weights=m * (np.log2(CL) - np.log2(C)))
+        tot = np.bincount(inv, weights=m)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, pa.int64()),
+                "wsum": pa.array(wsum, pa.float64()),
+                "mm": pa.array(tot, pa.float64()),
+            }
+        )
+
+    final = j.map_batches(fold, batch_format="pyarrow").groupby(id_col).aggregate(
+        Sum("wsum", alias_name="wsum"), Sum("mm", alias_name="mm")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wsum = batch.column("wsum").to_numpy(zero_copy_only=False)
+        mm = batch.column("mm").to_numpy(zero_copy_only=False)
+        h = _round6_half_up(wsum / np.maximum(mm, 1.0))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bigram_cross_entropy": pa.array(h, pa.float64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

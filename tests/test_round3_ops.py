@@ -185,3 +185,39 @@ def test_inverted_index_min_df_and_cap(ray_session):
     assert list(rows) == ["the"]            # hapax xN pruned by min_df
     assert rows["the"]["df"] == 6           # df is the TRUE count
     assert rows["the"]["postings"] == [0, 1, 2]  # capped at smallest ids
+
+
+def test_doc_bigram_cross_entropy_matches_numpy(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import doc_bigram_cross_entropy
+
+    texts = ["a b a b c", "b c b c", "a a a b"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+
+    # local reference model
+    from collections import Counter
+    corp = Counter()
+    left = Counter()
+    for t in texts:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            corp[(a, b)] += 1
+            left[a] += 1
+    want = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        s = n = 0
+        for a, b in zip(w, w[1:]):
+            s += np.log2(left[a]) - np.log2(corp[(a, b)])
+            n += 1
+        want[i] = round(s / n, 6)
+
+    got = {r["doc_id"]: r["bigram_cross_entropy"]
+           for r in doc_bigram_cross_entropy(ds).take_all()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
