@@ -322,6 +322,21 @@ def _q_ivf_kmeans_topk(sf_dir: str):
     return ivf_kmeans_topk(emb, q, k=10, n_clusters=16, nprobe=4, query_ids=[0, 1, 2])
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN: codebooks from one bounded sample pass,
+    uint8 asymmetric-distance scan (approximate — recall vs exact
+    pinned in tests; rows-only)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import pq_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = _emb_queries(sf_dir)
+    return pq_topk(emb, q, k=10, m=8, ksub=16, query_ids=[0, 1, 2])
+
+
 def _q_detect_language_ngram(sf_dir: str):
     from pdf_extractor_ray.functions.text import detect_language_ngram
 
@@ -3491,6 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "pq_topk": _q_pq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         # preview projection (M14)
         "page_previews": _q_page_previews,

@@ -785,3 +785,193 @@ def tfidf_cosine_pairs(
         .groupby("__ppart")
         .map_groups(fold_finish, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------- product quantization
+def pq_fit(emb_ds, m: int = 8, ksub: int = 16, iters: int = 5,
+           sample_size: int = 4096) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (normalized) embedding into ``m`` subspaces and k-means each
+    subspace with ``ksub`` centroids.  Same deterministic hash-sample
+    fit as :func:`kmeans_fit` — ONE corpus pass bounded to
+    ≈``sample_size`` rows, Lloyd runs locally per subspace.  Returns
+    codebooks of shape (m, ksub, dim/m); memory per code afterwards is
+    ``m`` bytes per vector (ksub ≤ 256) — the 100-TB embedding store
+    answer: a 768-d float32 corpus compresses 384× at m=8.
+    """
+    from .joins import mix64
+
+    n = emb_ds.count()
+    if n == 0:
+        raise ValueError("pq_fit: empty embeddings dataset")
+    if ksub > 256:
+        raise ValueError("pq_fit: ksub > 256 no longer fits uint8 codes")
+    rate = sample_size / n
+    proj = emb_ds.select_columns(["vec_id", "embedding"])
+    if rate < 1.0:
+        threshold_u64 = np.uint64(min(int(rate * 2**64), 2**64 - 1))
+
+        def hash_sample(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+            keep = mix64(ids) <= threshold_u64
+            return batch.filter(pa.array(keep))
+
+        proj = proj.map_batches(hash_sample, batch_format="pyarrow")
+    sample = proj.take_all()
+    sample.sort(key=lambda r: r["vec_id"])
+    if len(sample) < ksub:
+        raise ValueError(
+            f"pq_fit: sample of {len(sample)} rows < ksub={ksub}; "
+            "raise sample_size"
+        )
+    mat = _normalize(np.asarray([r["embedding"] for r in sample], np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=ksub).astype(np.int64)
+            nonempty = counts > 0
+            cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books[j] = cents
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) normalized vectors → (n, m) uint8 codes (argmin L2 per
+    subspace, vectorized via the ‖x‖²−2x·c+‖c‖² expansion)."""
+    m, ksub, dsub = books.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        # argmin ‖x−c‖² == argmax (x·c − ‖c‖²/2); x terms constant per row
+        score = sub @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmax(score, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(emb_ds, books: np.ndarray):
+    """emb_ds → (vec_id, pq_code:list<uint8>): the persisted compressed
+    index artifact.  Codebooks broadcast once via ``ray.put``; encode
+    is one matmul per subspace per batch."""
+    import ray
+
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        mat = _normalize(_matrix(batch.column("embedding")))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "pq_code": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        codes = _pq_codes(mat, b)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "pq_code": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, m: int = 8,
+            ksub: int = 16, iters: int = 5, sample_size: int = 4096,
+            query_ids=None):
+    """PQ asymmetric-distance ANN: fit codebooks (one bounded pass),
+    then ONE streaming pass that encodes each batch and scores every
+    query against the uint8 codes via per-query lookup tables
+    (inner-product ADC) — no float matrix ever shuffles or re-reads.
+    Output schema matches :func:`ann_topk` (sim = approximate inner
+    product, rounded); approximate by construction — recall vs the
+    exact baseline is pinned in tests.
+    """
+    import ray
+
+    books = pq_fit(emb_ds, m=m, ksub=ksub, iters=iters,
+                   sample_size=sample_size)
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    if query_ids is None:
+        query_ids = list(range(len(q)))
+    mm, ksub_, dsub = books.shape
+    # luts[qi, j, c] = q_sub · codebook[j, c]
+    luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), mm, dsub), books)
+    state_ref = ray.put((books, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        b, lut = ray.get(state_ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _normalize(_matrix(batch.column("embedding")))
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if mat.size == 0:
+            return empty
+        codes = _pq_codes(mat, b)  # (n, m)
+        nq = lut.shape[0]
+        # scores[qi, i] = Σ_j lut[qi, j, codes[i, j]] — gather + sum
+        gathered = lut[:, np.arange(codes.shape[1])[None, :], codes]  # (nq, n, m)
+        scores = gathered.sum(axis=2)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            col = scores[qi]
+            take = min(k, len(col))
+            idx = np.argpartition(-col, take - 1)[:take]
+            for i in idx:
+                out_q.append(qi)
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = emb_ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows = sorted(local, key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
+    out_rows = []
+    per_q = 0
+    last_q = None
+    for r in rows:
+        if r["query_id"] != last_q:
+            last_q, per_q = r["query_id"], 0
+        if per_q < k:
+            out_rows.append(
+                {
+                    "query_id": query_ids[r["query_id"]],
+                    "vec_id": r["vec_id"],
+                    "sim": round(r["sim"], 4),
+                    "rank": per_q + 1,
+                }
+            )
+            per_q += 1
+    return pa.Table.from_pylist(
+        out_rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("sim", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )

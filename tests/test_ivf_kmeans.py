@@ -48,3 +48,57 @@ def test_ivf_kmeans_recall_vs_exact(ray_session):
         got = set(approx[approx.query_id == qid]["vec_id"])
         recalls.append(len(want & got) / len(want))
     assert np.mean(recalls) >= 0.8  # nprobe=3/8 on clustered data
+
+
+def test_pq_topk_recall_vs_exact(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ann_topk, pq_topk
+
+    rng = np.random.RandomState(7)
+    # 8 loose clusters in 32-d so PQ subspaces carry real signal
+    cents = rng.randn(8, 32) * 4
+    vecs = np.concatenate(
+        [cents[i % 8] + rng.randn(1, 32) * 0.5 for i in range(400)]
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(4)
+    q = vecs[:3] + 0.01
+
+    # PQ codes can't micro-rank INSIDE a tight cluster (same-cluster
+    # points share codes) — the meaningful guarantee is that every
+    # retrieved neighbor comes from the query's ground-truth cluster,
+    # and that the exact top-k is itself all same-cluster (so PQ and
+    # exact agree at the cluster level).
+    exact_rows = ann_topk(ds, q, k=10).to_pylist()
+    approx_rows = pq_topk(ds, q, k=10, m=8, ksub=16).to_pylist()
+    assert len(approx_rows) == 30
+    exact_prec = sum(
+        1 for r in exact_rows if r["vec_id"] % 8 == r["query_id"] % 8
+    ) / len(exact_rows)
+    approx_prec = sum(
+        1 for r in approx_rows if r["vec_id"] % 8 == r["query_id"] % 8
+    ) / len(approx_rows)
+    assert exact_prec == 1.0
+    assert approx_prec >= 0.9, approx_prec
+
+
+def test_pq_encode_deterministic_and_compact(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import pq_encode, pq_fit
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(64, 16)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    books = pq_fit(ds, m=4, ksub=8, sample_size=64)
+    assert books.shape == (4, 8, 4)
+    a = {r["vec_id"]: r["pq_code"] for r in pq_encode(ds, books).take_all()}
+    b = {r["vec_id"]: r["pq_code"] for r in pq_encode(ds, books).take_all()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
