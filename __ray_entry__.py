@@ -3042,6 +3042,21 @@ def _q_doc_bigram_cross_entropy(sf_dir: str):
     return doc_bigram_cross_entropy(_docs(sf_dir))
 
 
+def _q_page_structure(sf_dir: str):
+    """DOM-structure profile of the crawl: per HTML page, tag counts +
+    max nesting depth (template/table-density signal).  Tagless
+    payloads (binary garbage sniffed as html) are dropped via
+    max_depth > 0; the oracle reconstructs the synthesizer's
+    deterministic page shape (paragraph-fold rule, table cadence,
+    giant ×30, entity paragraph) in SQL."""
+    from pdf_extractor_ray.stages.extract import PageStructureStage, sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'html'")
+    ds = ds.map_batches(PageStructureStage(), batch_format="pyarrow")
+    return ds.filter(expr="max_depth > 0")
+
+
 def _q_inverted_index(sf_dir: str):
     """Search-index build: token → sorted doc-id posting list (df = true
     document frequency).  Postings projected to a comma string so the
@@ -3487,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
         "anchor_text_agg": _q_anchor_text_agg,
+        "page_structure": _q_page_structure,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
         "construction_result": _q_construction_result,
@@ -3775,6 +3791,54 @@ def oracle_sql() -> dict[str, str]:
                    round(median(n_chars), 6) AS median_n_chars,
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
+        """,
+        "page_structure": r"""
+            WITH regular AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ),
+            shaped AS (
+                SELECT doc_id,
+                       (CASE WHEN w % 14 = 0 THEN w // 14
+                             WHEN w % 14 >= 10 THEN w // 14 + 1
+                             WHEN w // 14 > 0 THEN w // 14
+                             ELSE 1 END)
+                       * (CASE WHEN doc_id % 97 = 0 THEN 30 ELSE 1 END)
+                       + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n_p,
+                       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS hastab
+                FROM regular
+            ),
+            reg_rows AS (
+                SELECT
+                    'https://example.org/'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                    n_p, CAST(9 AS BIGINT) AS n_a,
+                    CAST(hastab AS BIGINT) AS n_table,
+                    CAST(4 * hastab AS BIGINT) AS n_tr,
+                    CAST(6 * hastab AS BIGINT) AS n_th,
+                    CAST(18 * hastab AS BIGINT) AS n_td,
+                    CAST(CASE WHEN hastab = 1 THEN 5 ELSE 4 END AS BIGINT)
+                        AS max_depth
+                FROM shaped
+            ),
+            b61_rows AS (
+                SELECT
+                    'https://example.org/'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                    CAST(0 AS BIGINT) AS n_p, CAST(2 AS BIGINT) AS n_a,
+                    CAST(0 AS BIGINT) AS n_table, CAST(0 AS BIGINT) AS n_tr,
+                    CAST(0 AS BIGINT) AS n_th, CAST(0 AS BIGINT) AS n_td,
+                    CAST(4 AS BIGINT) AS max_depth
+                FROM documents WHERE (doc_id % 101) = 61
+            )
+            SELECT CAST(n_p AS BIGINT) AS n_p, n_a, n_table, n_tr, n_th,
+                   n_td, max_depth, url
+            FROM (SELECT * FROM reg_rows UNION ALL SELECT * FROM b61_rows)
         """,
         "anchor_text_agg": """
             WITH h AS (

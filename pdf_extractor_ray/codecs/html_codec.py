@@ -440,3 +440,64 @@ def extract_meta(payload: "bytes | str") -> dict:
         "html_lang": p.lang,
         "og_title": p.og_title,
     }
+
+
+_VOID_TAGS = frozenset(
+    ("meta", "link", "br", "img", "hr", "input", "area", "base",
+     "col", "embed", "source", "track", "wbr")
+)
+
+
+class _StructParser(HTMLParser):
+    """DOM structure collector: per-tag counts for the content-bearing
+    tags plus maximum nesting depth (void tags never enter the open
+    stack).  Tolerant of unclosed tags — depth just never pops."""
+
+    COUNTED = ("p", "a", "table", "tr", "th", "td")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.counts = {t: 0 for t in self.COUNTED}
+        self.max_depth = 0
+        self._depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self.counts:
+            self.counts[tag] += 1
+        if tag not in _VOID_TAGS:
+            self._depth += 1
+            if self._depth > self.max_depth:
+                self.max_depth = self._depth
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in self.counts:
+            self.counts[tag] += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag not in _VOID_TAGS and self._depth > 0:
+            self._depth -= 1
+
+
+def structure_stats(payload: "bytes | str") -> dict:
+    """HTML payload → DOM structure stats: ``n_p, n_a, n_table, n_tr,
+    n_th, n_td, max_depth`` (ints; all 0 for tagless payloads).
+    Charset-sniffed; never raises."""
+    if isinstance(payload, bytes):
+        html = _decode_html_bytes(payload)
+    else:
+        html = payload
+    p = _StructParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return {
+        "n_p": p.counts["p"],
+        "n_a": p.counts["a"],
+        "n_table": p.counts["table"],
+        "n_tr": p.counts["tr"],
+        "n_th": p.counts["th"],
+        "n_td": p.counts["td"],
+        "max_depth": p.max_depth,
+    }

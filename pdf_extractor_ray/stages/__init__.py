@@ -1,6 +1,7 @@
 from .extract import (  # noqa: F401
     HtmlExtractStage,
     PageMetaStage,
+    PageStructureStage,
     PdfExtractStage,
     sniff_doc_kind,
 )

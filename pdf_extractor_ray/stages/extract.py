@@ -175,6 +175,29 @@ class PageMetaStage:
         return pa.table(out)
 
 
+class PageStructureStage:
+    """HTML DOM-structure stats over a batch: counts of the
+    content-bearing tags (p/a/table/tr/th/td) + max nesting depth —
+    the crawler-side page-shape profile (template detection, table
+    density, boilerplate share all start here).  Stateless tasks;
+    tagless payloads yield all-zero rows."""
+
+    FIELDS = ("n_p", "n_a", "n_table", "n_tr", "n_th", "n_td", "max_depth")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.html_codec import structure_stats
+
+        cols: dict = {k: [] for k in self.FIELDS}
+        for payload in batch.column("html").to_pylist():
+            s = structure_stats(payload) if payload else {}
+            for k in self.FIELDS:
+                cols[k].append(s.get(k, 0))
+        out = {"url": batch.column("url")}
+        for k in self.FIELDS:
+            out[k] = pa.array(cols[k], pa.int64())
+        return pa.table(out)
+
+
 class PdfExtractStage(_ExtractBase):
     """PDF layout parse over a batch.  Run as an ACTOR POOL:
 

@@ -203,3 +203,41 @@ def test_page_meta_stage_batch():
     assert out.column("title").to_pylist() == ["T1", None, None]
     assert out.column("canonical_url").to_pylist() == ["https://c/1", None, None]
     assert out.column("html_lang").to_pylist() == ["fr", None, None]
+
+
+def test_structure_stats_counts_and_depth():
+    from pdf_extractor_ray.codecs.html_codec import structure_stats
+
+    s = structure_stats(
+        "<html><head><meta charset='utf-8'><title>t</title></head>"
+        "<body><nav><a href='/'>H</a><a href='/b'>B</a></nav>"
+        "<p>one</p><p>two</p>"
+        "<table><tr><th>h</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        "</body></html>"
+    )
+    assert s == {"n_p": 2, "n_a": 2, "n_table": 1, "n_tr": 2,
+                 "n_th": 1, "n_td": 2, "max_depth": 5}
+
+
+def test_structure_stats_malformed_and_void():
+    from pdf_extractor_ray.codecs.html_codec import structure_stats
+
+    # unclosed tags never underflow/raise; void tags don't add depth
+    s = structure_stats(b"<html><body><p>unclosed<br><img src=x>")
+    assert s["n_p"] == 1 and s["max_depth"] == 3
+    assert structure_stats(b"\x01\x02 no tags")["max_depth"] == 0
+
+
+def test_page_structure_stage_batch():
+    import pyarrow as pa
+    from pdf_extractor_ray.stages.extract import PageStructureStage
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "html": pa.array(
+            [b"<html><body><p>x</p></body></html>", None], pa.large_binary()
+        ),
+    })
+    out = PageStructureStage()(batch)
+    assert out.column("n_p").to_pylist() == [1, 0]
+    assert out.column("max_depth").to_pylist() == [3, 0]
