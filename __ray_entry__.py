@@ -139,6 +139,25 @@ def _q_page_meta(sf_dir: str):
     )
 
 
+def _q_pdf_meta(sf_dir: str):
+    """PDF metadata channel: sniff-route the pages corpus, read the
+    trailer /Info dictionary of PDF payloads (Title/Author/Subject/
+    Producer), keep rows whose Info parsed (drops truncated/image-only
+    edge PDFs carrying no Info).  The oracle reconstructs the
+    synthesizer's deterministic Info fields in SQL — the PDF twin of
+    ``page_meta``."""
+    from pdf_extractor_ray.stages.extract import PdfMetaStage, sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'pdf'")
+    ds = ds.map_batches(PdfMetaStage(), batch_format="pyarrow")
+    ds = ds.select_columns(["url", "title", "author", "subject", "producer"])
+    return ds.map_batches(
+        lambda b: b.filter(b.column("title").is_valid()),
+        batch_format="pyarrow",
+    )
+
+
 def _q_extract_entities(sf_dir: str):
     import pyarrow.compute as pc
     from pdf_extractor_ray.pipelines.extraction import entities_pipeline
@@ -3499,6 +3518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
+        "pdf_meta": _q_pdf_meta,
         "inverted_index": _q_inverted_index,
         "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
         "anchor_text_agg": _q_anchor_text_agg,
@@ -3929,6 +3949,24 @@ def oracle_sql() -> dict[str, str]:
                 lang AS html_lang,
                 'Document ' || doc_id || ': '
                     || array_to_string(w[1:3], ' ') AS og_title
+            FROM h
+        """,
+        "pdf_meta": """
+            WITH h AS (
+                SELECT doc_id, str_split(text, ' ') AS w
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) = 7
+            )
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                'Document ' || doc_id || ': '
+                    || array_to_string(w[1:3], ' ') AS title,
+                'Author ' || (doc_id % 50) AS author,
+                array_to_string(w[1:8], ' ') AS subject,
+                'pdfx-ray 1.0' AS producer
             FROM h
         """,
         "url_canonical_dedup": """

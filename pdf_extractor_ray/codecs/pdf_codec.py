@@ -1432,6 +1432,50 @@ def has_table_indicators(text: str) -> bool:
     return "\t" in text or text.count("|") > 15 or text.count("│") > 8
 
 
+_INFO_KEYS = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer")
+
+
+def _decode_pdf_string(b: bytes) -> str:
+    """PDF text-string decode: UTF-16BE when BOM-prefixed, else
+    PDFDocEncoding (≈ latin-1 for the printable range we emit)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+def extract_info(payload: bytes) -> Dict[str, Optional[str]]:
+    """Document-information dictionary (trailer ``/Info``) → the six
+    standard metadata strings, snake_cased; missing keys / missing Info
+    / unparseable documents yield all-None (never an error — crawled
+    PDFs carry arbitrarily broken trailers).
+
+    PDF-channel counterpart of ``html_codec.extract_meta``; the
+    reference has no Info reader (pdfplumber exposes ``.metadata`` but
+    extraction_service never reads it) — this is the metadata channel a
+    crawl pipeline needs for provenance/title indexing.
+    """
+    out: Dict[str, Optional[str]] = {k.lower(): None for k in _INFO_KEYS}
+    try:
+        doc = _PdfDocument(payload)
+        ref = doc.trailer.get("Info")
+        info = doc.resolve(ref)
+        if not isinstance(info, dict):
+            return out
+        num, gen = (ref.num, ref.gen) if isinstance(ref, Ref) else (0, 0)
+        for key in _INFO_KEYS:
+            val = doc.resolve(info.get(key))
+            if isinstance(val, bytes):
+                if doc.security is not None:
+                    try:
+                        val = doc.security.decrypt(num, gen, val)
+                    except Exception:
+                        continue
+                out[key.lower()] = _decode_pdf_string(val)
+    except Exception:
+        pass
+    return out
+
+
 # --------------------------------------------------------------------------
 # public codec
 # --------------------------------------------------------------------------

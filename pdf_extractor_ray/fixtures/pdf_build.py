@@ -75,13 +75,27 @@ def _content_stream(page: PdfPage) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+def _info_body(info: dict) -> bytes:
+    """Serialize a document-information dictionary (/Title /Author ...)
+    as literal strings — the classic trailer-referenced Info object."""
+    parts = ["<<"]
+    for key, val in info.items():
+        parts.append(f"/{key} ({_esc(str(val))})")
+    parts.append(">>")
+    return " ".join(parts).encode("latin-1")
+
+
 def build_pdf(
-    pages: Sequence[PdfPage], compress: bool = True, truncate_at: int | None = None
+    pages: Sequence[PdfPage],
+    compress: bool = True,
+    truncate_at: int | None = None,
+    info: dict | None = None,
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
 
     ``truncate_at`` chops the output to simulate a corrupt shard
-    (FIXTURES.md F1 edge rows).
+    (FIXTURES.md F1 edge rows).  ``info`` adds a document-information
+    dictionary referenced from the trailer ``/Info`` key.
     """
     objects: List[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
 
@@ -114,6 +128,10 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )  # font obj
+    info_ref = b""
+    if info:
+        objects.append(_info_body(info))
+        info_ref = f" /Info {len(objects)} 0 R".encode()
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -127,7 +145,8 @@ def build_pdf(
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF\n"
+        f"trailer\n<< /Size {n} /Root 1 0 R{info_ref.decode()} >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     result = bytes(out)
     if truncate_at is not None:
@@ -140,6 +159,7 @@ def simple_text_pdf(
     size: float = 12.0,
     use_tj: bool = False,
     use_leading: bool = False,
+    info: dict | None = None,
 ) -> bytes:
     """One text chunk per line, single column, top-down."""
     pages = []
@@ -149,23 +169,25 @@ def simple_text_pdf(
             for i, line in enumerate(lines)
         ]
         pages.append(PdfPage(texts=texts, use_tj_array=use_tj, use_leading=use_leading))
-    return build_pdf(pages)
+    return build_pdf(pages, info=info)
 
 
-def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0) -> bytes:
+def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0,
+                   info: dict | None = None) -> bytes:
     """Two-column page: reading order = all left lines, then all right."""
     texts = []
     for i, line in enumerate(left):
         texts.append((50.0, 720.0 - i * (size * 1.4), size, line))
     for i, line in enumerate(right):
         texts.append((330.0, 720.0 - i * (size * 1.4), size, line))
-    return build_pdf([PdfPage(texts=texts)])
+    return build_pdf([PdfPage(texts=texts)], info=info)
 
 
 def table_pdf(
     rows: Sequence[Sequence[str]],
     prefix_lines: Sequence[str] = (),
     size: float = 10.0,
+    info: dict | None = None,
 ) -> bytes:
     """Page with a ruled table grid (plus optional prose above it)."""
     texts = []
@@ -189,11 +211,12 @@ def table_pdf(
         for c, cell in enumerate(row):
             if cell:
                 texts.append((x0 + c * col_w + 4.0, cy, size, cell))
-    return build_pdf([PdfPage(texts=texts, rules=rules)])
+    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info)
 
 
 # ---------------------------------------------------------------- PDF ≥1.5
-def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
+def modern_text_pdf(lines: Sequence[str], predictor: bool = True,
+                    info: dict | None = None) -> bytes:
     """Author a PDF 1.5-style file: catalog/pages/page/font packed in a
     compressed OBJECT STREAM, a CROSS-REFERENCE STREAM (W=[1,4,2],
     optional PNG Up predictor) instead of a classic xref table.
@@ -210,7 +233,7 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
         y -= 14.0
     content = zlib.compress(("\n".join(ops) + "\n").encode("latin-1"))
 
-    # object stream (object 6) holding objects 1,2,3,5
+    # object stream (object 6) holding objects 1,2,3,5 (+8 = Info)
     members = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
         (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
@@ -218,6 +241,8 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
             b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
         (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     ]
+    if info:
+        members.append((8, _info_body(info)))
     bodies = b""
     header = b""
     for num, body in members:
@@ -241,7 +266,8 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
          + b" /Length " + str(len(objstm)).encode()
          + b" /Filter /FlateDecode >>\nstream\n" + objstm + b"\nendstream")
 
-    # xref stream (object 7): W = [1, 4, 2]; entries for objects 0..7
+    # xref stream (object 7): W = [1, 4, 2]; entries for objects 0..7(+8)
+    n_objs = 9 if info else 8
     xref_pos_placeholder = len(out)  # object 7 starts here
     offsets[7] = xref_pos_placeholder
     rows = []
@@ -252,6 +278,8 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
     rows.append(bytes([2]) + (6).to_bytes(4, "big") + (3).to_bytes(2, "big"))  # obj 5
     rows.append(bytes([1]) + offsets[6].to_bytes(4, "big") + (0).to_bytes(2, "big"))
     rows.append(bytes([1]) + offsets[7].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    if info:
+        rows.append(bytes([2]) + (6).to_bytes(4, "big") + (4).to_bytes(2, "big"))  # obj 8
     rec = b"".join(rows)
     parms = b""
     if predictor:
@@ -267,7 +295,9 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True) -> bytes:
         parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
     xdata = zlib.compress(rec)
     xdict = (
-        b"<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8] /Root 1 0 R"
+        b"<< /Type /XRef /Size " + str(n_objs).encode()
+        + b" /W [1 4 2] /Index [0 " + str(n_objs).encode() + b"] /Root 1 0 R"
+        + (b" /Info 8 0 R" if info else b"")
         + parms
         + b" /Length " + str(len(xdata)).encode()
         + b" /Filter /FlateDecode >>"

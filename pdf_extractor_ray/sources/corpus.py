@@ -149,12 +149,23 @@ def _html_doc(doc_id: int, text: str, giant: bool,
 # -------------------------------------------------------------------- PDF
 def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     words = [w for w in _words(text) if w.isascii()]
+    # deterministic Info dict — SQL-reconstructible from (doc_id, text),
+    # mirroring the HTML head-metadata rules so pdf_meta gets an oracle
+    info = {
+        "Title": f"Document {doc_id}: " + " ".join(words[:3]),
+        "Author": f"Author {doc_id % 50}",
+        "Subject": " ".join(words[:8]),
+        "Producer": "pdfx-ray 1.0",
+    }
     if doc_id % 40 == 17 and not giant:
         # modern PDF ≥1.5: xref stream + object stream container
         from ..fixtures.pdf_build import modern_text_pdf
 
         lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 15, 5)]
-        return modern_text_pdf(lines, predictor=doc_id % 80 == 17), "\n".join(lines)
+        return (
+            modern_text_pdf(lines, predictor=doc_id % 80 == 17, info=info),
+            "\n".join(lines),
+        )
     variant = (doc_id // 10) % 4
     if variant == 0 or giant:  # single column, multi page
         n_pages = 30 if giant else 1 + doc_id % 3
@@ -167,22 +178,24 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
                 lines.append(" ".join(words[k % len(words) : k % len(words) + 6]) or words[0])
                 k += 6
             page_lines.append(lines)
-        payload = simple_text_pdf(page_lines)
+        payload = simple_text_pdf(page_lines, info=info)
         golden = "\n\n".join("\n".join(ls) for ls in page_lines)
     elif variant == 1:  # two columns
         left = [" ".join(words[i : i + 4]) or words[0] for i in range(0, 16, 4)]
         right = [" ".join(words[i : i + 4]) or words[0] for i in range(16, 32, 4)]
         right = [r or words[0] for r in right]
-        payload = two_column_pdf(left, right)
+        payload = two_column_pdf(left, right, info=info)
         golden = "\n".join(left + right)
     elif variant == 2:  # ruled construction table + prose
         prefix = ["FIXTURE SCHEDULE " + " ".join(words[:3])]
         rows = [_TABLE_HEADER] + _construction_rows(doc_id)
-        payload = table_pdf(rows, prefix_lines=prefix)
+        payload = table_pdf(rows, prefix_lines=prefix, info=info)
         golden = "\n".join(prefix + [" | ".join(r) for r in rows])
     else:  # TJ arrays + leading operators
         lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 20, 5)]
-        payload = simple_text_pdf([lines], use_tj=doc_id % 2 == 0, use_leading=doc_id % 2 == 1)
+        payload = simple_text_pdf(
+            [lines], use_tj=doc_id % 2 == 0, use_leading=doc_id % 2 == 1, info=info
+        )
         golden = "\n".join(lines)
     return payload, golden
 

@@ -198,6 +198,29 @@ class PageStructureStage:
         return pa.table(out)
 
 
+class PdfMetaStage:
+    """PDF document-information metadata over a batch: trailer /Info
+    Title/Author/Subject/Keywords/Creator/Producer — the PDF-channel
+    counterpart of :class:`PageMetaStage` (provenance/title indexing for
+    crawled PDFs).  Stateless tasks; non-PDF / broken payloads yield
+    all-null columns."""
+
+    FIELDS = ("title", "author", "subject", "keywords", "creator", "producer")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.pdf_codec import extract_info
+
+        cols: dict = {k: [] for k in self.FIELDS}
+        for payload in batch.column("html").to_pylist():
+            meta = extract_info(payload) if payload else {}
+            for k in self.FIELDS:
+                cols[k].append(meta.get(k))
+        out = {"url": batch.column("url")}
+        for k in self.FIELDS:
+            out[k] = pa.array(cols[k], pa.string())
+        return pa.table(out)
+
+
 class PdfExtractStage(_ExtractBase):
     """PDF layout parse over a batch.  Run as an ACTOR POOL:
 

@@ -176,3 +176,61 @@ def test_giant_document_500_pages():
     assert r.status == "ok"
     assert len(r.pages) == 500
     assert r.text == "\n\n".join("\n".join(ls) for ls in pages)
+
+
+# ------------------------------------------------------------- Info dict
+def test_extract_info_classic_and_modern():
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import (
+        modern_text_pdf,
+        simple_text_pdf,
+    )
+
+    info = {"Title": "T (one)", "Author": "A", "Subject": "S",
+            "Keywords": "k1 k2", "Creator": "C", "Producer": "P"}
+    for payload in (
+        simple_text_pdf([["x"]], info=info),      # trailer-referenced obj
+        modern_text_pdf(["x"], info=info),        # Info inside ObjStm
+        modern_text_pdf(["x"], predictor=True, info=info),
+    ):
+        got = extract_info(payload)
+        assert got == {
+            "title": "T (one)", "author": "A", "subject": "S",
+            "keywords": "k1 k2", "creator": "C", "producer": "P",
+        }
+
+
+def test_extract_info_absent_and_broken():
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import image_only_pdf, simple_text_pdf
+
+    none = {k: None for k in
+            ("title", "author", "subject", "keywords", "creator", "producer")}
+    assert extract_info(simple_text_pdf([["x"]])) == none
+    assert extract_info(image_only_pdf()) == none
+    assert extract_info(b"%PDF-1.4 garbage") == none
+    assert extract_info(b"not a pdf at all") == none
+
+
+def test_extract_info_utf16_and_escapes():
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import build_pdf, PdfPage
+
+    # hand-patch a UTF-16BE hex-string title into a built PDF's Info
+    base = build_pdf([PdfPage(texts=[(72.0, 720.0, 12.0, "x")])],
+                     info={"Title": "placeholder"})
+    utf16 = "café".encode("utf-16-be")
+    hexstr = "<FEFF" + utf16.hex().upper() + ">"
+    patched = base.replace(b"(placeholder)", hexstr.encode("ascii"))
+    assert extract_info(patched)["title"] == "café"
+
+
+def test_info_does_not_change_extracted_text():
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import simple_text_pdf
+
+    lines = [["alpha beta", "gamma delta"]]
+    with_info = PdfCodec().extract(
+        simple_text_pdf(lines, info={"Title": "t"})).text
+    without = PdfCodec().extract(simple_text_pdf(lines)).text
+    assert with_info == without == "alpha beta\ngamma delta"
