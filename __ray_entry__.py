@@ -139,6 +139,27 @@ def _q_page_meta(sf_dir: str):
     )
 
 
+def _q_noindex_pages(sf_dir: str):
+    """Crawl-policy channel: pages whose head declares a robots
+    ``noindex`` directive — the set an index/training pipeline must
+    drop to honor publisher opt-outs.  Composes the sniff router with
+    the head-metadata stage; the oracle reconstructs the synthesizer's
+    deterministic robots rule."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.stages.extract import PageMetaStage, sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'html'")
+    ds = ds.map_batches(PageMetaStage(), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.match_substring(pc.fill_null(b.column("robots"), ""), "noindex")
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["url", "robots"])
+
+
 def _q_pdf_meta(sf_dir: str):
     """PDF metadata channel: sniff-route the pages corpus, read the
     trailer /Info dictionary of PDF payloads (Title/Author/Subject/
@@ -3519,6 +3540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
         "pdf_meta": _q_pdf_meta,
+        "noindex_pages": _q_noindex_pages,
         "inverted_index": _q_inverted_index,
         "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
         "anchor_text_agg": _q_anchor_text_agg,
@@ -3948,8 +3970,21 @@ def oracle_sql() -> dict[str, str]:
                     || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS canonical_url,
                 lang AS html_lang,
                 'Document ' || doc_id || ': '
-                    || array_to_string(w[1:3], ' ') AS og_title
+                    || array_to_string(w[1:3], ' ') AS og_title,
+                CASE WHEN doc_id % 13 = 5
+                     THEN 'noindex, nofollow' END AS robots
             FROM h
+        """,
+        "noindex_pages": """
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                'noindex, nofollow' AS robots
+            FROM documents
+            WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+              AND (doc_id % 10) <> 7
+              AND (doc_id % 13) = 5
         """,
         "pdf_meta": """
             WITH h AS (

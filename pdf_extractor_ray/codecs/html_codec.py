@@ -369,8 +369,9 @@ class HtmlCodec:
 
 class _MetaParser(HTMLParser):
     """Head-metadata collector: title text, meta description,
-    rel=canonical link, <html lang>, og:title. Stops caring after
-    </head> (body meta is non-standard; first-wins like browsers)."""
+    rel=canonical link, <html lang>, og:title, robots directives.
+    Stops caring after </head> (body meta is non-standard; first-wins
+    like browsers)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -379,6 +380,7 @@ class _MetaParser(HTMLParser):
         self.canonical: Optional[str] = None
         self.lang: Optional[str] = None
         self.og_title: Optional[str] = None
+        self.robots: Optional[str] = None
         self._in_title = False
         self._title_buf: List[str] = []
         self._done = False
@@ -397,6 +399,8 @@ class _MetaParser(HTMLParser):
             content = a.get("content", "").strip()
             if name == "description" and self.description is None and content:
                 self.description = content
+            elif name == "robots" and self.robots is None and content:
+                self.robots = content.lower()
             elif prop == "og:title" and self.og_title is None and content:
                 self.og_title = content
         elif tag == "link":
@@ -420,7 +424,7 @@ class _MetaParser(HTMLParser):
 
 def extract_meta(payload: "bytes | str") -> dict:
     """HTML payload → page metadata dict (all values nullable):
-    ``title, description, canonical_url, html_lang, og_title``.
+    ``title, description, canonical_url, html_lang, og_title, robots``.
     Charset-sniffed like the main codec; never raises (crawled heads
     are the most malformed HTML there is)."""
     if isinstance(payload, bytes):
@@ -439,6 +443,7 @@ def extract_meta(payload: "bytes | str") -> dict:
         "canonical_url": p.canonical,
         "html_lang": p.lang,
         "og_title": p.og_title,
+        "robots": p.robots,
     }
 
 

@@ -105,7 +105,9 @@ def _html_doc(doc_id: int, text: str, giant: bool,
         f'<meta name="description" content="{desc}">'
         f'<link rel="canonical" href="{canonical}">'
         f'<meta property="og:title" content="{title}">'
-        "<style>p{margin:0}</style></head><body>",
+        + ('<meta name="robots" content="noindex, nofollow">'
+           if doc_id % 13 == 5 else "")
+        + "<style>p{margin:0}</style></head><body>",
         '<nav><a href="/">Home</a> <a href="/about">About</a> '
         '<a href="/contact">Contact</a> <a href="/login">Login</a></nav>',
         # deterministic cross-links: make the link graph non-degenerate

@@ -150,9 +150,10 @@ class HtmlExtractStage(_ExtractBase):
 class PageMetaStage:
     """HTML head-metadata extraction over a batch: page ``title``,
     ``description`` (meta name=description), ``canonical_url``
-    (link rel=canonical), ``html_lang`` (<html lang>) and ``og_title``
-    (og:title property) — the crawler-side metadata channel the body
-    codec deliberately ignores.  Stateless tasks; headless / non-HTML
+    (link rel=canonical), ``html_lang`` (<html lang>), ``og_title``
+    (og:title property) and ``robots`` (meta name=robots directives,
+    lower-cased) — the crawler-side metadata channel the body codec
+    deliberately ignores.  Stateless tasks; headless / non-HTML
     payloads yield all-null columns (never an error: crawled heads are
     the most malformed HTML there is).
     """
@@ -160,15 +161,13 @@ class PageMetaStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.html_codec import extract_meta
 
-        fields = ("title", "description", "canonical_url", "html_lang", "og_title")
+        fields = ("title", "description", "canonical_url", "html_lang",
+                  "og_title", "robots")
         cols: dict = {k: [] for k in fields}
         for payload in batch.column("html").to_pylist():
             meta = extract_meta(payload) if payload else {}
-            cols["title"].append(meta.get("title"))
-            cols["description"].append(meta.get("description"))
-            cols["canonical_url"].append(meta.get("canonical_url"))
-            cols["html_lang"].append(meta.get("html_lang"))
-            cols["og_title"].append(meta.get("og_title"))
+            for k in fields:
+                cols[k].append(meta.get(k))
         out = {"url": batch.column("url")}
         for k in fields:
             out[k] = pa.array(cols[k], pa.string())

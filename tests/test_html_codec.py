@@ -164,7 +164,8 @@ def test_extract_meta_malformed_never_raises():
     ):
         m = extract_meta(payload)
         assert set(m) == {
-            "title", "description", "canonical_url", "html_lang", "og_title"
+            "title", "description", "canonical_url", "html_lang",
+            "og_title", "robots",
         }
 
 
@@ -198,7 +199,8 @@ def test_page_meta_stage_batch():
     )
     out = PageMetaStage()(batch)
     assert out.column_names == [
-        "url", "title", "description", "canonical_url", "html_lang", "og_title"
+        "url", "title", "description", "canonical_url", "html_lang",
+        "og_title", "robots",
     ]
     assert out.column("title").to_pylist() == ["T1", None, None]
     assert out.column("canonical_url").to_pylist() == ["https://c/1", None, None]
@@ -241,3 +243,21 @@ def test_page_structure_stage_batch():
     out = PageStructureStage()(batch)
     assert out.column("n_p").to_pylist() == [1, 0]
     assert out.column("max_depth").to_pylist() == [3, 0]
+
+
+def test_extract_meta_robots_directive():
+    from pdf_extractor_ray.codecs.html_codec import extract_meta
+
+    m = extract_meta(
+        b"<html><head><title>t</title>"
+        b'<meta name="ROBOTS" content="NOINDEX, NOFOLLOW">'
+        b"</head><body><p>x</p></body></html>"
+    )
+    assert m["robots"] == "noindex, nofollow"
+    assert extract_meta(b"<html><head></head><body></body></html>")["robots"] is None
+    # body-scope meta is ignored (first-wins head-only policy)
+    m2 = extract_meta(
+        b"<html><head></head><body>"
+        b'<meta name="robots" content="noindex"></body></html>'
+    )
+    assert m2["robots"] is None
