@@ -3097,6 +3097,63 @@ def _q_page_structure(sf_dir: str):
     return ds.filter(expr="max_depth > 0")
 
 
+def _q_template_clusters(sf_dir: str):
+    """Template detection: pages grouped by their exact DOM-structure
+    profile (tag counts + depth) — pages sharing a shape are instances
+    of one site template, the unit boilerplate removal and per-template
+    sampling operate on at crawl scale.  One value-space exchange of
+    8-int rows (shape hash partitions), vectorized in-partition fold →
+    (shape, n_pages, min-url representative); clusters of ≥2 kept.
+    Oracle: GROUP BY over the page_structure reconstruction."""
+    import numpy as np
+
+    from pdf_extractor_ray.stages.extract import PageStructureStage, sniff_doc_kind
+
+    shape_cols = list(PageStructureStage.FIELDS)
+    num_partitions = 32
+    _MIXC = np.uint64(0x9E3779B97F4A7C15)
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'html'")
+    ds = ds.map_batches(PageStructureStage(), batch_format="pyarrow")
+    ds = ds.filter(expr="max_depth > 0")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in shape_cols:
+            acc = acc * _MIXC + batch.column(c).to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)
+        part = (acc % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__tpart", pa.array(part, pa.int32()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        urls = np.asarray(group.column("url").to_pylist())
+        keys = [
+            group.column(c).to_numpy(zero_copy_only=False) for c in shape_cols
+        ]
+        order = np.lexsort([urls] + keys[::-1])
+        sk = [k[order] for k in keys]
+        change = np.zeros(len(urls), dtype=bool)
+        change[0] = True
+        for k in sk:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(change)[0]
+        counts = np.diff(np.append(starts, len(urls)))
+        keep = counts >= 2
+        out = {c: pa.array(k[starts][keep], pa.int64())
+               for c, k in zip(shape_cols, sk)}
+        out["n_pages"] = pa.array(counts[keep], pa.int64())
+        out["representative"] = pa.array(urls[order][starts][keep], pa.string())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__tpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def _q_inverted_index(sf_dir: str):
     """Search-index build: token → sorted doc-id posting list (df = true
     document frequency).  Postings projected to a comma string so the
@@ -3545,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
         "anchor_text_agg": _q_anchor_text_agg,
         "page_structure": _q_page_structure,
+        "template_clusters": _q_template_clusters,
         "doc_statistics": _q_doc_statistics,
         "standard_result": _q_standard_result,
         "construction_result": _q_construction_result,
@@ -3744,6 +3802,56 @@ def _split_sql() -> str:
     """
 
 
+_PAGE_STRUCTURE_SQL = r"""
+            WITH regular AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ),
+            shaped AS (
+                SELECT doc_id,
+                       (CASE WHEN w % 14 = 0 THEN w // 14
+                             WHEN w % 14 >= 10 THEN w // 14 + 1
+                             WHEN w // 14 > 0 THEN w // 14
+                             ELSE 1 END)
+                       * (CASE WHEN doc_id % 97 = 0 THEN 30 ELSE 1 END)
+                       + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n_p,
+                       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS hastab
+                FROM regular
+            ),
+            reg_rows AS (
+                SELECT
+                    'https://example.org/'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                    n_p, CAST(9 AS BIGINT) AS n_a,
+                    CAST(hastab AS BIGINT) AS n_table,
+                    CAST(4 * hastab AS BIGINT) AS n_tr,
+                    CAST(6 * hastab AS BIGINT) AS n_th,
+                    CAST(18 * hastab AS BIGINT) AS n_td,
+                    CAST(CASE WHEN hastab = 1 THEN 5 ELSE 4 END AS BIGINT)
+                        AS max_depth
+                FROM shaped
+            ),
+            b61_rows AS (
+                SELECT
+                    'https://example.org/'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                    CAST(0 AS BIGINT) AS n_p, CAST(2 AS BIGINT) AS n_a,
+                    CAST(0 AS BIGINT) AS n_table, CAST(0 AS BIGINT) AS n_tr,
+                    CAST(0 AS BIGINT) AS n_th, CAST(0 AS BIGINT) AS n_td,
+                    CAST(4 AS BIGINT) AS max_depth
+                FROM documents WHERE (doc_id % 101) = 61
+            )
+            SELECT CAST(n_p AS BIGINT) AS n_p, n_a, n_table, n_tr, n_th,
+                   n_td, max_depth, url
+            FROM (SELECT * FROM reg_rows UNION ALL SELECT * FROM b61_rows)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "train_split": _split_sql(),
@@ -3834,54 +3942,7 @@ def oracle_sql() -> dict[str, str]:
                    round(mad(n_chars), 6) AS mad_n_chars
             FROM documents GROUP BY lang
         """,
-        "page_structure": r"""
-            WITH regular AS (
-                SELECT doc_id,
-                       len(string_split_regex(trim(text), '\s+')) AS w
-                FROM documents
-                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
-                  AND (doc_id % 10) <> 7
-            ),
-            shaped AS (
-                SELECT doc_id,
-                       (CASE WHEN w % 14 = 0 THEN w // 14
-                             WHEN w % 14 >= 10 THEN w // 14 + 1
-                             WHEN w // 14 > 0 THEN w // 14
-                             ELSE 1 END)
-                       * (CASE WHEN doc_id % 97 = 0 THEN 30 ELSE 1 END)
-                       + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n_p,
-                       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS hastab
-                FROM regular
-            ),
-            reg_rows AS (
-                SELECT
-                    'https://example.org/'
-                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
-                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
-                    n_p, CAST(9 AS BIGINT) AS n_a,
-                    CAST(hastab AS BIGINT) AS n_table,
-                    CAST(4 * hastab AS BIGINT) AS n_tr,
-                    CAST(6 * hastab AS BIGINT) AS n_th,
-                    CAST(18 * hastab AS BIGINT) AS n_td,
-                    CAST(CASE WHEN hastab = 1 THEN 5 ELSE 4 END AS BIGINT)
-                        AS max_depth
-                FROM shaped
-            ),
-            b61_rows AS (
-                SELECT
-                    'https://example.org/'
-                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
-                        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
-                    CAST(0 AS BIGINT) AS n_p, CAST(2 AS BIGINT) AS n_a,
-                    CAST(0 AS BIGINT) AS n_table, CAST(0 AS BIGINT) AS n_tr,
-                    CAST(0 AS BIGINT) AS n_th, CAST(0 AS BIGINT) AS n_td,
-                    CAST(4 AS BIGINT) AS max_depth
-                FROM documents WHERE (doc_id % 101) = 61
-            )
-            SELECT CAST(n_p AS BIGINT) AS n_p, n_a, n_table, n_tr, n_th,
-                   n_td, max_depth, url
-            FROM (SELECT * FROM reg_rows UNION ALL SELECT * FROM b61_rows)
-        """,
+        "page_structure": _PAGE_STRUCTURE_SQL,
         "anchor_text_agg": """
             WITH h AS (
                 SELECT doc_id FROM documents
@@ -5499,5 +5560,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.ns AS DOUBLE) / sz.n, 6) AS containment
             FROM shared s JOIN sz ON sz.doc_id = s.src
             WHERE CAST(s.ns AS DOUBLE) / sz.n >= 0.6
+        """,
+        # GROUP BY over the page_structure reconstruction: pages
+        # sharing an exact DOM shape form one template cluster
+        "template_clusters": """
+            WITH ps AS (""" + _PAGE_STRUCTURE_SQL + """)
+            SELECT n_p, n_a, n_table, n_tr, n_th, n_td, max_depth,
+                   count(*) AS n_pages, min(url) AS representative
+            FROM ps
+            GROUP BY n_p, n_a, n_table, n_tr, n_th, n_td, max_depth
+            HAVING count(*) >= 2
         """,
     }

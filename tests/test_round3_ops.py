@@ -221,3 +221,29 @@ def test_doc_bigram_cross_entropy_matches_numpy(ray_session):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_template_clusters_consistent_with_page_structure(ray_session):
+    """Every template cluster's size must equal the number of
+    page_structure rows sharing that exact shape, and the
+    representative must be the minimum url of the cluster."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    ps = e.queries()["page_structure"](sf).to_pandas()
+    tc = e.queries()["template_clusters"](sf).to_pandas()
+    assert len(tc) > 0
+    shape_cols = ["n_p", "n_a", "n_table", "n_tr", "n_th", "n_td", "max_depth"]
+    grouped = (
+        ps.groupby(shape_cols)["url"].agg(["count", "min"]).reset_index()
+    )
+    grouped = grouped[grouped["count"] >= 2]
+    want = {
+        tuple(r[c] for c in shape_cols): (r["count"], r["min"])
+        for _, r in grouped.iterrows()
+    }
+    got = {
+        tuple(r[c] for c in shape_cols): (r["n_pages"], r["representative"])
+        for _, r in tc.iterrows()
+    }
+    assert got == want
