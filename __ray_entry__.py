@@ -2661,6 +2661,43 @@ def _q_user_event_paths(sf_dir: str):
                          order_cols=["ts", "event_id"], sep=">")
 
 
+def _q_link_depth(sf_dir: str):
+    """Crawl-depth analysis: BFS minimum-hop distance from the seed
+    site over the SITE link graph — href extraction from raw html
+    (actor-pool regex stage), cross-link targets ``/p/N`` mapped to
+    site ids, page urls to their site-prefix segment, distinct edges,
+    then :func:`graph.bfs_depths` (size-gated driver BFS vs semi-naive
+    distributed frontier expansion).  Oracle: recursive CTE over the
+    synthesizer's deterministic cross-link rule — transitive-closure
+    semantics checked end-to-end against SQL."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.graph import bfs_depths
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir))
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+    return bfs_depths(edges, [0])
+
+
 def _q_url_pagerank(sf_dir: str):
     """Web-graph analysis end-to-end: href extraction from the raw
     html payload (compiled-regex actor stage, relative-link resolution,
@@ -3736,6 +3773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "user_event_paths": _q_user_event_paths,
         "url_pagerank": _q_url_pagerank,
+        "link_depth": _q_link_depth,
         "quantiles_chars_cont": _q_quantiles_chars_cont,
         "doc_compression_ratio": _q_doc_compression_ratio,
         # corpus-mixture stages (split / rebalance / percentile gate /
@@ -5560,6 +5598,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.ns AS DOUBLE) / sz.n, 6) AS containment
             FROM shared s JOIN sz ON sz.doc_id = s.src
             WHERE CAST(s.ns AS DOUBLE) / sz.n >= 0.6
+        """,
+        # transitive closure: recursive CTE over the deterministic
+        # cross-link rule (site graph; seed site 0)
+        "link_depth": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT (doc_id % 1000) AS src,
+                       ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+                FROM documents, (VALUES (1), (2), (3)) AS k(k)
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ), r AS (
+                SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+                UNION
+                SELECT CAST(e.dst AS BIGINT), r.depth + 1
+                FROM r JOIN e ON e.src = r.node
+                WHERE r.depth < 40
+            )
+            SELECT node, min(depth) AS depth FROM r GROUP BY node
         """,
         # GROUP BY over the page_structure reconstruction: pages
         # sharing an exact DOM shape form one template cluster

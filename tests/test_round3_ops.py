@@ -247,3 +247,56 @@ def test_template_clusters_consistent_with_page_structure(ray_session):
         for _, r in tc.iterrows()
     }
     assert got == want
+
+
+def _bfs_tbl(pairs):
+    return pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    })
+
+
+def test_bfs_depths_local_vs_distributed(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import bfs_depths
+
+    edges = ray.data.from_arrow(_bfs_tbl(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 1), (7, 8)]
+    ))
+    loc = bfs_depths(edges, [0]).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    dist = bfs_depths(edges, [0], local_max_edges=0).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert loc.equals(dist)
+    got = dict(zip(loc["node"], loc["depth"]))
+    # 7→8 unreachable from 0; cycle 4→1 must not lower depth of 1
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_depths_multi_seed_and_dup_edges(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import bfs_depths
+
+    edges = ray.data.from_arrow(_bfs_tbl(
+        [(0, 1), (0, 1), (1, 2), (5, 2), (5, 6)]
+    ))
+    for lme in (2_000_000, 0):
+        out = bfs_depths(edges, [0, 5], local_max_edges=lme).to_pandas()
+        got = dict(zip(out["node"], out["depth"]))
+        assert got == {0: 0, 5: 0, 1: 1, 2: 1, 6: 1}
+
+
+def test_bfs_depths_depth_bound_raises(ray_session):
+    import pytest
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import bfs_depths
+
+    chain = ray.data.from_arrow(_bfs_tbl([(i, i + 1) for i in range(6)]))
+    with pytest.raises(RuntimeError):
+        bfs_depths(chain, [0], max_depth=3, local_max_edges=0)
+    # local path has no round bound (adjacency walk) — full chain
+    out = bfs_depths(chain, [0]).to_pandas()
+    assert out["depth"].max() == 6
