@@ -162,3 +162,46 @@ def test_aesv2_document_decrypts():
     r = PdfCodec().extract(_aesv2_pdf())
     assert r.status == "ok"
     assert r.text == "secret but readable line"
+
+
+def test_encrypted_info_string_decrypts():
+    """Trailer /Info strings are RC4-encrypted with the Info OBJECT's
+    key (num/gen), not the file key — extract_info must decrypt."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+
+    r, length_bits = 3, 128
+    keylen = length_bits // 8
+    p = -44
+    o = _owner_entry(b"owner-secret", r, keylen)
+    fkey = _file_key(o, p, r, keylen)
+    comp = zlib.compress(CONTENT)
+    enc_stream = _rc4(_obj_key(fkey, 4, 0, keylen), comp)
+    title_ct = _rc4(_obj_key(fkey, 7, 0, keylen), b"Secret Title")
+    u = _rc4(fkey, _PAD)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    out = bytearray(b"%PDF-1.4\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (4, b"<< /Length " + str(len(enc_stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + enc_stream + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (6, b"<< /Filter /Standard /V 2 /R 3 /Length 128"
+            + b" /O " + hexs(o) + b" /U " + hexs(u)
+            + b" /P " + str(p).encode() + b" >>"),
+        (7, b"<< /Title " + hexs(title_ct) + b" >>"),
+    ]
+    for num, payload in objs:
+        out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+    out.extend(
+        b"trailer\n<< /Root 1 0 R /Encrypt 6 0 R /Info 7 0 R /ID ["
+        + hexs(FILE_ID) + b" " + hexs(FILE_ID) + b"] >>\n%%EOF\n"
+    )
+    info = extract_info(bytes(out))
+    assert info["title"] == "Secret Title"
+    assert info["author"] is None
