@@ -123,6 +123,35 @@ def _q_extract_items(sf_dir: str):
     return items_pipeline(_pages(sf_dir))
 
 
+def _q_extract_text_html(sf_dir: str):
+    """THE north-rule claim, driver-oracled: byte-identical extracted
+    text per url for the whole HTML channel.  The engine runs the real
+    sniff → boilerplate-strip codec over raw payload bytes; the oracle
+    independently re-derives every expected byte in SQL from the
+    synthesizer's deterministic construction rules (title, 14-word
+    paragraph fold with tail absorb, giant ×30 repetition, entity
+    sentence, construction-table block).  A single flipped byte in any
+    of 400+ documents hash-mismatches."""
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir))
+    ds = ds.filter(expr="doc_kind == 'html' and extract_status == 'ok'")
+    return ds.select_columns(["url", "extracted_text"])
+
+
+def _q_extract_text_pdf(sf_dir: str):
+    """Byte-identity oracle for the PDF extraction channel: the engine
+    runs the from-scratch content-stream codec (classic + ObjStm xref,
+    Flate, TJ arrays, TL/T* leading, two-column reading order, ruled
+    tables) over real PDF bytes; the oracle re-derives every expected
+    byte in SQL from the synthesizer's per-variant layout rules."""
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+
+    ds = extraction_pipeline(_pages(sf_dir))
+    ds = ds.filter(expr="doc_kind == 'pdf' and extract_status == 'ok'")
+    return ds.select_columns(["url", "extracted_text"])
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3630,6 +3659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "extract_golden_match": _q_extract_golden_match,
         "extract_status_match": _q_extract_status_match,
+        "extract_text_html": _q_extract_text_html,
+        "extract_text_pdf": _q_extract_text_pdf,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -5598,6 +5629,234 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s.ns AS DOUBLE) / sz.n, 6) AS containment
             FROM shared s JOIN sz ON sz.doc_id = s.src
             WHERE CAST(s.ns AS DOUBLE) / sz.n >= 0.6
+        """,
+        # BYTE-IDENTITY oracle for the HTML extraction channel: the SQL
+        # re-derives every expected byte of extracted_text from the
+        # synthesizer's deterministic construction rules
+        "extract_text_html": """
+            WITH d AS (
+                SELECT doc_id, str_split(text, ' ') AS w,
+                       len(str_split(text, ' ')) AS n,
+                       (doc_id % 97 = 0) AS giant
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ),
+            shape AS (
+                SELECT *,
+                       CASE WHEN n % 14 = 0 THEN n // 14
+                            WHEN n % 14 >= 10 THEN n // 14 + 1
+                            ELSE n // 14 END AS np
+                FROM d
+            ),
+            base_paras AS (
+                SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
+                FROM shape
+            ),
+            para_txt AS (
+                SELECT doc_id, i,
+                       array_to_string(
+                           w[14 * i + 1 :
+                             CASE WHEN i = np - 1 THEN n
+                                  ELSE 14 * (i + 1) END], ' ') AS para
+                FROM base_paras
+            ),
+            rep AS (
+                SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
+                FROM shape s
+                JOIN para_txt p USING (doc_id)
+                CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
+                WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
+            ),
+            entity AS (
+                SELECT doc_id, 1000000 AS seq,
+                       'For ordering contact sales' || doc_id
+                       || '@example.com or call 555-' || (doc_id % 900 + 100)
+                       || '-' || (doc_id % 9000 + 1000) || ' before '
+                       || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+                       || '/2025 to lock the quoted price of $'
+                       || (doc_id % 90 + 10) || ',500.00 for this order' AS para
+                FROM shape WHERE doc_id % 7 = 3
+            ),
+            paras_glued AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
+                FROM (SELECT * FROM rep UNION ALL SELECT * FROM entity)
+                GROUP BY doc_id
+            ),
+            tab_rows AS (
+                SELECT s.doc_id, r.r AS seq,
+                       list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                                  'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                                  'COOLING TOWER', 'WASH STATION',
+                                  'PUMP ASSEMBLY')[(s.doc_id + r.r) % 7 + 1]
+                       || ' | ' || ((s.doc_id + r.r) % 9 + 1)
+                       || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100',
+                                  'K-2005', 'HUH-13',
+                                  'CH-30')[(s.doc_id + r.r) % 6 + 1]
+                       || ' | ' || list_value('12"', '3/4" x 6',
+                                  '1 1/2"' || chr(248), '25'' -1 5/8"',
+                                  '2 x 4 x 6')[(s.doc_id + r.r) % 5 + 1]
+                       || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                                  'ceiling-hung',
+                                  'recessed')[(s.doc_id + r.r) % 4 + 1]
+                       || ' | ' || list_value('ASTM D2665', 'ANSI A112',
+                                  'grade A', '31.1',
+                                  'NFPA 13')[(s.doc_id + r.r) % 5 + 1] AS line
+                FROM shape s
+                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
+                WHERE s.doc_id % 5 = 0
+            ),
+            tab_glued AS (
+                SELECT doc_id,
+                       'Item | Qty | Model | Size | Mounting | Spec'
+                       || chr(10) || chr(10)
+                       || string_agg(line, chr(10) || chr(10) ORDER BY seq)
+                       AS tab
+                FROM tab_rows GROUP BY doc_id
+            )
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(s.doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(s.doc_id AS VARCHAR), 9, '0') AS url,
+                'Document ' || s.doc_id || ': '
+                    || array_to_string(s.w[1:3], ' ')
+                    || chr(10) || chr(10) || p.body
+                    || coalesce(chr(10) || chr(10) || t.tab, '')
+                    AS extracted_text
+            FROM shape s
+            JOIN paras_glued p USING (doc_id)
+            LEFT JOIN tab_glued t USING (doc_id)
+        """,
+        # BYTE-IDENTITY oracle for the PDF extraction channel (per-
+        # variant layout rules re-derived in SQL)
+        "extract_text_pdf": """
+WITH d AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n,
+           (doc_id % 97 = 0) AS giant,
+           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
+           (doc_id // 10) % 4 AS variant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+      AND (doc_id % 10) = 7
+),
+-- modern PDFs: 3 lines of 5 words
+modern_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n FROM d WHERE modern
+),
+modern_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 5 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM modern_lines GROUP BY doc_id
+),
+-- variant 0 (or giant): pages of 8 lines, 6 words each, wrapping index
+v0_lines AS (
+    SELECT doc_id,
+           unnest(generate_series(
+               0, 8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1
+           )) AS j, w, n
+    FROM d WHERE NOT modern AND (variant = 0 OR giant)
+),
+v0_txt AS (
+    SELECT doc_id,
+           string_agg(page_txt, chr(10) || chr(10) ORDER BY p) AS golden
+    FROM (
+        SELECT doc_id, j // 8 AS p,
+               string_agg(
+                   array_to_string(
+                       w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
+                   chr(10) ORDER BY j) AS page_txt
+        FROM v0_lines GROUP BY doc_id, j // 8, n
+    ) GROUP BY doc_id
+),
+-- variant 1: two columns, 4+4 lines of 4 words
+v1_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
+    FROM d WHERE NOT modern AND NOT giant AND variant = 1
+),
+v1_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 4 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM v1_lines GROUP BY doc_id
+),
+-- variant 2: FIXTURE SCHEDULE prefix + header + 3 construction rows
+v2_rows AS (
+    SELECT doc_id, unnest(generate_series(0, 2)) AS r, w FROM d
+    WHERE NOT modern AND NOT giant AND variant = 2
+),
+v2_txt AS (
+    SELECT doc_id,
+           'FIXTURE SCHEDULE ' || array_to_string(w[1:3], ' ') || chr(10)
+           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
+           || string_agg(
+               list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                          'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                          'COOLING TOWER', 'WASH STATION',
+                          'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
+               || ' | ' || ((doc_id + r) % 9 + 1)
+               || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
+                          'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
+               || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
+                          '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
+               || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                          'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
+               || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
+                          '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1],
+               chr(10) ORDER BY r) AS golden
+    FROM v2_rows GROUP BY doc_id, w
+),
+-- variant 3: 4 lines of 5 words
+v3_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
+    FROM d WHERE NOT modern AND NOT giant AND variant = 3
+),
+v3_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 5 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM v3_lines GROUP BY doc_id
+),
+uni AS (
+    SELECT * FROM modern_txt UNION ALL SELECT * FROM v0_txt
+    UNION ALL SELECT * FROM v1_txt UNION ALL SELECT * FROM v2_txt
+    UNION ALL SELECT * FROM v3_txt
+)
+SELECT
+    'https://example.org/'
+        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+    golden AS extracted_text
+FROM uni
+""",
+        # extraction-channel router/status parity: the SQL re-derives
+        # the synthesizer's kind/status rules; n_match = count(*)
+        # asserts every engine row matched its expectation
+        "extract_status_match": """
+            WITH c AS (
+                SELECT
+                    CASE WHEN doc_id % 101 = 13 THEN 'unknown'
+                         WHEN doc_id % 101 IN (29, 61) THEN 'html'
+                         WHEN doc_id % 101 IN (47, 83) THEN 'pdf'
+                         WHEN doc_id % 10 = 7 THEN 'pdf'
+                         ELSE 'html' END AS doc_kind,
+                    CASE WHEN doc_id % 101 IN (13, 29, 61) THEN 'empty'
+                         WHEN doc_id % 101 = 47 THEN 'parse_error'
+                         WHEN doc_id % 101 = 83 THEN 'image_only'
+                         ELSE 'ok' END AS extract_status
+                FROM documents
+            )
+            SELECT doc_kind, extract_status,
+                   count(*) AS n_docs, count(*) AS n_match
+            FROM c GROUP BY doc_kind, extract_status
         """,
         # transitive closure: recursive CTE over the deterministic
         # cross-link rule (site graph; seed site 0)
