@@ -5728,6 +5728,369 @@ def oracle_sql() -> dict[str, str]:
             JOIN paras_glued p USING (doc_id)
             LEFT JOIN tab_glued t USING (doc_id)
         """,
+        # G1 Statistics parity per url (reference helpers.py:67-86):
+        # per-page char/word sums + float-division averages, derived
+        # from the same per-page reconstruction as page_previews
+        "doc_statistics": """
+WITH
+-- ====================== shared construction-table rows ==================
+ctab AS (
+    SELECT doc_id, r,
+           list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                      'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                      'COOLING TOWER', 'WASH STATION',
+                      'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
+           || ' | ' || ((doc_id + r) % 9 + 1)
+           || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
+                      'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
+           || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
+                      '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
+           || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                      'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
+           || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
+                      '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1] AS line
+    FROM documents, (SELECT unnest(generate_series(0, 2)) AS r) g
+),
+-- ====================== HTML channel ====================================
+hd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n, (doc_id % 97 = 0) AS giant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) <> 7
+),
+hshape AS (
+    SELECT *, CASE WHEN n % 14 = 0 THEN n // 14
+                   WHEN n % 14 >= 10 THEN n // 14 + 1
+                   ELSE n // 14 END AS np FROM hd
+),
+hpara AS (
+    SELECT doc_id, i,
+           array_to_string(w[14 * i + 1 :
+               CASE WHEN i = np - 1 THEN n ELSE 14 * (i + 1) END], ' ') AS para
+    FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
+          FROM hshape)
+),
+hrep AS (
+    SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
+    FROM hshape s JOIN hpara p USING (doc_id)
+    CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
+    WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
+),
+hent AS (
+    SELECT doc_id, 1000000 AS seq,
+           'For ordering contact sales' || doc_id
+           || '@example.com or call 555-' || (doc_id % 900 + 100)
+           || '-' || (doc_id % 9000 + 1000) || ' before '
+           || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+           || '/2025 to lock the quoted price of $'
+           || (doc_id % 90 + 10) || ',500.00 for this order' AS para
+    FROM hshape WHERE doc_id % 7 = 3
+),
+hbody AS (
+    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
+    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent) GROUP BY doc_id
+),
+htab AS (
+    SELECT c.doc_id,
+           'Item | Qty | Model | Size | Mounting | Spec' || chr(10) || chr(10)
+           || string_agg(c.line, chr(10) || chr(10) ORDER BY c.r) AS tab
+    FROM ctab c JOIN hshape s USING (doc_id)
+    WHERE c.doc_id % 5 = 0 GROUP BY c.doc_id
+),
+html_pages AS (
+    SELECT s.doc_id, 1 AS page_num,
+           'Document ' || s.doc_id || ': ' || array_to_string(s.w[1:3], ' ')
+           || chr(10) || chr(10) || b.body
+           || coalesce(chr(10) || chr(10) || t.tab, '') AS ptext,
+           (s.doc_id % 5 = 0) AS has_tables
+    FROM hshape s JOIN hbody b USING (doc_id) LEFT JOIN htab t USING (doc_id)
+),
+-- ====================== PDF channel =====================================
+pd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n,
+           (doc_id % 97 = 0) AS giant,
+           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
+           (doc_id // 10) % 4 AS variant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) = 7
+),
+pdf_v0_pages AS (
+    SELECT doc_id, (j // 8) + 1 AS page_num,
+           string_agg(array_to_string(
+               w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
+               chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0,
+              8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1)) AS j,
+              w, n
+          FROM pd WHERE NOT modern AND (variant = 0 OR giant))
+    GROUP BY doc_id, j // 8, n
+),
+pdf_modern_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n
+          FROM pd WHERE modern)
+    GROUP BY doc_id
+),
+pdf_v1_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 4 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 1)
+    GROUP BY doc_id
+),
+pdf_v2_pages AS (
+    SELECT p.doc_id, 1 AS page_num,
+           'FIXTURE SCHEDULE ' || array_to_string(p.w[1:3], ' ') || chr(10)
+           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
+           || string_agg(c.line, chr(10) ORDER BY c.r) AS ptext,
+           TRUE AS has_tables
+    FROM pd p JOIN ctab c USING (doc_id)
+    WHERE NOT p.modern AND NOT p.giant AND p.variant = 2
+    GROUP BY p.doc_id, p.w
+),
+pdf_v3_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 3)
+    GROUP BY doc_id
+),
+-- ====================== degraded-but-paged edge rows ====================
+edge_pages AS (
+    SELECT doc_id, 1 AS page_num, '' AS ptext, FALSE AS has_tables
+    FROM documents WHERE (doc_id % 101) IN (29, 61, 83)
+),
+allp AS (
+    SELECT * FROM html_pages
+    UNION ALL SELECT * FROM pdf_v0_pages
+    UNION ALL SELECT * FROM pdf_modern_pages
+    UNION ALL SELECT * FROM pdf_v1_pages
+    UNION ALL SELECT * FROM pdf_v2_pages
+    UNION ALL SELECT * FROM pdf_v3_pages
+    UNION ALL SELECT * FROM edge_pages
+)
+
+, stats AS (
+    SELECT doc_id,
+           count(*) AS total_pages,
+           sum(length(ptext)) AS total_characters,
+           sum(CASE WHEN ptext = '' THEN 0
+                    ELSE len(string_split_regex(ptext, '\s+')) END)
+               AS total_words
+    FROM allp GROUP BY doc_id
+),
+pageless AS (
+    SELECT doc_id, 0 AS total_pages, 0 AS total_characters, 0 AS total_words
+    FROM documents WHERE (doc_id % 101) IN (13, 47)
+),
+uni AS (SELECT * FROM stats UNION ALL SELECT * FROM pageless)
+SELECT
+    'https://example.org/' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+    CAST(total_pages AS BIGINT) AS total_pages,
+    CAST(total_characters AS BIGINT) AS total_characters,
+    CAST(total_words AS BIGINT) AS total_words,
+    CASE WHEN total_pages = 0 THEN 0.0
+         ELSE CAST(total_characters AS DOUBLE) / total_pages END
+        AS avg_chars_per_page,
+    CASE WHEN total_pages = 0 THEN 0.0
+         ELSE CAST(total_words AS DOUBLE) / total_pages END
+        AS avg_words_per_page
+FROM uni
+""",
+        # M14 preview projection, per-page byte-exact (reuses the
+        # extraction-channel reconstruction, per-page granularity)
+        "page_previews": """
+WITH
+-- ====================== shared construction-table rows ==================
+ctab AS (
+    SELECT doc_id, r,
+           list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                      'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                      'COOLING TOWER', 'WASH STATION',
+                      'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
+           || ' | ' || ((doc_id + r) % 9 + 1)
+           || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
+                      'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
+           || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
+                      '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
+           || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                      'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
+           || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
+                      '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1] AS line
+    FROM documents, (SELECT unnest(generate_series(0, 2)) AS r) g
+),
+-- ====================== HTML channel ====================================
+hd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n, (doc_id % 97 = 0) AS giant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) <> 7
+),
+hshape AS (
+    SELECT *, CASE WHEN n % 14 = 0 THEN n // 14
+                   WHEN n % 14 >= 10 THEN n // 14 + 1
+                   ELSE n // 14 END AS np FROM hd
+),
+hpara AS (
+    SELECT doc_id, i,
+           array_to_string(w[14 * i + 1 :
+               CASE WHEN i = np - 1 THEN n ELSE 14 * (i + 1) END], ' ') AS para
+    FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
+          FROM hshape)
+),
+hrep AS (
+    SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
+    FROM hshape s JOIN hpara p USING (doc_id)
+    CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
+    WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
+),
+hent AS (
+    SELECT doc_id, 1000000 AS seq,
+           'For ordering contact sales' || doc_id
+           || '@example.com or call 555-' || (doc_id % 900 + 100)
+           || '-' || (doc_id % 9000 + 1000) || ' before '
+           || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+           || '/2025 to lock the quoted price of $'
+           || (doc_id % 90 + 10) || ',500.00 for this order' AS para
+    FROM hshape WHERE doc_id % 7 = 3
+),
+hbody AS (
+    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
+    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent) GROUP BY doc_id
+),
+htab AS (
+    SELECT c.doc_id,
+           'Item | Qty | Model | Size | Mounting | Spec' || chr(10) || chr(10)
+           || string_agg(c.line, chr(10) || chr(10) ORDER BY c.r) AS tab
+    FROM ctab c JOIN hshape s USING (doc_id)
+    WHERE c.doc_id % 5 = 0 GROUP BY c.doc_id
+),
+html_pages AS (
+    SELECT s.doc_id, 1 AS page_num,
+           'Document ' || s.doc_id || ': ' || array_to_string(s.w[1:3], ' ')
+           || chr(10) || chr(10) || b.body
+           || coalesce(chr(10) || chr(10) || t.tab, '') AS ptext,
+           (s.doc_id % 5 = 0) AS has_tables
+    FROM hshape s JOIN hbody b USING (doc_id) LEFT JOIN htab t USING (doc_id)
+),
+-- ====================== PDF channel =====================================
+pd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n,
+           (doc_id % 97 = 0) AS giant,
+           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
+           (doc_id // 10) % 4 AS variant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) = 7
+),
+pdf_v0_pages AS (
+    SELECT doc_id, (j // 8) + 1 AS page_num,
+           string_agg(array_to_string(
+               w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
+               chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0,
+              8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1)) AS j,
+              w, n
+          FROM pd WHERE NOT modern AND (variant = 0 OR giant))
+    GROUP BY doc_id, j // 8, n
+),
+pdf_modern_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n
+          FROM pd WHERE modern)
+    GROUP BY doc_id
+),
+pdf_v1_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 4 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 1)
+    GROUP BY doc_id
+),
+pdf_v2_pages AS (
+    SELECT p.doc_id, 1 AS page_num,
+           'FIXTURE SCHEDULE ' || array_to_string(p.w[1:3], ' ') || chr(10)
+           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
+           || string_agg(c.line, chr(10) ORDER BY c.r) AS ptext,
+           TRUE AS has_tables
+    FROM pd p JOIN ctab c USING (doc_id)
+    WHERE NOT p.modern AND NOT p.giant AND p.variant = 2
+    GROUP BY p.doc_id, p.w
+),
+pdf_v3_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 3)
+    GROUP BY doc_id
+),
+-- ====================== degraded-but-paged edge rows ====================
+edge_pages AS (
+    SELECT doc_id, 1 AS page_num, '' AS ptext, FALSE AS has_tables
+    FROM documents WHERE (doc_id % 101) IN (29, 61, 83)
+),
+allp AS (
+    SELECT * FROM html_pages
+    UNION ALL SELECT * FROM pdf_v0_pages
+    UNION ALL SELECT * FROM pdf_modern_pages
+    UNION ALL SELECT * FROM pdf_v1_pages
+    UNION ALL SELECT * FROM pdf_v2_pages
+    UNION ALL SELECT * FROM pdf_v3_pages
+    UNION ALL SELECT * FROM edge_pages
+)
+SELECT
+    'https://example.org/' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+    CAST(page_num AS INTEGER) AS page_num,
+    CASE WHEN length(ptext) > 200 THEN substr(ptext, 1, 200) || '...'
+         ELSE ptext END AS preview,
+    has_tables
+FROM allp
+""",
+        # entity-channel parity: the synthesizer plants exactly one
+        # email/phone/date/currency sentence on doc_id%7==3 HTML rows
+        "extract_entities": """
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                CAST(ent AS BIGINT) AS n_email,
+                CAST(ent AS BIGINT) AS n_phone,
+                CAST(ent AS BIGINT) AS n_date,
+                CAST(ent AS BIGINT) AS n_currency,
+                CAST(0 AS BIGINT) AS n_url_ref,
+                CAST(0 AS BIGINT) AS n_ssn
+            FROM (
+                SELECT doc_id,
+                       (doc_id % 7 = 3 AND doc_id % 10 <> 7
+                        AND (doc_id % 101) NOT IN (13, 29, 47, 61, 83)) AS ent
+                FROM documents
+            )
+        """,
         # BYTE-IDENTITY oracle for the PDF extraction channel (per-
         # variant layout rules re-derived in SQL)
         "extract_text_pdf": """
