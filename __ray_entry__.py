@@ -3921,6 +3921,74 @@ _PAGE_STRUCTURE_SQL = r"""
         """
 
 
+
+
+def _langid_oracles() -> "dict[str, str]":
+    """SQL twins of the two language-ID heuristics, GENERATED from the
+    library's own profile constants (single source of truth): stopword
+    presence sums / rank-weighted trigram counts, first-max-wins
+    tie-break reproduced as an ordered CASE cascade.  Non-overlapping
+    substring counting via replace-length arithmetic matches pyarrow
+    ``count_substring`` semantics."""
+    from pdf_extractor_ray.functions.text import (
+        _LANG_PROFILES,
+        _TRIGRAM_PROFILES,
+    )
+
+    def esc(s): return s.replace("'", "''")
+
+    def stopword_sql():
+        scores = []
+        langs = list(_LANG_PROFILES)
+        for lang in langs:
+            terms = " + ".join(
+                f"(CASE WHEN position(' {esc(w)} ' IN p) > 0 THEN 1 ELSE 0 END)"
+                for w in sorted(_LANG_PROFILES[lang]))
+            scores.append(f"({terms}) AS s_{lang}")
+        pick = (
+            "CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END")
+        return f"""
+            WITH p0 AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(lower(coalesce(text, '')),
+                                             '\\s+', ' ', 'g') || ' ' AS p
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, {', '.join(scores)} FROM p0
+            )
+            SELECT doc_id, {pick} AS detected_lang FROM sc
+        """
+
+    def ngram_sql():
+        scores = []
+        langs = list(_TRIGRAM_PROFILES)
+        for lang in langs:
+            grams = _TRIGRAM_PROFILES[lang]
+            terms = " + ".join(
+                f"{len(grams)-rank} * ((length(p) - length(replace(p, '{esc(g)}', ''))) // length('{esc(g)}'))"
+                for rank, g in enumerate(grams))
+            scores.append(f"({terms}) AS s_{lang}")
+        pick = (
+            "CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END")
+        return f"""
+            WITH p0 AS (
+                SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS p
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, {', '.join(scores)} FROM p0
+            )
+            SELECT doc_id, {pick} AS detected_lang_ngram FROM sc
+        """
+    return {"detect_language": stopword_sql(),
+            "detect_language_ngram": ngram_sql()}
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "train_split": _split_sql(),
@@ -6249,4 +6317,4 @@ FROM uni
             GROUP BY n_p, n_a, n_table, n_tr, n_th, n_td, max_depth
             HAVING count(*) >= 2
         """,
-    }
+    } | _langid_oracles()
