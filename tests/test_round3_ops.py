@@ -300,3 +300,41 @@ def test_bfs_depths_depth_bound_raises(ray_session):
     # local path has no round bound (adjacency walk) — full chain
     out = bfs_depths(chain, [0]).to_pandas()
     assert out["depth"].max() == 6
+
+
+def test_bfs_depths_random_graphs_vs_reference(ray_session):
+    """Property: local-path bfs_depths equals an independent dict-BFS
+    on random small digraphs (duplicate edges, cycles, self-loops)."""
+    from collections import deque
+
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_extractor_ray.functions.graph import bfs_depths
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1, max_size=40,
+        ),
+        seeds=st.sets(st.integers(0, 12), min_size=1, max_size=3),
+    )
+    def run(edges, seeds):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        want = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        ds = ray.data.from_arrow(_bfs_tbl(edges))
+        out = bfs_depths(ds, sorted(seeds)).to_pandas()
+        got = dict(zip(out["node"], out["depth"]))
+        assert got == want
+
+    run()
