@@ -118,9 +118,12 @@ def main(argv: List[str] | None = None) -> int:
                     "'warc' = Common-Crawl-style .warc/.warc.gz archives; "
                     "'csv'/'jsonl' = document tables (corpus-prep mode)")
     ap.add_argument("--files-per-partition", type=int, default=16)
-    ap.add_argument("--format", choices=("parquet", "json"), default="parquet",
-                    help="output format for construction/standard modes "
-                    "(json = reference-compat view, reference: extractor/utils/helpers.py:9-21)")
+    ap.add_argument("--format", choices=("parquet", "json", "wet"),
+                    default="parquet",
+                    help="output format (json = reference-compat view, "
+                    "reference: extractor/utils/helpers.py:9-21; wet = "
+                    "Common-Crawl-style WET shards of extracted text, "
+                    "one gzip member per conversion record)")
     ap.add_argument("--per-doc", action="store_true",
                     help="with --format json: write ONE '<stem>_extracted.json' "
                     "per document (reference filename parity, reference: "
@@ -207,6 +210,11 @@ def main(argv: List[str] | None = None) -> int:
             # silently ignored for files/warc inputs)
             out.write_json(args.output)
             metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
+        elif args.format == "wet":
+            from pdf_extractor_ray.sources.warc import write_wet
+
+            man = write_wet(get_pipeline(args.mode)(ds), args.output).to_pandas()
+            metrics = {"files": len(man), "records": int(man["n_records"].sum())}
         else:
             out = get_pipeline(args.mode)(ds)
             out.write_parquet(args.output)
@@ -225,7 +233,19 @@ def main(argv: List[str] | None = None) -> int:
 
     files = _expand(args.input)
 
-    if args.mode == "extract":
+    if args.mode == "extract" and args.format == "wet":
+        # WET shards carry their own idempotent content-hash names
+        # (atomic publish per block), so the checkpoint runner is not
+        # needed: a re-run rewrites identical files in place
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+        from pdf_extractor_ray.sources.warc import write_wet
+
+        ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
+        man = write_wet(extraction_pipeline(ds), args.output).to_pandas()
+        metrics = {"files": len(man), "records": int(man["n_records"].sum())}
+    elif args.mode == "extract":
         from pdf_extractor_ray.pipelines.extraction import run_extraction_job
 
         metrics = run_extraction_job(
@@ -246,6 +266,11 @@ def main(argv: List[str] | None = None) -> int:
             out = get_pipeline(args.mode)(ds)
             out.write_json(args.output)
             metrics = {"files": len(glob.glob(f"{args.output}/*.json"))}
+        elif args.format == "wet":
+            from pdf_extractor_ray.sources.warc import write_wet
+
+            man = write_wet(get_pipeline(args.mode)(ds), args.output).to_pandas()
+            metrics = {"files": len(man), "records": int(man["n_records"].sum())}
         else:
             out = get_pipeline(args.mode)(ds)
             out.write_parquet(args.output)

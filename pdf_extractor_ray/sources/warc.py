@@ -95,8 +95,11 @@ def _http_body(block: bytes) -> bytes:
     return block
 
 
-def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None) -> List[dict]:
-    """One WARC file's bytes → list of page dicts (pure function)."""
+def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None,
+                     record_type: str = "response") -> List[dict]:
+    """One WARC file's bytes → list of page dicts (pure function).
+    ``record_type='response'`` strips the HTTP envelope;
+    ``'conversion'`` (WET-style extracted text) takes the body raw."""
     if is_gzip is None:
         is_gzip = data[:2] == b"\x1f\x8b"
     if is_gzip:
@@ -105,7 +108,7 @@ def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None) -> List[dict]:
         raw = data
     pages = []
     for headers, block in _iter_warc_records(raw):
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         url = headers.get("warc-target-uri", "")
         ts_raw = headers.get("warc-date", "")
@@ -115,7 +118,8 @@ def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None) -> List[dict]:
             )
         except ValueError:
             ts = _dt.datetime(1970, 1, 1)
-        pages.append({"url": url, "warc_ts": ts, "html": _http_body(block)})
+        body = _http_body(block) if record_type == "response" else block
+        pages.append({"url": url, "warc_ts": ts, "html": body})
     return pages
 
 
@@ -170,3 +174,99 @@ def build_warc(records: List[Tuple[str, str, bytes]], gzip_members: bool = False
         rec = head + http + _CRLF + _CRLF
         out.append(_gzip.compress(rec) if gzip_members else rec)
     return b"".join(out)
+
+
+# ------------------------------------------------------------- WET sink
+def wet_bytes(records: "List[Tuple[str, str, str]]") -> bytes:
+    """(url, iso_ts, extracted_text) rows → WET-style WARC bytes:
+    one gzip member per ``conversion`` record (the Common-Crawl WET
+    convention, so any member boundary is a valid resume point)."""
+    import gzip as _gzip
+
+    out = []
+    for url, iso_ts, text in records:
+        body = (text or "").encode("utf-8")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso_ts}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"\r\n"
+        ).encode()
+        out.append(_gzip.compress(head + body + _CRLF + _CRLF, mtime=0))
+    return b"".join(out)
+
+
+def write_wet(ds, out_dir: str, text_col: str = "extracted_text"):
+    """Extraction Dataset → partitioned ``.warc.gz`` WET shards, one
+    file per block, named by the CONTENT hash of the member urls (a
+    re-run over identical input rewrites the identical file set — the
+    idempotent-resume property `state/manifest.py` relies on; no task
+    indices or timestamps in names).  Returns the written manifest as
+    a Dataset ``(path, n_records, n_bytes)`` — consume it to force the
+    write, exactly like ``Dataset.write_parquet`` semantics."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        urls = batch.column("url").to_pylist()
+        ts = (batch.column("warc_ts").to_pylist()
+              if "warc_ts" in batch.column_names else [None] * len(urls))
+        texts = batch.column(text_col).to_pylist()
+        recs = [
+            (u, (t.isoformat() + "Z") if t is not None else "1970-01-01T00:00:00Z",
+             x or "")
+            for u, t, x in zip(urls, ts, texts)
+        ]
+        payload = wet_bytes(recs)
+        digest = hashlib.md5("\n".join(urls).encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"wet-{digest}-{len(urls)}.warc.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic publish (resume-safe)
+        return pa.table({
+            "path": pa.array([path], pa.string()),
+            "n_records": pa.array([len(urls)], pa.int64()),
+            "n_bytes": pa.array([len(payload)], pa.int64()),
+        })
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def texts_from_wet(paths) -> "ray.data.Dataset":  # noqa: F821
+    """WET shard paths/dirs → (url, warc_ts, text) Dataset."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(
+        list(paths), include_paths=True, file_extensions=["warc", "gz"]
+    )
+
+    def to_texts(batch: pa.Table) -> pa.Table:
+        urls: List[str] = []
+        ts: List[_dt.datetime] = []
+        texts: List[str] = []
+        for blob in batch.column("bytes").to_pylist():
+            for rec in parse_warc_bytes(blob, record_type="conversion"):
+                urls.append(rec["url"])
+                ts.append(rec["warc_ts"])
+                texts.append(rec["html"].decode("utf-8", "replace"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(to_texts, batch_format="pyarrow")

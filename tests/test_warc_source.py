@@ -72,3 +72,49 @@ def test_warc_roundtrip_property():
         assert [p["html"] for p in pages] == [p2 for _, p2 in recs]
 
     check()
+
+
+# ------------------------------------------------------------- WET sink
+def test_wet_write_roundtrip_and_idempotence(ray_session, tmp_path):
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.sources.warc import texts_from_wet, write_wet
+
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://x/{i}" for i in range(5)], pa.string()),
+        "warc_ts": pa.array(
+            [dt.datetime(2025, 1, 1, i) for i in range(5)], pa.timestamp("us")
+        ),
+        "extracted_text": pa.array(
+            ["alpha\n\nbeta", "", "ø unicode", "d", "e"], pa.large_string()
+        ),
+    }))
+    out = str(tmp_path / "wet")
+    man1 = write_wet(ds, out).to_pandas()
+    assert man1["n_records"].sum() == 5
+    files1 = sorted(os.listdir(out))
+    back = texts_from_wet([out]).to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["text"].tolist() == ["alpha\n\nbeta", "", "ø unicode", "d", "e"]
+    assert back["warc_ts"].tolist()[2] == dt.datetime(2025, 1, 1, 2)
+    # identical input rewrites the identical file set (resume-safe names)
+    write_wet(ds, out).to_pandas()
+    assert sorted(os.listdir(out)) == files1
+
+
+def test_wet_empty_text_and_empty_block(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.sources.warc import write_wet
+
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "extracted_text": pa.array([], pa.large_string()),
+    }))
+    man = write_wet(empty, str(tmp_path / "w2")).to_pandas()
+    assert len(man) == 0
