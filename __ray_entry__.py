@@ -152,6 +152,18 @@ def _q_extract_text_pdf(sf_dir: str):
     return ds.select_columns(["url", "extracted_text"])
 
 
+def _q_web_prep(sf_dir: str):
+    """Flagship end-to-end web-corpus prep over the PAGES table:
+    extraction → quality gate (status ok, ≥30 words) → exact dedup
+    (min-url survivor per distinct text), one streaming plan — and the
+    WHOLE composition is byte-oracled: the SQL rebuilds both channels'
+    expected texts, applies the same gate and picks the same
+    survivors."""
+    from pdf_extractor_ray.pipelines.web_prep import web_prep_pipeline
+
+    return web_prep_pipeline(_pages(sf_dir))
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3661,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_match": _q_extract_status_match,
         "extract_text_html": _q_extract_text_html,
         "extract_text_pdf": _q_extract_text_pdf,
+        "web_prep": _q_web_prep,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -3869,6 +3882,212 @@ def _split_sql() -> str:
             FROM documents
         )
     """
+
+
+_EXTRACT_TEXT_HTML_SQL = r"""
+            WITH d AS (
+                SELECT doc_id, str_split(text, ' ') AS w,
+                       len(str_split(text, ' ')) AS n,
+                       (doc_id % 97 = 0) AS giant
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) <> 7
+            ),
+            shape AS (
+                SELECT *,
+                       CASE WHEN n % 14 = 0 THEN n // 14
+                            WHEN n % 14 >= 10 THEN n // 14 + 1
+                            ELSE n // 14 END AS np
+                FROM d
+            ),
+            base_paras AS (
+                SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
+                FROM shape
+            ),
+            para_txt AS (
+                SELECT doc_id, i,
+                       array_to_string(
+                           w[14 * i + 1 :
+                             CASE WHEN i = np - 1 THEN n
+                                  ELSE 14 * (i + 1) END], ' ') AS para
+                FROM base_paras
+            ),
+            rep AS (
+                SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
+                FROM shape s
+                JOIN para_txt p USING (doc_id)
+                CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
+                WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
+            ),
+            entity AS (
+                SELECT doc_id, 1000000 AS seq,
+                       'For ordering contact sales' || doc_id
+                       || '@example.com or call 555-' || (doc_id % 900 + 100)
+                       || '-' || (doc_id % 9000 + 1000) || ' before '
+                       || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+                       || '/2025 to lock the quoted price of $'
+                       || (doc_id % 90 + 10) || ',500.00 for this order' AS para
+                FROM shape WHERE doc_id % 7 = 3
+            ),
+            paras_glued AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
+                FROM (SELECT * FROM rep UNION ALL SELECT * FROM entity)
+                GROUP BY doc_id
+            ),
+            tab_rows AS (
+                SELECT s.doc_id, r.r AS seq,
+                       list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                                  'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                                  'COOLING TOWER', 'WASH STATION',
+                                  'PUMP ASSEMBLY')[(s.doc_id + r.r) % 7 + 1]
+                       || ' | ' || ((s.doc_id + r.r) % 9 + 1)
+                       || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100',
+                                  'K-2005', 'HUH-13',
+                                  'CH-30')[(s.doc_id + r.r) % 6 + 1]
+                       || ' | ' || list_value('12"', '3/4" x 6',
+                                  '1 1/2"' || chr(248), '25'' -1 5/8"',
+                                  '2 x 4 x 6')[(s.doc_id + r.r) % 5 + 1]
+                       || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                                  'ceiling-hung',
+                                  'recessed')[(s.doc_id + r.r) % 4 + 1]
+                       || ' | ' || list_value('ASTM D2665', 'ANSI A112',
+                                  'grade A', '31.1',
+                                  'NFPA 13')[(s.doc_id + r.r) % 5 + 1] AS line
+                FROM shape s
+                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
+                WHERE s.doc_id % 5 = 0
+            ),
+            tab_glued AS (
+                SELECT doc_id,
+                       'Item | Qty | Model | Size | Mounting | Spec'
+                       || chr(10) || chr(10)
+                       || string_agg(line, chr(10) || chr(10) ORDER BY seq)
+                       AS tab
+                FROM tab_rows GROUP BY doc_id
+            )
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(s.doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(s.doc_id AS VARCHAR), 9, '0') AS url,
+                'Document ' || s.doc_id || ': '
+                    || array_to_string(s.w[1:3], ' ')
+                    || chr(10) || chr(10) || p.body
+                    || coalesce(chr(10) || chr(10) || t.tab, '')
+                    AS extracted_text
+            FROM shape s
+            JOIN paras_glued p USING (doc_id)
+            LEFT JOIN tab_glued t USING (doc_id)
+        """
+
+
+_EXTRACT_TEXT_PDF_SQL = r"""
+WITH d AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n,
+           (doc_id % 97 = 0) AS giant,
+           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
+           (doc_id // 10) % 4 AS variant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+      AND (doc_id % 10) = 7
+),
+-- modern PDFs: 3 lines of 5 words
+modern_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n FROM d WHERE modern
+),
+modern_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 5 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM modern_lines GROUP BY doc_id
+),
+-- variant 0 (or giant): pages of 8 lines, 6 words each, wrapping index
+v0_lines AS (
+    SELECT doc_id,
+           unnest(generate_series(
+               0, 8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1
+           )) AS j, w, n
+    FROM d WHERE NOT modern AND (variant = 0 OR giant)
+),
+v0_txt AS (
+    SELECT doc_id,
+           string_agg(page_txt, chr(10) || chr(10) ORDER BY p) AS golden
+    FROM (
+        SELECT doc_id, j // 8 AS p,
+               string_agg(
+                   array_to_string(
+                       w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
+                   chr(10) ORDER BY j) AS page_txt
+        FROM v0_lines GROUP BY doc_id, j // 8, n
+    ) GROUP BY doc_id
+),
+-- variant 1: two columns, 4+4 lines of 4 words
+v1_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
+    FROM d WHERE NOT modern AND NOT giant AND variant = 1
+),
+v1_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 4 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM v1_lines GROUP BY doc_id
+),
+-- variant 2: FIXTURE SCHEDULE prefix + header + 3 construction rows
+v2_rows AS (
+    SELECT doc_id, unnest(generate_series(0, 2)) AS r, w FROM d
+    WHERE NOT modern AND NOT giant AND variant = 2
+),
+v2_txt AS (
+    SELECT doc_id,
+           'FIXTURE SCHEDULE ' || array_to_string(w[1:3], ' ') || chr(10)
+           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
+           || string_agg(
+               list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                          'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                          'COOLING TOWER', 'WASH STATION',
+                          'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
+               || ' | ' || ((doc_id + r) % 9 + 1)
+               || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
+                          'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
+               || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
+                          '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
+               || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                          'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
+               || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
+                          '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1],
+               chr(10) ORDER BY r) AS golden
+    FROM v2_rows GROUP BY doc_id, w
+),
+-- variant 3: 4 lines of 5 words
+v3_lines AS (
+    SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
+    FROM d WHERE NOT modern AND NOT giant AND variant = 3
+),
+v3_txt AS (
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN 5 * j + 1 > n THEN w[1]
+                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS golden
+    FROM v3_lines GROUP BY doc_id
+),
+uni AS (
+    SELECT * FROM modern_txt UNION ALL SELECT * FROM v0_txt
+    UNION ALL SELECT * FROM v1_txt UNION ALL SELECT * FROM v2_txt
+    UNION ALL SELECT * FROM v3_txt
+)
+SELECT
+    'https://example.org/'
+        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+    golden AS extracted_text
+FROM uni
+"""
 
 
 _PAGE_STRUCTURE_SQL = r"""
@@ -5701,101 +5920,7 @@ def oracle_sql() -> dict[str, str]:
         # BYTE-IDENTITY oracle for the HTML extraction channel: the SQL
         # re-derives every expected byte of extracted_text from the
         # synthesizer's deterministic construction rules
-        "extract_text_html": """
-            WITH d AS (
-                SELECT doc_id, str_split(text, ' ') AS w,
-                       len(str_split(text, ' ')) AS n,
-                       (doc_id % 97 = 0) AS giant
-                FROM documents
-                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
-                  AND (doc_id % 10) <> 7
-            ),
-            shape AS (
-                SELECT *,
-                       CASE WHEN n % 14 = 0 THEN n // 14
-                            WHEN n % 14 >= 10 THEN n // 14 + 1
-                            ELSE n // 14 END AS np
-                FROM d
-            ),
-            base_paras AS (
-                SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
-                FROM shape
-            ),
-            para_txt AS (
-                SELECT doc_id, i,
-                       array_to_string(
-                           w[14 * i + 1 :
-                             CASE WHEN i = np - 1 THEN n
-                                  ELSE 14 * (i + 1) END], ' ') AS para
-                FROM base_paras
-            ),
-            rep AS (
-                SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
-                FROM shape s
-                JOIN para_txt p USING (doc_id)
-                CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
-                WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
-            ),
-            entity AS (
-                SELECT doc_id, 1000000 AS seq,
-                       'For ordering contact sales' || doc_id
-                       || '@example.com or call 555-' || (doc_id % 900 + 100)
-                       || '-' || (doc_id % 9000 + 1000) || ' before '
-                       || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
-                       || '/2025 to lock the quoted price of $'
-                       || (doc_id % 90 + 10) || ',500.00 for this order' AS para
-                FROM shape WHERE doc_id % 7 = 3
-            ),
-            paras_glued AS (
-                SELECT doc_id,
-                       string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
-                FROM (SELECT * FROM rep UNION ALL SELECT * FROM entity)
-                GROUP BY doc_id
-            ),
-            tab_rows AS (
-                SELECT s.doc_id, r.r AS seq,
-                       list_value('VALVE PACKAGE', 'EYE WASH STATION',
-                                  'BOILER CIRCULATING PUMP', 'PIPE FITTING',
-                                  'COOLING TOWER', 'WASH STATION',
-                                  'PUMP ASSEMBLY')[(s.doc_id + r.r) % 7 + 1]
-                       || ' | ' || ((s.doc_id + r.r) % 9 + 1)
-                       || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100',
-                                  'K-2005', 'HUH-13',
-                                  'CH-30')[(s.doc_id + r.r) % 6 + 1]
-                       || ' | ' || list_value('12"', '3/4" x 6',
-                                  '1 1/2"' || chr(248), '25'' -1 5/8"',
-                                  '2 x 4 x 6')[(s.doc_id + r.r) % 5 + 1]
-                       || ' | ' || list_value('wall-mounted', 'floor-mounted',
-                                  'ceiling-hung',
-                                  'recessed')[(s.doc_id + r.r) % 4 + 1]
-                       || ' | ' || list_value('ASTM D2665', 'ANSI A112',
-                                  'grade A', '31.1',
-                                  'NFPA 13')[(s.doc_id + r.r) % 5 + 1] AS line
-                FROM shape s
-                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
-                WHERE s.doc_id % 5 = 0
-            ),
-            tab_glued AS (
-                SELECT doc_id,
-                       'Item | Qty | Model | Size | Mounting | Spec'
-                       || chr(10) || chr(10)
-                       || string_agg(line, chr(10) || chr(10) ORDER BY seq)
-                       AS tab
-                FROM tab_rows GROUP BY doc_id
-            )
-            SELECT
-                'https://example.org/'
-                    || lpad(CAST(s.doc_id % 1000 AS VARCHAR), 4, '0')
-                    || '/' || lpad(CAST(s.doc_id AS VARCHAR), 9, '0') AS url,
-                'Document ' || s.doc_id || ': '
-                    || array_to_string(s.w[1:3], ' ')
-                    || chr(10) || chr(10) || p.body
-                    || coalesce(chr(10) || chr(10) || t.tab, '')
-                    AS extracted_text
-            FROM shape s
-            JOIN paras_glued p USING (doc_id)
-            LEFT JOIN tab_glued t USING (doc_id)
-        """,
+        "extract_text_html": _EXTRACT_TEXT_HTML_SQL,
         # G1 Statistics parity per url (reference helpers.py:67-86):
         # per-page char/word sums + float-division averages, derived
         # from the same per-page reconstruction as page_previews
@@ -6139,6 +6264,29 @@ SELECT
     has_tables
 FROM allp
 """,
+        # flagship composition, byte-oracled end-to-end: both channel
+        # reconstructions -> word-count gate -> min-url dedup survivor
+        "web_prep": """
+            WITH all_txt AS (
+                (""" + _EXTRACT_TEXT_HTML_SQL + """)
+                UNION ALL
+                (""" + _EXTRACT_TEXT_PDF_SQL + """)
+            ),
+            g AS (
+                SELECT url, extracted_text,
+                       len(string_split_regex(extracted_text, '\\s+'))
+                           AS n_words
+                FROM all_txt
+            ),
+            q AS (SELECT * FROM g WHERE n_words >= 30),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY extracted_text ORDER BY url) AS rn
+                FROM q
+            )
+            SELECT url, extracted_text, CAST(n_words AS BIGINT) AS n_words
+            FROM r WHERE rn = 1
+        """,
         # entity-channel parity: the synthesizer plants exactly one
         # email/phone/date/currency sentence on doc_id%7==3 HTML rows
         "extract_entities": """
@@ -6161,113 +6309,7 @@ FROM allp
         """,
         # BYTE-IDENTITY oracle for the PDF extraction channel (per-
         # variant layout rules re-derived in SQL)
-        "extract_text_pdf": """
-WITH d AS (
-    SELECT doc_id, str_split(text, ' ') AS w,
-           len(str_split(text, ' ')) AS n,
-           (doc_id % 97 = 0) AS giant,
-           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
-           (doc_id // 10) % 4 AS variant
-    FROM documents
-    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
-      AND (doc_id % 10) = 7
-),
--- modern PDFs: 3 lines of 5 words
-modern_lines AS (
-    SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n FROM d WHERE modern
-),
-modern_txt AS (
-    SELECT doc_id,
-           string_agg(
-               CASE WHEN 5 * j + 1 > n THEN w[1]
-                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
-               END, chr(10) ORDER BY j) AS golden
-    FROM modern_lines GROUP BY doc_id
-),
--- variant 0 (or giant): pages of 8 lines, 6 words each, wrapping index
-v0_lines AS (
-    SELECT doc_id,
-           unnest(generate_series(
-               0, 8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1
-           )) AS j, w, n
-    FROM d WHERE NOT modern AND (variant = 0 OR giant)
-),
-v0_txt AS (
-    SELECT doc_id,
-           string_agg(page_txt, chr(10) || chr(10) ORDER BY p) AS golden
-    FROM (
-        SELECT doc_id, j // 8 AS p,
-               string_agg(
-                   array_to_string(
-                       w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
-                   chr(10) ORDER BY j) AS page_txt
-        FROM v0_lines GROUP BY doc_id, j // 8, n
-    ) GROUP BY doc_id
-),
--- variant 1: two columns, 4+4 lines of 4 words
-v1_lines AS (
-    SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
-    FROM d WHERE NOT modern AND NOT giant AND variant = 1
-),
-v1_txt AS (
-    SELECT doc_id,
-           string_agg(
-               CASE WHEN 4 * j + 1 > n THEN w[1]
-                    ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
-               END, chr(10) ORDER BY j) AS golden
-    FROM v1_lines GROUP BY doc_id
-),
--- variant 2: FIXTURE SCHEDULE prefix + header + 3 construction rows
-v2_rows AS (
-    SELECT doc_id, unnest(generate_series(0, 2)) AS r, w FROM d
-    WHERE NOT modern AND NOT giant AND variant = 2
-),
-v2_txt AS (
-    SELECT doc_id,
-           'FIXTURE SCHEDULE ' || array_to_string(w[1:3], ' ') || chr(10)
-           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
-           || string_agg(
-               list_value('VALVE PACKAGE', 'EYE WASH STATION',
-                          'BOILER CIRCULATING PUMP', 'PIPE FITTING',
-                          'COOLING TOWER', 'WASH STATION',
-                          'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
-               || ' | ' || ((doc_id + r) % 9 + 1)
-               || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
-                          'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
-               || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
-                          '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
-               || ' | ' || list_value('wall-mounted', 'floor-mounted',
-                          'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
-               || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
-                          '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1],
-               chr(10) ORDER BY r) AS golden
-    FROM v2_rows GROUP BY doc_id, w
-),
--- variant 3: 4 lines of 5 words
-v3_lines AS (
-    SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
-    FROM d WHERE NOT modern AND NOT giant AND variant = 3
-),
-v3_txt AS (
-    SELECT doc_id,
-           string_agg(
-               CASE WHEN 5 * j + 1 > n THEN w[1]
-                    ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
-               END, chr(10) ORDER BY j) AS golden
-    FROM v3_lines GROUP BY doc_id
-),
-uni AS (
-    SELECT * FROM modern_txt UNION ALL SELECT * FROM v0_txt
-    UNION ALL SELECT * FROM v1_txt UNION ALL SELECT * FROM v2_txt
-    UNION ALL SELECT * FROM v3_txt
-)
-SELECT
-    'https://example.org/'
-        || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
-        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
-    golden AS extracted_text
-FROM uni
-""",
+        "extract_text_pdf": _EXTRACT_TEXT_PDF_SQL,
         # extraction-channel router/status parity: the SQL re-derives
         # the synthesizer's kind/status rules; n_match = count(*)
         # asserts every engine row matched its expectation

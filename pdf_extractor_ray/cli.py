@@ -108,7 +108,7 @@ def main(argv: List[str] | None = None) -> int:
                     help="parquet files/dirs/globs of pages (url, warc_ts, html, text, lang)")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode",
-                    choices=("extract", "construction", "standard", "corpus-prep"),
+                    choices=("extract", "construction", "standard", "corpus-prep", "web-prep"),
                     default="construction")
     ap.add_argument("--input-format",
                     choices=("parquet", "files", "warc", "csv", "jsonl"),
@@ -151,6 +151,30 @@ def main(argv: List[str] | None = None) -> int:
         if started_ray:
             ray.shutdown()
         return rc
+
+    if args.mode == "web-prep":
+        # end-to-end pages → extraction → gate → dedup survivor corpus
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.web_prep import web_prep_pipeline
+
+        ds = ray.data.read_parquet(
+            _expand(args.input), columns=["url", "warc_ts", "html", "lang"]
+        )
+        out = web_prep_pipeline(ds)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+
+        metrics = {
+            "rows": sum(
+                pq.read_metadata(f).num_rows
+                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
+            )
+        }
+        print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
+        if started_ray:
+            ray.shutdown()
+        return 0
 
     if args.mode == "corpus-prep":
         # training-corpus preparation over a documents table

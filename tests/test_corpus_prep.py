@@ -137,3 +137,30 @@ def test_minhash_verified_no_candidates(ray_session):
     out = minhash_lsh_verified(docs).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["doc_a", "doc_b", "jaccard"] or len(out.columns) == 0
+
+
+# ---------------------------------------------------------------- web_prep
+def test_web_prep_invariants(ray_session):
+    """Survivors: unique urls, unique texts, all ≥30 words, and the
+    survivor of a duplicated text is the minimum url."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.web_prep import web_prep_pipeline
+
+    long = " ".join(f"word{i}" for i in range(40))
+    html = ("<html><body>" + "".join(f"<p>{long}</p>" for _ in range(1))
+            + "</body></html>").encode()
+    short = b"<html><body><p>too short here okay this is ten words</p></body></html>"
+    import datetime as dt
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://d/{i}" for i in range(4)], pa.string()),
+        "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 4, pa.timestamp("us")),
+        # rows 0 and 2 carry IDENTICAL payloads → identical texts
+        "html": pa.array([html, short, html, b""], pa.large_binary()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+    }))
+    out = web_prep_pipeline(ds, min_words=30).to_pandas()
+    assert out.url.tolist() == ["https://d/0"]  # min url of the dup pair
+    assert (out.n_words >= 30).all()
+    assert out.extracted_text.is_unique
