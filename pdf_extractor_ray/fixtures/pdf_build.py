@@ -12,9 +12,12 @@ lives in ``codecs/pdf_codec.py``.
 """
 from __future__ import annotations
 
+import hashlib
 import zlib
 from dataclasses import dataclass, field
 from typing import List, Sequence, Tuple
+
+from ..codecs.pdf_codec import _PAD, _rc4
 
 
 @dataclass
@@ -75,14 +78,53 @@ def _content_stream(page: PdfPage) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
-def _info_body(info: dict) -> bytes:
-    """Serialize a document-information dictionary (/Title /Author ...)
-    as literal strings — the classic trailer-referenced Info object."""
-    parts = ["<<"]
+def _info_body(info: dict, cipher=None) -> bytes:
+    """Serialize a document-information dictionary (/Title /Author ...):
+    literal strings plain, HEX strings when ``cipher`` encrypts values
+    (ciphertext bytes are not literal-safe)."""
+    parts = [b"<<"]
     for key, val in info.items():
-        parts.append(f"/{key} ({_esc(str(val))})")
-    parts.append(">>")
-    return " ".join(parts).encode("latin-1")
+        if cipher is None:
+            parts.append(f"/{key} ({_esc(str(val))})".encode("latin-1"))
+        else:
+            ct = cipher(str(val).encode("latin-1"))
+            parts.append(f"/{key} <".encode() + ct.hex().encode() + b">")
+    parts.append(b">>")
+    return b" ".join(parts)
+
+
+# ------------------------------------------------- standard security (R3)
+_FIXTURE_FILE_ID = bytes(range(16))
+_FIXTURE_OWNER_PW = b"fixture-owner"
+_ENC_P = -44
+
+
+def _owner_entry(owner_pw: bytes, keylen: int = 16) -> bytes:
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    key = h[:keylen]
+    o = _rc4(key, _PAD)  # empty user password -> pad
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _file_key(o: bytes, keylen: int = 16) -> bytes:
+    h = hashlib.md5()
+    h.update(_PAD)
+    h.update(o[:32])
+    h.update((_ENC_P & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(_FIXTURE_FILE_ID)
+    key = h.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:keylen]).digest()
+    return key[:keylen]
+
+
+def _obj_key(fkey: bytes, num: int, gen: int = 0) -> bytes:
+    k = fkey + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    return hashlib.md5(k).digest()[:16]
 
 
 def build_pdf(
@@ -90,14 +132,20 @@ def build_pdf(
     compress: bool = True,
     truncate_at: int | None = None,
     info: dict | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
 
     ``truncate_at`` chops the output to simulate a corrupt shard
     (FIXTURES.md F1 edge rows).  ``info`` adds a document-information
-    dictionary referenced from the trailer ``/Info`` key.
+    dictionary referenced from the trailer ``/Info`` key.  ``encrypt``
+    wraps the file in the standard security handler (V2 R3 RC4-128,
+    empty user password): every stream and Info string is encrypted
+    with its object key — SAME logical content, so byte-identity
+    oracles apply unchanged and the codec must decrypt transparently.
     """
     objects: List[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    fkey = _file_key(_owner_entry(_FIXTURE_OWNER_PW)) if encrypt else None
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -120,6 +168,9 @@ def build_pdf(
         data = _content_stream(page)
         if compress:
             data = zlib.compress(data)
+        if fkey is not None:  # this stream will be object len(objects)+1
+            data = _rc4(_obj_key(fkey, len(objects) + 1), data)
+        if compress:
             head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
         else:
             head = f"<< /Length {len(data)} >>".encode()
@@ -130,8 +181,28 @@ def build_pdf(
     )  # font obj
     info_ref = b""
     if info:
-        objects.append(_info_body(info))
+        if fkey is not None:
+            num = len(objects) + 1
+            objects.append(_info_body(
+                info, cipher=lambda b, n=num: _rc4(_obj_key(fkey, n), b)
+            ))
+        else:
+            objects.append(_info_body(info))
         info_ref = f" /Info {len(objects)} 0 R".encode()
+    enc_ref = b""
+    if fkey is not None:
+        o_hex = _owner_entry(_FIXTURE_OWNER_PW).hex()
+        u_hex = _rc4(fkey, _PAD).hex()
+        objects.append(
+            (
+                "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                f"/O <{o_hex}> /U <{u_hex}> /P {_ENC_P} >>"
+            ).encode()
+        )
+        enc_ref = (
+            f" /Encrypt {len(objects)} 0 R /ID [<{_FIXTURE_FILE_ID.hex()}> "
+            f"<{_FIXTURE_FILE_ID.hex()}>]"
+        ).encode()
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -145,7 +216,8 @@ def build_pdf(
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R{info_ref.decode()} >>\n"
+        f"trailer\n<< /Size {n} /Root 1 0 R{info_ref.decode()}"
+        f"{enc_ref.decode()} >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     result = bytes(out)
@@ -160,6 +232,7 @@ def simple_text_pdf(
     use_tj: bool = False,
     use_leading: bool = False,
     info: dict | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """One text chunk per line, single column, top-down."""
     pages = []
@@ -169,18 +242,18 @@ def simple_text_pdf(
             for i, line in enumerate(lines)
         ]
         pages.append(PdfPage(texts=texts, use_tj_array=use_tj, use_leading=use_leading))
-    return build_pdf(pages, info=info)
+    return build_pdf(pages, info=info, encrypt=encrypt)
 
 
 def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0,
-                   info: dict | None = None) -> bytes:
+                   info: dict | None = None, encrypt: bool = False) -> bytes:
     """Two-column page: reading order = all left lines, then all right."""
     texts = []
     for i, line in enumerate(left):
         texts.append((50.0, 720.0 - i * (size * 1.4), size, line))
     for i, line in enumerate(right):
         texts.append((330.0, 720.0 - i * (size * 1.4), size, line))
-    return build_pdf([PdfPage(texts=texts)], info=info)
+    return build_pdf([PdfPage(texts=texts)], info=info, encrypt=encrypt)
 
 
 def table_pdf(
@@ -188,6 +261,7 @@ def table_pdf(
     prefix_lines: Sequence[str] = (),
     size: float = 10.0,
     info: dict | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Page with a ruled table grid (plus optional prose above it)."""
     texts = []
@@ -211,7 +285,7 @@ def table_pdf(
         for c, cell in enumerate(row):
             if cell:
                 texts.append((x0 + c * col_w + 4.0, cy, size, cell))
-    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info)
+    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info, encrypt=encrypt)
 
 
 # ---------------------------------------------------------------- PDF ≥1.5

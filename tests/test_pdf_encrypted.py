@@ -205,3 +205,44 @@ def test_encrypted_info_string_decrypts():
     info = extract_info(bytes(out))
     assert info["title"] == "Secret Title"
     assert info["author"] is None
+
+
+def test_fixture_builder_encrypt_roundtrip():
+    """build_pdf(encrypt=True) wraps the standard security handler
+    (V2 R3 RC4-128); the codec must produce byte-identical text and
+    Info versus the plaintext build across all classic builders."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import (
+        simple_text_pdf,
+        table_pdf,
+        two_column_pdf,
+    )
+
+    info = {"Title": "enc title", "Producer": "p"}
+    builders = [
+        lambda e: simple_text_pdf([["one two", "three four"]], info=info, encrypt=e),
+        lambda e: simple_text_pdf([["tj words here"]], use_tj=True, info=info, encrypt=e),
+        lambda e: two_column_pdf(["l1", "l2"], ["r1"], info=info, encrypt=e),
+        lambda e: table_pdf([["a", "b"], ["c", "d"]], prefix_lines=["pre"],
+                            info=info, encrypt=e),
+    ]
+    for build in builders:
+        plain, enc = build(False), build(True)
+        assert b"Encrypt" in enc and b"Encrypt" not in plain
+        rp, re_ = PdfCodec().extract(plain), PdfCodec().extract(enc)
+        assert re_.status == "ok"
+        assert re_.text == rp.text
+        assert extract_info(enc) == extract_info(plain)
+        assert extract_info(enc)["title"] == "enc title"
+
+
+def test_corpus_encrypted_subset_is_planted():
+    """doc_id % 23 == 9 classic PDFs carry the Encrypt dict; goldens
+    hold (covered by the byte-identity oracles over the same rows)."""
+    from pdf_extractor_ray.sources.corpus import _pdf_doc
+
+    text = " ".join(f"w{i}" for i in range(40))
+    enc_payload, _ = _pdf_doc(147, text, False)   # 147 % 23 == 9, classic
+    plain_payload, _ = _pdf_doc(137, text, False)
+    assert b"Encrypt" in enc_payload
+    assert b"Encrypt" not in plain_payload
