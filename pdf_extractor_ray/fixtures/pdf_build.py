@@ -93,6 +93,104 @@ def _info_body(info: dict, cipher=None) -> bytes:
     return b" ".join(parts)
 
 
+# ------------------------------------------------------- stream encoders
+def _ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode inverse: literal runs ≤128, repeat runs for
+    ≥2 identical bytes, 128 EOD terminator."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 256:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - min(run, 128))
+            out.append(data[i])
+            i += min(run, 128)
+        else:
+            k = i
+            while (k < n and k - i < 128
+                   and not (k + 1 < n and data[k + 1] == data[k])):
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode inverse (TIFF early-change, MSB-first 9-12 bit
+    codes) — mirrors the decoder in codecs/pdf_codec.py exactly."""
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out_bits.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # clear
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < (1 << 12) - 1:
+            table[cur] = next_code
+            next_code += 1
+            # early change, mirrored one step BEHIND the encoder's
+            # table: the decoder only creates this entry while
+            # processing the NEXT code, so it widens when ITS table
+            # (next_code - 1 entries) reaches (1<<width)-1 — i.e. when
+            # next_code >= 1<<width
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        # else: table frozen — every further emit addresses an existing
+        # code (< 4095, fits 12 bits); the decoder's extra appends are
+        # unreachable and harmless
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(257)  # EOD
+    if nbits:
+        out_bits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out_bits)
+
+
+_STREAM_FILTERS = {
+    # spec name → (PDF /Filter value, encoder over raw content bytes)
+    "flate": ("/FlateDecode", lambda d: zlib.compress(d)),
+    "lzw": ("/LZWDecode", _lzw_encode),
+    "ahx": ("/ASCIIHexDecode", _ahx_encode),
+    "rle": ("/RunLengthDecode", _rle_encode),
+    # filter ARRAY: decoder applies A85 then Flate → encode as
+    # a85(flate(data))
+    "a85+flate": ("[ /ASCII85Decode /FlateDecode ]",
+                  lambda d: _a85_encode(zlib.compress(d))),
+}
+
+
 # ------------------------------------------------- standard security (R3)
 _FIXTURE_FILE_ID = bytes(range(16))
 _FIXTURE_OWNER_PW = b"fixture-owner"
@@ -133,6 +231,7 @@ def build_pdf(
     truncate_at: int | None = None,
     info: dict | None = None,
     encrypt: bool = False,
+    stream_filter: str = "flate",
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
 
@@ -167,11 +266,12 @@ def build_pdf(
         )
         data = _content_stream(page)
         if compress:
-            data = zlib.compress(data)
+            fname, enc_fn = _STREAM_FILTERS[stream_filter]
+            data = enc_fn(data)
         if fkey is not None:  # this stream will be object len(objects)+1
             data = _rc4(_obj_key(fkey, len(objects) + 1), data)
         if compress:
-            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+            head = f"<< /Length {len(data)} /Filter {fname} >>".encode()
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
@@ -233,6 +333,7 @@ def simple_text_pdf(
     use_leading: bool = False,
     info: dict | None = None,
     encrypt: bool = False,
+    stream_filter: str = "flate",
 ) -> bytes:
     """One text chunk per line, single column, top-down."""
     pages = []
@@ -242,18 +343,21 @@ def simple_text_pdf(
             for i, line in enumerate(lines)
         ]
         pages.append(PdfPage(texts=texts, use_tj_array=use_tj, use_leading=use_leading))
-    return build_pdf(pages, info=info, encrypt=encrypt)
+    return build_pdf(pages, info=info, encrypt=encrypt,
+                     stream_filter=stream_filter)
 
 
 def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0,
-                   info: dict | None = None, encrypt: bool = False) -> bytes:
+                   info: dict | None = None, encrypt: bool = False,
+                   stream_filter: str = "flate") -> bytes:
     """Two-column page: reading order = all left lines, then all right."""
     texts = []
     for i, line in enumerate(left):
         texts.append((50.0, 720.0 - i * (size * 1.4), size, line))
     for i, line in enumerate(right):
         texts.append((330.0, 720.0 - i * (size * 1.4), size, line))
-    return build_pdf([PdfPage(texts=texts)], info=info, encrypt=encrypt)
+    return build_pdf([PdfPage(texts=texts)], info=info, encrypt=encrypt,
+                     stream_filter=stream_filter)
 
 
 def table_pdf(
@@ -262,6 +366,7 @@ def table_pdf(
     size: float = 10.0,
     info: dict | None = None,
     encrypt: bool = False,
+    stream_filter: str = "flate",
 ) -> bytes:
     """Page with a ruled table grid (plus optional prose above it)."""
     texts = []
@@ -285,7 +390,8 @@ def table_pdf(
         for c, cell in enumerate(row):
             if cell:
                 texts.append((x0 + c * col_w + 4.0, cy, size, cell))
-    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info, encrypt=encrypt)
+    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info,
+                     encrypt=encrypt, stream_filter=stream_filter)
 
 
 # ---------------------------------------------------------------- PDF ≥1.5

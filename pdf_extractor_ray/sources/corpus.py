@@ -163,6 +163,11 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     # subset: SAME logical content (text, Info), so every byte-identity
     # oracle applies unchanged — the codec must decrypt transparently
     enc = doc_id % 23 == 9
+    # stream-filter transport variation for classic PDFs — every
+    # filter the codec supports appears in the driver-checked path,
+    # again with unchanged logical content
+    filt = {5: "lzw", 12: "a85+flate", 20: "rle", 26: "ahx"}.get(
+        doc_id % 31, "flate")
     if doc_id % 40 == 17 and not giant:
         # modern PDF ≥1.5: xref stream + object stream container
         from ..fixtures.pdf_build import modern_text_pdf
@@ -184,24 +189,27 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
                 lines.append(" ".join(words[k % len(words) : k % len(words) + 6]) or words[0])
                 k += 6
             page_lines.append(lines)
-        payload = simple_text_pdf(page_lines, info=info, encrypt=enc)
+        payload = simple_text_pdf(page_lines, info=info, encrypt=enc,
+                                  stream_filter=filt)
         golden = "\n\n".join("\n".join(ls) for ls in page_lines)
     elif variant == 1:  # two columns
         left = [" ".join(words[i : i + 4]) or words[0] for i in range(0, 16, 4)]
         right = [" ".join(words[i : i + 4]) or words[0] for i in range(16, 32, 4)]
         right = [r or words[0] for r in right]
-        payload = two_column_pdf(left, right, info=info, encrypt=enc)
+        payload = two_column_pdf(left, right, info=info, encrypt=enc,
+                                 stream_filter=filt)
         golden = "\n".join(left + right)
     elif variant == 2:  # ruled construction table + prose
         prefix = ["FIXTURE SCHEDULE " + " ".join(words[:3])]
         rows = [_TABLE_HEADER] + _construction_rows(doc_id)
-        payload = table_pdf(rows, prefix_lines=prefix, info=info, encrypt=enc)
+        payload = table_pdf(rows, prefix_lines=prefix, info=info, encrypt=enc,
+                            stream_filter=filt)
         golden = "\n".join(prefix + [" | ".join(r) for r in rows])
     else:  # TJ arrays + leading operators
         lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 20, 5)]
         payload = simple_text_pdf(
             [lines], use_tj=doc_id % 2 == 0, use_leading=doc_id % 2 == 1,
-            info=info, encrypt=enc,
+            info=info, encrypt=enc, stream_filter=filt,
         )
         golden = "\n".join(lines)
     return payload, golden

@@ -234,3 +234,50 @@ def test_info_does_not_change_extracted_text():
         simple_text_pdf(lines, info={"Title": "t"})).text
     without = PdfCodec().extract(simple_text_pdf(lines)).text
     assert with_info == without == "alpha beta\ngamma delta"
+
+
+# ----------------------------------------------------- stream filters
+def test_all_stream_filters_decode_identically():
+    """Every filter the codec supports (incl. the [A85, Flate] array
+    and filter+RC4 combinations) yields byte-identical text."""
+    from pdf_extractor_ray.codecs.pdf_codec import PdfCodec
+    from pdf_extractor_ray.fixtures.pdf_build import PdfPage, build_pdf
+
+    pages = [PdfPage(texts=[
+        (72.0, 720.0 - 14 * i, 12.0, f"line {i} with repeated aaaaaa bytes")
+        for i in range(8)
+    ])]
+    want = PdfCodec().extract(build_pdf(pages)).text
+    assert want
+    for filt in ("flate", "lzw", "ahx", "rle", "a85+flate"):
+        for enc in (False, True):
+            got = PdfCodec().extract(
+                build_pdf(pages, stream_filter=filt, encrypt=enc))
+            assert got.status == "ok" and got.text == want, (filt, enc)
+
+
+def test_lzw_encoder_width_boundaries():
+    """Encoder/decoder early-change parity across 9→10→11→12-bit
+    boundaries and the frozen-table regime."""
+    import random
+
+    from pdf_extractor_ray.codecs.pdf_codec import _lzw_decode
+    from pdf_extractor_ray.fixtures.pdf_build import _lzw_encode
+
+    rng = random.Random(11)
+    for n in (0, 1, 300, 2000, 20000, 60000):
+        d = bytes(rng.randrange(5) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(d)) == d, n
+
+
+def test_rle_encoder_roundtrip():
+    import random
+
+    from pdf_extractor_ray.codecs.pdf_codec import _rle_decode
+    from pdf_extractor_ray.fixtures.pdf_build import _rle_encode
+
+    rng = random.Random(3)
+    for n in (0, 1, 2, 129, 500, 5000):
+        d = bytes(rng.randrange(3) for _ in range(n))
+        assert _rle_decode(_rle_encode(d)) == d, n
+    assert _rle_decode(_rle_encode(b"x" * 1000)) == b"x" * 1000
