@@ -130,8 +130,11 @@ class OutlinkStage:
     def __init__(self) -> None:
         import re
 
+        # str pattern over the DECODED page: byte-level matching loses
+        # every link on UTF-16 / legacy-charset pages (a real crawl is
+        # full of them; the corpus plants them deterministically)
         self._href = re.compile(
-            rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+            r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
             re.IGNORECASE | re.DOTALL,
         )
 
@@ -147,12 +150,9 @@ class OutlinkStage:
             if not payload:
                 continue
             seen = set()
-            for m in self._href.finditer(payload):
-                raw = next(g for g in m.groups() if g is not None)
-                try:
-                    href = _decode_html_bytes(raw).strip()
-                except Exception:
-                    continue
+            html = _decode_html_bytes(payload)
+            for m in self._href.finditer(html):
+                href = next(g for g in m.groups() if g is not None).strip()
                 if not href or href.startswith("#"):
                     continue
                 target = urljoin(url, href)
@@ -231,11 +231,11 @@ class AnchorTextStage:
         import re
 
         self._a = re.compile(
-            rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))
+            r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))
                  [^>]*>(.*?)</a\s*>""",
             re.IGNORECASE | re.DOTALL | re.VERBOSE,
         )
-        self._tag = re.compile(rb"<[^>]*>")
+        self._tag = re.compile(r"<[^>]*>")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from urllib.parse import urljoin
@@ -249,17 +249,10 @@ class AnchorTextStage:
             if not payload:
                 continue
             seen = set()
-            for m in self._a.finditer(payload):
-                raw = next(g for g in m.groups()[:3] if g is not None)
-                try:
-                    href = _decode_html_bytes(raw).strip()
-                    text = " ".join(
-                        _decode_html_bytes(
-                            self._tag.sub(b" ", m.group(4))
-                        ).split()
-                    )
-                except Exception:
-                    continue
+            html = _decode_html_bytes(payload)
+            for m in self._a.finditer(html):
+                href = next(g for g in m.groups()[:3] if g is not None).strip()
+                text = " ".join(self._tag.sub(" ", m.group(4)).split())
                 if not href or href.startswith("#"):
                     continue
                 target = urljoin(url, href)

@@ -145,7 +145,22 @@ def _html_doc(doc_id: int, text: str, giant: bool,
     if rows:
         golden_blocks.append(" | ".join(_TABLE_HEADER))
         golden_blocks += [" | ".join(r) for r in rows]
-    return "\n".join(parts).encode("utf-8"), "\n\n".join(golden_blocks)
+    doc = "\n".join(parts)
+    golden = "\n\n".join(golden_blocks)
+    # charset transport variation (deterministic): the codec's sniff
+    # order is BOM → declared <meta charset> → UTF-8 → latin-1; plant
+    # every path with IDENTICAL decoded content so extraction goldens
+    # and all oracles hold unchanged
+    sel = doc_id % 37
+    if sel == 21:
+        doc = doc.replace(
+            "<head>", '<head><meta charset="iso-8859-1">', 1)
+        return doc.encode("latin-1"), golden
+    if sel == 30:
+        return "\ufeff".encode("utf-16-le") + doc.encode("utf-16-le"), golden
+    if sel == 9:
+        return b"\xef\xbb\xbf" + doc.encode("utf-8"), golden
+    return doc.encode("utf-8"), golden
 
 
 # -------------------------------------------------------------------- PDF

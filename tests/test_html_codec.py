@@ -261,3 +261,29 @@ def test_extract_meta_robots_directive():
         b'<meta name="robots" content="noindex"></body></html>'
     )
     assert m2["robots"] is None
+
+
+def test_corpus_charset_variants_decode_identically():
+    """doc_id % 37 routes HTML payloads over every charset-sniff path
+    (meta-declared latin-1, UTF-16LE BOM, UTF-8 BOM, plain UTF-8) with
+    identical decoded content — goldens and oracles hold unchanged."""
+    from pdf_extractor_ray.codecs.html_codec import HtmlCodec, extract_meta
+    from pdf_extractor_ray.sources.corpus import _html_doc
+
+    text = " ".join(f"w{i}" for i in range(40))
+    markers = {}
+    for did, expect in ((58, b"iso-8859-1"), (104, b"\xff\xfe"),
+                        (46, b"\xef\xbb\xbf"), (20, b"<html")):
+        payload, golden = _html_doc(did, text, False)
+        if did == 104:
+            assert payload[:2] == b"\xff\xfe"
+        else:
+            assert expect in payload[:64]
+        r = HtmlCodec().extract(payload)
+        assert r.text == golden, did
+        assert extract_meta(payload)["canonical_url"], did
+        markers[did] = True
+    # latin-1 page carrying the non-ASCII ø table dimension
+    payload, golden = _html_doc(95, text, False)
+    assert b"\xf8" in payload
+    assert HtmlCodec().extract(payload).text == golden
