@@ -3929,10 +3929,17 @@ _EXTRACT_TEXT_HTML_SQL = r"""
                        || (doc_id % 90 + 10) || ',500.00 for this order' AS para
                 FROM shape WHERE doc_id % 7 = 3
             ),
+            charref AS (
+                SELECT doc_id, 2000000 AS seq,
+                       'Entities & escapes <tag> café "quoted" '
+                       || 'are decoded by real parsers' AS para
+                FROM shape WHERE doc_id % 41 = 15
+            ),
             paras_glued AS (
                 SELECT doc_id,
                        string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
-                FROM (SELECT * FROM rep UNION ALL SELECT * FROM entity)
+                FROM (SELECT * FROM rep UNION ALL SELECT * FROM entity
+                      UNION ALL SELECT * FROM charref)
                 GROUP BY doc_id
             ),
             tab_rows AS (
@@ -4105,7 +4112,8 @@ _PAGE_STRUCTURE_SQL = r"""
                              WHEN w // 14 > 0 THEN w // 14
                              ELSE 1 END)
                        * (CASE WHEN doc_id % 97 = 0 THEN 30 ELSE 1 END)
-                       + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS n_p,
+                       + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                       + (CASE WHEN doc_id % 41 = 15 THEN 1 ELSE 0 END) AS n_p,
                        (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS hastab
                 FROM regular
             ),
@@ -5979,9 +5987,16 @@ hent AS (
            || (doc_id % 90 + 10) || ',500.00 for this order' AS para
     FROM hshape WHERE doc_id % 7 = 3
 ),
+hchar AS (
+    SELECT doc_id, 2000000 AS seq,
+           'Entities & escapes <tag> café "quoted" '
+           || 'are decoded by real parsers' AS para
+    FROM hshape WHERE doc_id % 41 = 15
+),
 hbody AS (
     SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
-    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent) GROUP BY doc_id
+    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent
+          UNION ALL SELECT * FROM hchar) GROUP BY doc_id
 ),
 htab AS (
     SELECT c.doc_id,
@@ -6160,9 +6175,16 @@ hent AS (
            || (doc_id % 90 + 10) || ',500.00 for this order' AS para
     FROM hshape WHERE doc_id % 7 = 3
 ),
+hchar AS (
+    SELECT doc_id, 2000000 AS seq,
+           'Entities & escapes <tag> café "quoted" '
+           || 'are decoded by real parsers' AS para
+    FROM hshape WHERE doc_id % 41 = 15
+),
 hbody AS (
     SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
-    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent) GROUP BY doc_id
+    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent
+          UNION ALL SELECT * FROM hchar) GROUP BY doc_id
 ),
 htab AS (
     SELECT c.doc_id,

@@ -130,6 +130,14 @@ def _html_doc(doc_id: int, text: str, giant: bool,
             f"price of ${doc_id % 90 + 10},500.00 for this order"
         )
     parts += [f"<p>{p}</p>" for p in paras]
+    charref = doc_id % 41 == 15
+    if charref:
+        # character-reference transport: entities in the payload,
+        # decoded text in the golden (real parsers decode charrefs)
+        parts.append(
+            "<p>Entities &amp; escapes &lt;tag&gt; caf&#233; "
+            "&quot;quoted&quot; are decoded by real parsers</p>"
+        )
     if rows:
         parts.append("<table><tr>" + "".join(f"<th>{h}</th>" for h in _TABLE_HEADER) + "</tr>")
         for row in rows:
@@ -142,6 +150,11 @@ def _html_doc(doc_id: int, text: str, giant: bool,
     parts.append("</body></html>")
 
     golden_blocks = [title] + paras
+    if charref:
+        golden_blocks.append(
+            'Entities & escapes <tag> café "quoted" '
+            "are decoded by real parsers"
+        )
     if rows:
         golden_blocks.append(" | ".join(_TABLE_HEADER))
         golden_blocks += [" | ".join(r) for r in rows]
