@@ -6286,6 +6286,77 @@ SELECT
     has_tables
 FROM allp
 """,
+        # per-url extraction envelope: kinds/statuses, page/block
+        # counts (kept blocks + 4 boilerplate candidates for HTML,
+        # line counts per PDF variant), chars/words from the
+        # byte-identity reconstruction
+        "extract_pages": """
+WITH all_txt AS (
+    (""" + _EXTRACT_TEXT_HTML_SQL + """) UNION ALL (""" + _EXTRACT_TEXT_PDF_SQL + """)
+),
+tw AS (
+    SELECT url, length(extracted_text) AS n_chars,
+           len(string_split_regex(extracted_text, '\s+')) AS n_words
+    FROM all_txt
+),
+hmeta AS (
+    SELECT doc_id,
+           CASE WHEN len(str_split(text,' ')) % 14 = 0
+                THEN len(str_split(text,' ')) // 14
+                WHEN len(str_split(text,' ')) % 14 >= 10
+                THEN len(str_split(text,' ')) // 14 + 1
+                ELSE len(str_split(text,' ')) // 14 END
+           * (CASE WHEN doc_id % 97 = 0 THEN 30 ELSE 1 END)
+           + (CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+           + (CASE WHEN doc_id % 41 = 15 THEN 1 ELSE 0 END)
+           + (CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END)
+           + 1 + 4 AS n_blocks,
+           1 AS n_pages, 'html' AS doc_kind, 'ok' AS extract_status
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) <> 7
+),
+pmeta AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 40 = 17 AND doc_id % 97 <> 0 THEN 3
+                WHEN doc_id % 97 = 0 THEN 240
+                WHEN (doc_id // 10) % 4 = 0 THEN 8 * (1 + doc_id % 3)
+                WHEN (doc_id // 10) % 4 = 1 THEN 8
+                WHEN (doc_id // 10) % 4 = 2 THEN 5
+                ELSE 4 END AS n_blocks,
+           CASE WHEN doc_id % 40 = 17 AND doc_id % 97 <> 0 THEN 1
+                WHEN doc_id % 97 = 0 THEN 30
+                WHEN (doc_id // 10) % 4 = 0 THEN 1 + doc_id % 3
+                ELSE 1 END AS n_pages,
+           'pdf' AS doc_kind, 'ok' AS extract_status
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) = 7
+),
+edges AS (
+    SELECT doc_id,
+           CASE doc_id % 101 WHEN 29 THEN 1 WHEN 61 THEN 2 ELSE 0 END AS n_blocks,
+           CASE doc_id % 101 WHEN 47 THEN 0 ELSE 1 END AS n_pages,
+           CASE doc_id % 101 WHEN 13 THEN 'unknown'
+                WHEN 29 THEN 'html' WHEN 61 THEN 'html' ELSE 'pdf' END AS doc_kind,
+           CASE doc_id % 101 WHEN 47 THEN 'parse_error'
+                WHEN 83 THEN 'image_only' ELSE 'empty' END AS extract_status
+    FROM documents WHERE (doc_id % 101) IN (13, 29, 47, 61, 83)
+),
+meta AS (
+    SELECT * FROM hmeta UNION ALL SELECT * FROM pmeta UNION ALL SELECT * FROM edges
+)
+SELECT
+    'https://example.org/' || lpad(CAST(m.doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(m.doc_id AS VARCHAR), 9, '0') AS url,
+    m.doc_kind, m.extract_status,
+    CAST(m.n_pages AS INTEGER) AS n_pages,
+    CAST(m.n_blocks AS INTEGER) AS n_blocks,
+    CAST(coalesce(tw.n_chars, 0) AS BIGINT) AS n_chars,
+    CAST(coalesce(tw.n_words, 0) AS BIGINT) AS n_words
+FROM meta m
+LEFT JOIN tw ON tw.url = 'https://example.org/'
+    || lpad(CAST(m.doc_id % 1000 AS VARCHAR), 4, '0')
+    || '/' || lpad(CAST(m.doc_id AS VARCHAR), 9, '0')
+""",
         # flagship composition, byte-oracled end-to-end: both channel
         # reconstructions -> word-count gate -> min-url dedup survivor
         "web_prep": """
