@@ -164,6 +164,55 @@ def _q_web_prep(sf_dir: str):
     return web_prep_pipeline(_pages(sf_dir))
 
 
+def _q_bucketed_join_orders(sf_dir: str):
+    """Bucketed (co-partitioned) storage join: both tables are written
+    ONCE hash-bucketed by the join key (per-block split-append, no
+    shuffle), then joined with ZERO exchange — each task reads and
+    joins one co-located bucket pair.  The layout optimization a
+    recurring 100-TB fact×dimension join pays for once at write time.
+    Revenue folded in exact integer cents so float order can't drift
+    from the SQL twin."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.bucketed import bucketed_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/graft_bucketed/{tag}"
+    nb = 16
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    write_bucketed(cust, "c_custkey", f"{root}/customer", nb).materialize()
+    write_bucketed(orders, "o_custkey", f"{root}/orders", nb).materialize()
+    j = bucketed_join(
+        f"{root}/orders", f"{root}/customer", "o_custkey",
+        ["o_totalprice"], ["c_mktsegment"],
+        right_key="c_custkey", num_buckets=nb,
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "cents": cents,
+        })
+
+    return lowcard_groupby_agg(
+        j.map_batches(to_cents, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("cents", "count", "n_orders"), ("cents", "sum", "revenue_cents")],
+    )
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3674,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_html": _q_extract_text_html,
         "extract_text_pdf": _q_extract_text_pdf,
         "web_prep": _q_web_prep,
+        "bucketed_join_orders": _q_bucketed_join_orders,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6357,6 +6407,16 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
     || lpad(CAST(m.doc_id % 1000 AS VARCHAR), 4, '0')
     || '/' || lpad(CAST(m.doc_id AS VARCHAR), 9, '0')
 """,
+        # bucketed-storage join twin: plain equi-join + integer-cents
+        # revenue fold
+        "bucketed_join_orders": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         # flagship composition, byte-oracled end-to-end: both channel
         # reconstructions -> word-count gate -> min-url dedup survivor
         "web_prep": """

@@ -1,0 +1,159 @@
+"""Bucketed (co-partitioned) storage: write tables hash-bucketed by a
+key once, then join them SHUFFLE-FREE forever after.
+
+The classic at-scale layout optimization (Hive/Spark bucketed tables,
+`CLUSTER BY`): both sides of a recurring join are written with rows
+hash-partitioned into ``bucket=i/`` directories by the SAME hash of
+the join key.  A later join then never exchanges rows — each task
+reads bucket ``i`` of both sides (a pruned, co-located read) and joins
+in place.  For a 100-TB fact table joined every run against a rolling
+dimension, the exchange is paid once at write time, not per query.
+
+- :func:`write_bucketed` needs NO shuffle either: every input block
+  splits its own rows by bucket and appends a distinctly-named file
+  under each ``bucket=i/`` directory (filename = content hash of the
+  block's keys → idempotent re-runs, same convention as the WET sink).
+- :func:`bucketed_join` maps over bucket IDS (one row each), so Ray
+  schedules B independent co-bucketed joins with no all-to-all stage.
+- Bucketing uses :func:`joins._bucket_of` — the same vectorized
+  splitmix64 / buffer-polynomial hash as the shuffle-join family, so a
+  bucketed table can also feed those operators consistently.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from .joins import _bucket_of
+
+
+def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
+    """Dataset → ``out_dir/bucket=i/part-<hash>.parquet`` with rows
+    hash-bucketed by ``key_col``; NO shuffle (per-block split-append).
+    Returns the written manifest Dataset ``(bucket, path, n_rows)`` —
+    consume it to force the write."""
+    import pyarrow.parquet as pq
+
+    for i in range(num_buckets):
+        os.makedirs(os.path.join(out_dir, f"bucket={i}"), exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "path": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+        b = _bucket_of(batch.column(key_col), num_buckets)
+        batch = batch.append_column("__bkt", b)
+        digest = hashlib.md5(
+            batch.column(key_col).combine_chunks().cast(pa.string())
+            .to_string().encode()
+        ).hexdigest()[:16]
+        buckets, paths, rows = [], [], []
+        bnp = np.asarray(b.to_numpy(zero_copy_only=False))
+        for i in np.unique(bnp):
+            part = batch.filter(pa.array(bnp == i)).drop_columns(["__bkt"])
+            path = os.path.join(out_dir, f"bucket={int(i)}",
+                                f"part-{digest}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, path)  # atomic publish, idempotent name
+            buckets.append(int(i))
+            paths.append(path)
+            rows.append(part.num_rows)
+        return pa.table({"bucket": pa.array(buckets, pa.int32()),
+                         "path": pa.array(paths, pa.string()),
+                         "n_rows": pa.array(rows, pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
+class _BucketJoiner:
+    """Actor: bucket id → joined rows of that bucket (both sides read
+    locally; vectorized sort-merge within the bucket)."""
+
+    def __init__(self, left_dir: str, right_dir: str, key_col: str,
+                 right_key: Optional[str], left_cols: Sequence[str],
+                 right_cols: Sequence[str]) -> None:
+        self.left_dir = left_dir
+        self.right_dir = right_dir
+        self.key = key_col
+        self.rkey = right_key or key_col
+        self.left_cols = list(left_cols)
+        self.right_cols = list(right_cols)
+
+    @staticmethod
+    def _read(dirpath: str, bucket: int, cols: List[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(
+            os.path.join(dirpath, f"bucket={bucket}", "*.parquet")))
+        if not files:
+            return None
+        return pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        schema = None
+        for bucket in batch.column("bucket").to_pylist():
+            l = self._read(self.left_dir, bucket,
+                           sorted({*self.left_cols, self.key}))
+            r = self._read(self.right_dir, bucket,
+                           sorted({*self.right_cols, self.rkey}))
+            if l is None or r is None or not l.num_rows or not r.num_rows:
+                continue
+            lk = l.column(self.key).to_numpy(zero_copy_only=False)
+            rk = r.column(self.rkey).to_numpy(zero_copy_only=False)
+            order = np.argsort(rk, kind="stable")
+            rk_s = rk[order]
+            lo = np.searchsorted(rk_s, lk, side="left")
+            hi = np.searchsorted(rk_s, lk, side="right")
+            cnt = hi - lo
+            l_idx = np.repeat(np.arange(len(lk)), cnt)
+            r_idx = np.concatenate(
+                [order[a:b] for a, b in zip(lo, hi) if b > a]
+            ) if cnt.sum() else np.zeros(0, dtype=np.int64)
+            cols = {}
+            for c in self.left_cols:
+                cols[c] = l.column(c).take(pa.array(l_idx))
+            for c in self.right_cols:
+                cols[c] = r.column(c).take(pa.array(r_idx))
+            t = pa.table(cols)
+            schema = t.schema
+            out.append(t)
+        if not out:
+            return pa.table({c: [] for c in (*self.left_cols, *self.right_cols)})
+        return pa.concat_tables(out)
+
+
+def bucketed_join(left_dir: str, right_dir: str, key_col: str,
+                  left_cols: Sequence[str], right_cols: Sequence[str],
+                  right_key: Optional[str] = None, num_buckets: int = 32,
+                  concurrency: Optional[int] = None):
+    """Inner-join two bucketed tables WITHOUT any exchange: a Dataset
+    of bucket ids fans out to tasks that each read + join ONE
+    co-located bucket pair.  Both tables must have been written by
+    :func:`write_bucketed` with the same ``num_buckets`` (and the same
+    key hashing, which write_bucketed guarantees)."""
+    import ray.data
+
+    from .pool import pool_size
+
+    ids = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(range(num_buckets), pa.int32())})
+    ).repartition(num_buckets)
+    return ids.map_batches(
+        _BucketJoiner,
+        fn_constructor_kwargs={
+            "left_dir": left_dir, "right_dir": right_dir,
+            "key_col": key_col, "right_key": right_key,
+            "left_cols": left_cols, "right_cols": right_cols,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or pool_size(),
+    )

@@ -1,0 +1,75 @@
+"""Bucketed (co-partitioned) storage: shuffle-free joins."""
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _write(ds, key, out, nb):
+    from pdf_extractor_ray.functions.bucketed import write_bucketed
+
+    return write_bucketed(ds, key, out, nb).to_pandas()
+
+
+def test_bucketed_write_and_join_matches_plain_join(ray_session, tmp_path):
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import bucketed_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5, None], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e", "n"], pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 3, 4], pa.int64()),
+        "rv": pa.array(["x", "y", "z", "w"], pa.string()),
+    }))
+    nb = 4
+    man_l = _write(left, "k", str(tmp_path / "l"), nb)
+    man_r = _write(right, "rk", str(tmp_path / "r"), nb)
+    assert man_l["n_rows"].sum() == 6 and man_r["n_rows"].sum() == 4
+    out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "k",
+                        ["k", "lv"], ["rv"], right_key="rk",
+                        num_buckets=nb).to_pandas()
+    got = sorted(map(tuple, out[["k", "lv", "rv"]].itertuples(index=False)))
+    # m:n semantics: k=2 joins both right rows per left row
+    want = sorted([(2, "b", "x"), (2, "b", "y"), (2, "c", "x"),
+                   (2, "c", "y"), (3, "d", "z")])
+    assert got == want
+
+
+def test_bucketed_write_idempotent(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(20)), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(20)], pa.string()),
+    }))
+    out = str(tmp_path / "t")
+    _write(ds, "k", out, 4)
+    files1 = sorted(os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs)
+    _write(ds, "k", out, 4)
+    files2 = sorted(os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs)
+    assert files1 == files2  # content-hash names → re-run rewrites in place
+
+
+def test_bucketed_join_string_keys(ray_session, tmp_path):
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import bucketed_join
+
+    l = ray.data.from_arrow(pa.table({
+        "h": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    }))
+    r = ray.data.from_arrow(pa.table({
+        "h": pa.array(["b.com", "c.com", "d.com"], pa.string()),
+        "m": pa.array([20, 30, 40], pa.int64()),
+    }))
+    _write(l, "h", str(tmp_path / "l"), 8)
+    _write(r, "h", str(tmp_path / "r"), 8)
+    out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "h",
+                        ["h", "n"], ["m"], num_buckets=8).to_pandas()
+    assert sorted(map(tuple, out.itertuples(index=False))) == [
+        ("b.com", 2, 20), ("c.com", 3, 30)]
