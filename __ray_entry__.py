@@ -181,8 +181,15 @@ def _q_bucketed_join_orders(sf_dir: str):
     from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
     from pdf_extractor_ray.functions.bucketed import bucketed_join, write_bucketed
 
+    # per-process scratch: stale parts from a prior run over DIFFERENT
+    # input would pollute the bucket dirs (content-hash names only make
+    # SAME-input re-runs idempotent), and concurrent checkers must not
+    # collide
+    import shutil
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/graft_bucketed/{tag}"
+    root = f"/tmp/graft_bucketed/{tag}-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
     nb = 16
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
