@@ -220,6 +220,49 @@ def _q_bucketed_join_orders(sf_dir: str):
     )
 
 
+def _q_bucketed_revenue_by_customer(sf_dir: str):
+    """Exchange-free grouped aggregation on the bucketed layout: a
+    bucket holds every row of its keys, so per-bucket groupby partials
+    ARE the final result — the aggregation twin of the shuffle-free
+    bucketed join (same written layout, reused)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import (
+        bucketed_groupby,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/graft_bucketed_agg/{tag}-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    nb = 16
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), pa.scalar(100.0))), pa.int64()),
+        })
+
+    write_bucketed(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        "o_custkey", f"{root}/orders", nb,
+    ).materialize()
+    return bucketed_groupby(
+        f"{root}/orders", "o_custkey",
+        [("cents", "count", "n_orders"), ("cents", "sum", "revenue_cents")],
+        num_buckets=nb,
+    )
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3731,6 +3774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_pdf": _q_extract_text_pdf,
         "web_prep": _q_web_prep,
         "bucketed_join_orders": _q_bucketed_join_orders,
+        "bucketed_revenue_by_customer": _q_bucketed_revenue_by_customer,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6423,6 +6467,13 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
                         AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "bucketed_revenue_by_customer": """
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY o_custkey
         """,
         # flagship composition, byte-oracled end-to-end: both channel
         # reconstructions -> word-count gate -> min-url dedup survivor

@@ -157,3 +157,62 @@ def bucketed_join(left_dir: str, right_dir: str, key_col: str,
         batch_size=1,
         concurrency=concurrency or pool_size(),
     )
+
+
+class _BucketAggregator:
+    """Actor: bucket id → FINAL aggregates of that bucket.  Because a
+    bucket holds every row of its keys, per-bucket groupby results are
+    already global — aggregation without any exchange."""
+
+    def __init__(self, dirpath: str, key_col: str,
+                 aggs: Sequence[tuple]) -> None:
+        self.dir = dirpath
+        self.key = key_col
+        self.aggs = list(aggs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: F401 (group_by kernels)
+
+        out = []
+        cols = sorted({self.key, *(c for c, _f, _o in self.aggs)})
+        for bucket in batch.column("bucket").to_pylist():
+            t = _BucketJoiner._read(self.dir, bucket, cols)
+            if t is None or not t.num_rows:
+                continue
+            res = t.group_by(self.key).aggregate(
+                [(c, f) for c, f, _o in self.aggs]
+            )
+            res = res.rename_columns(
+                [self.key] + [o for _c, _f, o in self.aggs]
+            )
+            out.append(res)
+        if not out:
+            names = [self.key] + [o for _c, _f, o in self.aggs]
+            return pa.table({n: [] for n in names})
+        return pa.concat_tables(out)
+
+
+def bucketed_groupby(dirpath: str, key_col: str, aggs: Sequence[tuple],
+                     num_buckets: int = 32,
+                     concurrency: Optional[int] = None):
+    """Exchange-free grouped aggregation over a bucketed table:
+    ``aggs`` is ``[(col, fn, out_name), ...]`` with pyarrow group_by
+    fns ('sum', 'count', 'min', 'max', 'mean').  Each task aggregates
+    one bucket and its partials ARE the final rows (keys never span
+    buckets)."""
+    import ray.data
+
+    from .pool import pool_size
+
+    ids = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(range(num_buckets), pa.int32())})
+    ).repartition(num_buckets)
+    return ids.map_batches(
+        _BucketAggregator,
+        fn_constructor_kwargs={
+            "dirpath": dirpath, "key_col": key_col, "aggs": aggs,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or pool_size(),
+    )

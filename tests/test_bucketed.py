@@ -73,3 +73,22 @@ def test_bucketed_join_string_keys(ray_session, tmp_path):
                         ["h", "n"], ["m"], num_buckets=8).to_pandas()
     assert sorted(map(tuple, out.itertuples(index=False))) == [
         ("b.com", 2, 20), ("c.com", 3, 30)]
+
+
+def test_bucketed_groupby_is_exact(ray_session, tmp_path):
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import bucketed_groupby
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "v": pa.array([10, 20, 5, 1, 2, 3], pa.int64()),
+    }))
+    out_dir = str(tmp_path / "g")
+    _write(ds, "k", out_dir, 4)
+    out = bucketed_groupby(
+        out_dir, "k", [("v", "count", "n"), ("v", "sum", "total")],
+        num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.to_dict("list") == {"k": [1, 2, 3], "n": [2, 1, 3],
+                                   "total": [30, 5, 6]}
