@@ -17,6 +17,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 
 def _pages(sf_dir: str):
@@ -1289,15 +1290,21 @@ def _q_topk_parts(sf_dir: str):
 
 
 def _q_filter_lineitems(sf_dir: str):
+    """Predicate PUSHED INTO THE SCAN (`read_parquet(filter=...)`):
+    row groups whose min/max statistics exclude the predicate are never
+    read off storage — at 100 TB the difference between "filter after
+    shipping every block" and "skip the block at the footer". The
+    residual per-batch filter applies inside the scan task."""
+    import pyarrow.compute as pc
     import ray.data
 
     from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
 
-    ds = ray.data.read_parquet(
+    filtered = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_linestatus", "l_quantity", "l_discount"],
+        filter=(pc.field("l_quantity") > 40) & (pc.field("l_discount") < 0.05),
     )
-    filtered = ds.filter(expr="l_quantity > 40 and l_discount < 0.05")
     return lowcard_groupby_agg(
         filtered,
         ["l_linestatus"],
@@ -2141,8 +2148,9 @@ def _q_bloom_semi_customers(sf_dir: str):
     from pdf_extractor_ray.functions.sketch import bloom_build, bloom_prefilter
 
     urgent = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
-    ).filter(expr="o_orderpriority == '1-URGENT'").materialize()
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"],
+        filter=_pc.field("o_orderpriority") == "1-URGENT",  # scan pushdown
+    ).materialize()
     # ^ consumed twice: bloom build + exact verify
     bloom = bloom_build(urgent, "o_custkey")
     cust = ray.data.read_parquet(
@@ -2309,8 +2317,9 @@ def _q_user_order_pairs(sf_dir: str):
     from pdf_extractor_ray.functions.joins import hash_join
 
     events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
-    ).filter(expr="event_type == 'purchase'")
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"],
+        filter=_pc.field("event_type") == "purchase",  # scan pushdown
+    )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
@@ -2444,8 +2453,9 @@ def _q_customers_no_orders(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
     )
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).filter(expr="o_totalprice > 400000")
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        filter=_pc.field("o_totalprice") > 400000,  # scan pushdown
+    )
     return semi_anti_join(
         cust, orders, "c_custkey", "o_custkey",
         ["c_custkey", "c_name", "c_acctbal"], how="anti",
@@ -2465,8 +2475,9 @@ def _q_urgent_customer_segments(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     urgent = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
-    ).filter(expr="o_orderpriority == '1-URGENT'")
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"],
+        filter=_pc.field("o_orderpriority") == "1-URGENT",  # scan pushdown
+    )
     kept = semi_anti_join(
         cust, urgent, "c_custkey", "o_custkey",
         ["c_custkey", "c_mktsegment"], how="semi",
