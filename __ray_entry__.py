@@ -264,6 +264,42 @@ def _q_bucketed_revenue_by_customer(sf_dir: str):
     )
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """Join-cardinality estimation BEFORE paying an m:n join: per-key
+    counts on both sides (tiny partial-aggregate tables), count-join,
+    Σ cntL×cntR = the EXACT output cardinality of the would-be join.
+    The planner guard a 100-TB pipeline runs first — if the estimate
+    explodes (hot keys), salt or pre-aggregate instead of joining.
+    Only (key, count) pairs ever shuffle."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_extractor_ray.functions.joins import hash_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).groupby("user_id").aggregate(Count(alias_name="n_l"))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).groupby("o_custkey").aggregate(Count(alias_name="n_r"))
+    joined = hash_join(
+        events, orders, "user_id", "o_custkey",
+        ["n_l"], ["n_r"], how="inner",
+    )
+
+    def prod(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"pairs": pc.multiply(
+            pc.cast(batch.column("n_l"), pa.int64()),
+            pc.cast(batch.column("n_r"), pa.int64()))})
+
+    total = joined.map_batches(prod, batch_format="pyarrow").aggregate(
+        Sum("pairs", alias_name="est_join_rows"))
+    return pa.table({"est_join_rows": pa.array(
+        [int(total["est_join_rows"] or 0)], pa.int64())})
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3786,6 +3822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_prep": _q_web_prep,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bucketed_revenue_by_customer": _q_bucketed_revenue_by_customer,
+        "join_size_estimate": _q_join_size_estimate,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6469,6 +6506,16 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
     || lpad(CAST(m.doc_id % 1000 AS VARCHAR), 4, '0')
     || '/' || lpad(CAST(m.doc_id AS VARCHAR), 9, '0')
 """,
+        # exact join-cardinality estimate: count-join-sum
+        "join_size_estimate": """
+            SELECT CAST(coalesce(sum(l.c * r.c), 0) AS BIGINT)
+                       AS est_join_rows
+            FROM (SELECT user_id, count(*) AS c FROM events
+                  GROUP BY user_id) l
+            JOIN (SELECT o_custkey, count(*) AS c FROM orders
+                  GROUP BY o_custkey) r
+              ON l.user_id = r.o_custkey
+        """,
         # bucketed-storage join twin: plain equi-join + integer-cents
         # revenue fold
         "bucketed_join_orders": """
