@@ -300,6 +300,71 @@ def _q_join_size_estimate(sf_dir: str):
         [int(total["est_join_rows"] or 0)], pa.int64())})
 
 
+def _q_q3_unshipped_revenue(sf_dir: str):
+    """TPC-H Q3 shape: three-table chained hash join (customer semi →
+    orders → lineitem m:n) with every predicate pushed into the scans,
+    exact integer-1e-4-dollar revenue fold by order, deterministic
+    top-10.  The multi-join plan: the SMALL filtered side always joins
+    first (semi join ships keys only), the m:n lineitem join runs on
+    the already-reduced order set."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.joins import hash_join, semi_anti_join
+
+    import datetime as _dtmod
+
+    cutoff = _dtmod.datetime(1998, 7, 1)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+        filter=_pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=_pc.field("o_orderdate") < cutoff,
+    )
+    orders = semi_anti_join(
+        orders, cust, "o_custkey", "c_custkey",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"], how="semi",
+    )
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=_pc.field("l_shipdate") > cutoff,
+    )
+    j = hash_join(
+        line, orders, "l_orderkey", "o_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        ["o_orderdate", "o_orderpriority"],
+        how="inner", validate="many",
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue_e4": rev,
+        })
+
+    folded = partition_fold(
+        j.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        "revenue_e4", fn="sum",
+    )
+    return folded.sort(
+        ["revenue_e4", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3823,6 +3888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bucketed_revenue_by_customer": _q_bucketed_revenue_by_customer,
         "join_size_estimate": _q_join_size_estimate,
+        "q3_unshipped_revenue": _q_q3_unshipped_revenue,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6506,6 +6572,22 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
     || lpad(CAST(m.doc_id % 1000 AS VARCHAR), 4, '0')
     || '/' || lpad(CAST(m.doc_id AS VARCHAR), 9, '0')
 """,
+        # TPC-H Q3 shape with exact integer revenue and total order
+        "q3_unshipped_revenue": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
         # exact join-cardinality estimate: count-join-sum
         "join_size_estimate": """
             SELECT CAST(coalesce(sum(l.c * r.c), 0) AS BIGINT)
