@@ -1,0 +1,53 @@
+"""In-process CLI tests for the round-3 output surfaces (web-prep, WET)."""
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _tiny_pages(tmp_path):
+    long = " ".join(f"word{i}" for i in range(40))
+    html = ("<html><body>" + f"<p>{long}</p>" + "</body></html>").encode()
+    t = pa.table({
+        "url": pa.array([f"https://t/{i}" for i in range(3)], pa.string()),
+        "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 3, pa.timestamp("us")),
+        "html": pa.array([html, html, b""], pa.large_binary()),
+        "text": pa.array([long] * 3, pa.large_string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    p = tmp_path / "pages.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_cli_web_prep_mode(ray_session, tmp_path, capsys):
+    from pdf_extractor_ray.cli import main
+
+    src = _tiny_pages(tmp_path)
+    out = str(tmp_path / "out")
+    rc = main(["--input", src, "--output", out, "--mode", "web-prep"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # two identical payloads dedup to one survivor; empty payload gated
+    assert metrics["rows"] == 1
+
+
+def test_cli_wet_format(ray_session, tmp_path, capsys):
+    import ray
+
+    from pdf_extractor_ray.cli import main
+    from pdf_extractor_ray.sources.warc import texts_from_wet
+
+    src = _tiny_pages(tmp_path)
+    out = str(tmp_path / "wet")
+    rc = main(["--input", src, "--output", out,
+               "--mode", "extract", "--format", "wet"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["records"] == 3
+    back = texts_from_wet([out]).to_pandas()
+    assert len(back) == 3
+    assert (back["text"].str.len() > 0).sum() == 2  # empty payload row empty
