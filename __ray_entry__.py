@@ -272,16 +272,27 @@ def _q_join_size_estimate(sf_dir: str):
     explodes (hot keys), salt or pre-aggregate instead of joining.
     Only (key, count) pairs ever shuffle."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
+    from pdf_extractor_ray.functions.agg import partition_fold
     from pdf_extractor_ray.functions.joins import hash_join
 
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id"]
-    ).groupby("user_id").aggregate(Count(alias_name="n_l"))
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    ).groupby("o_custkey").aggregate(Count(alias_name="n_r"))
+    def one(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__one", pa.array([1] * batch.num_rows, pa.int64()))
+        return fn
+
+    events = partition_fold(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(one("user_id"), batch_format="pyarrow"),
+        ["user_id"], "__one", fn="count", out_val="n_l",
+    )
+    orders = partition_fold(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(one("o_custkey"), batch_format="pyarrow"),
+        ["o_custkey"], "__one", fn="count", out_val="n_r",
+    )
     joined = hash_join(
         events, orders, "user_id", "o_custkey",
         ["n_l"], ["n_r"], how="inner",
