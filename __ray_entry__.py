@@ -277,21 +277,13 @@ def _q_join_size_estimate(sf_dir: str):
     from pdf_extractor_ray.functions.agg import partition_fold
     from pdf_extractor_ray.functions.joins import hash_join
 
-    def one(col):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__one", pa.array([1] * batch.num_rows, pa.int64()))
-        return fn
-
     events = partition_fold(
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-        .map_batches(one("user_id"), batch_format="pyarrow"),
-        ["user_id"], "__one", fn="count", out_val="n_l",
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        ["user_id"], "user_id", fn="count", out_val="n_l",
     )
     orders = partition_fold(
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .map_batches(one("o_custkey"), batch_format="pyarrow"),
-        ["o_custkey"], "__one", fn="count", out_val="n_r",
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        ["o_custkey"], "o_custkey", fn="count", out_val="n_r",
     )
     joined = hash_join(
         events, orders, "user_id", "o_custkey",

@@ -1170,7 +1170,8 @@ def partition_fold(ds, key_cols: Sequence[str], val_col: str,
                 b.to_numpy(zero_copy_only=False), dtype=np.uint64
             )
         part = (acc % np.uint64(num_partitions)).astype(np.int32)
-        return batch.select(key_cols + [val_col]).append_column(
+        sel = key_cols + ([val_col] if val_col not in key_cols else [])
+        return batch.select(sel).append_column(
             "__fpart", pa.array(part, pa.int32())
         )
 
@@ -1179,7 +1180,11 @@ def partition_fold(ds, key_cols: Sequence[str], val_col: str,
         karrs = [
             np.asarray(group.column(c).to_pylist()) for c in key_cols
         ]
-        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        if fn == "count":
+            # count never reads values — permit val_col ∈ key_cols
+            vals = np.zeros(n, dtype=np.int64)
+        else:
+            vals = group.column(val_col).to_numpy(zero_copy_only=False)
         order = np.lexsort(tuple(reversed(karrs)))
         sk = [a[order] for a in karrs]
         sv = vals[order]

@@ -361,3 +361,19 @@ def test_grouped_skew_kurt_degenerate_groups(ray_session):
     assert pd.isna(out.loc["two", "skewness"])    # n < 3
     assert pd.isna(out.loc["const", "skewness"])  # zero variance
     assert pd.isna(out.loc["const", "kurtosis"])
+
+
+def test_partition_fold_count_on_key_column(ray_session):
+    """count folds may probe the key column itself (no value column
+    needed) — the join-size-estimate shape."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([5, 5, 7, 9, 9, 9], pa.int64()),
+    }))
+    out = partition_fold(ds, ["k"], "k", fn="count", out_val="n") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.to_dict("list") == {"k": [5, 7, 9], "n": [2, 1, 3]}
