@@ -49,10 +49,18 @@ def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
                              "n_rows": pa.array([], pa.int64())})
         b = _bucket_of(batch.column(key_col), num_buckets)
         batch = batch.append_column("__bkt", b)
-        digest = hashlib.md5(
-            batch.column(key_col).combine_chunks().cast(pa.string())
-            .to_string().encode()
-        ).hexdigest()[:16]
+        # content hash of the block's key column via Arrow IPC bytes —
+        # C-level serialization, no per-value Python formatting
+        import io
+
+        import pyarrow.ipc as _ipc
+
+        buf = io.BytesIO()
+        with _ipc.new_stream(
+            buf, pa.schema([("k", batch.column(key_col).type)])
+        ) as w:
+            w.write_table(pa.table({"k": batch.column(key_col)}))
+        digest = hashlib.md5(buf.getvalue()).hexdigest()[:16]
         buckets, paths, rows = [], [], []
         bnp = np.asarray(b.to_numpy(zero_copy_only=False))
         for i in np.unique(bnp):
