@@ -368,6 +368,39 @@ def _q_q3_unshipped_revenue(sf_dir: str):
     ).limit(10)
 
 
+def _q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates (bounded-memory frequency
+    table for key spaces too large to groupby): 512 KiB of partials
+    per block, elementwise-+ merge, point estimates for every distinct
+    user checked IN-QUERY against the exact counts — the query raises
+    if the sketch ever underestimates or exceeds its ε·N bound, so the
+    driver run enforces the CMS guarantee.  Rows-only (the estimate is
+    hash-defined; no SQL twin), exact counts carried alongside."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.sketch import cms_build, cms_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cms = cms_build(ds, "user_id")
+    exact = partition_fold(
+        ds, ["user_id"], "user_id", fn="count", out_val="n_events"
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    est = cms_estimate(cms, exact["user_id"].to_numpy())
+    n_total = int(exact["n_events"].sum())
+    eps_n = max(1, int(np.e / cms.shape[1] * n_total))
+    if (est < exact["n_events"].to_numpy()).any():
+        raise AssertionError("CMS underestimated — impossible by construction")
+    if int((est - exact["n_events"].to_numpy()).max()) > 3 * eps_n:
+        raise AssertionError("CMS overshoot exceeded 3·ε·N")
+    return pa.table({
+        "user_id": pa.array(exact["user_id"].to_numpy(), pa.int64()),
+        "n_events": pa.array(exact["n_events"].to_numpy(), pa.int64()),
+        "cms_estimate": pa.array(est, pa.int64()),
+    })
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3892,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_revenue_by_customer": _q_bucketed_revenue_by_customer,
         "join_size_estimate": _q_join_size_estimate,
         "q3_unshipped_revenue": _q_q3_unshipped_revenue,
+        "cms_user_counts": _q_cms_user_counts,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,

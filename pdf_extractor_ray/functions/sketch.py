@@ -272,3 +272,59 @@ def approx_distinct_by(ds, group_col: str, col: str, p: int = 12):
             ),
         }
     )
+
+
+# ------------------------------------------------------------- count-min
+def cms_build(ds, col: str, weight_col: "str | None" = None,
+              depth: int = 4, width: int = 1 << 14) -> np.ndarray:
+    """Distributed Count-Min sketch over an int64 key column
+    (optionally weighted): per block a LOCAL depth×width int64 matrix
+    accumulates counts at d salted-hash positions; only the fixed-size
+    matrix (depth·width·8 bytes, 512 KiB at the defaults) leaves each
+    task and merge is elementwise +, the same constant-size mergeable
+    shape as HLL/Bloom.
+
+    Point estimate = min over rows (cms_estimate): NEVER an
+    underestimate, overestimate bounded by ε·N with ε = e/width at
+    probability 1-e^-depth (Cormode & Muthukrishnan 2005). The
+    bounded-memory frequency table for key spaces too large to
+    groupby — heavy-hitter candidates, join-skew probes, frequency
+    caps — where ``text.heavy_hitters``'s per-block top-M truncation
+    can miss mid-tail keys.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=np.int64).astype(
+            np.uint64
+        )
+        w = (np.asarray(batch.column(weight_col).to_pylist(), dtype=np.int64)
+             if weight_col else np.ones(len(vals), dtype=np.int64))
+        m = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            h = (_hash64(vals + np.uint64(0xC2B2 * (i + 1)))
+                 % np.uint64(width)).astype(np.int64)
+            np.add.at(m[i], h, w)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for t in parts:
+        for blob in t.column("m").to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def cms_estimate(cms: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized point estimates (int64 array, ≥ true counts)."""
+    depth, width = cms.shape
+    vals = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(depth):
+        h = (_hash64(vals + np.uint64(0xC2B2 * (i + 1)))
+             % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cms[i][h])
+    return est

@@ -356,3 +356,44 @@ def test_string_key_bucketing_vectorized_stable_and_uniform():
     assert counts.min() > 0.5 * counts.max()  # no pathological skew
     # empty + null edge rows
     assert _bucket_of(pa.chunked_array([pa.array([None, ""])]), 8)[0].as_py() == 0
+
+
+def test_cms_never_underestimates_and_bounded(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import cms_build, cms_estimate
+
+    rng = np.random.RandomState(5)
+    keys = (rng.zipf(1.4, 50000).astype(np.int64) % 4001)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64())})
+    ).repartition(6)
+    cms = cms_build(ds, "k", depth=4, width=1 << 14)
+    true = collections.Counter(keys.tolist())
+    probe = np.array(list(range(0, 4001, 7)), dtype=np.int64)
+    est = cms_estimate(cms, probe)
+    tv = np.array([true.get(int(k), 0) for k in probe])
+    assert (est >= tv).all()
+    assert (est - tv).max() <= max(1, int(np.e / (1 << 14) * len(keys))) * 3
+
+
+def test_cms_weighted_merge_is_exact_sum(ray_session):
+    """With a weight column, the sketch of a key with NO collisions
+    equals the exact weighted sum (merge correctness)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import cms_build, cms_estimate
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "w": pa.array([10, 5, 7, 2], pa.int64()),
+    })).repartition(2)
+    cms = cms_build(ds, "k", weight_col="w")
+    est = cms_estimate(cms, np.array([1, 2, 3, 99], dtype=np.int64))
+    assert est[0] == 15 and est[1] == 7 and est[2] == 2 and est[3] == 0
