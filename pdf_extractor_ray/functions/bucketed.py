@@ -86,13 +86,14 @@ class _BucketJoiner:
 
     def __init__(self, left_dir: str, right_dir: str, key_col: str,
                  right_key: Optional[str], left_cols: Sequence[str],
-                 right_cols: Sequence[str]) -> None:
+                 right_cols: Sequence[str], how: str = "inner") -> None:
         self.left_dir = left_dir
         self.right_dir = right_dir
         self.key = key_col
         self.rkey = right_key or key_col
         self.left_cols = list(left_cols)
         self.right_cols = list(right_cols)
+        self.how = how
 
     @staticmethod
     def _read(dirpath: str, bucket: int, cols: List[str]) -> pa.Table:
@@ -112,7 +113,15 @@ class _BucketJoiner:
                            sorted({*self.left_cols, self.key}))
             r = self._read(self.right_dir, bucket,
                            sorted({*self.right_cols, self.rkey}))
-            if l is None or r is None or not l.num_rows or not r.num_rows:
+            if l is None or not l.num_rows:
+                continue
+            if r is None or not r.num_rows:
+                if self.how != "left":
+                    continue
+                cols = {c: l.column(c) for c in self.left_cols}
+                for c in self.right_cols:
+                    cols[c] = pa.nulls(l.num_rows)
+                out.append(pa.table(cols))
                 continue
             lk = l.column(self.key).to_numpy(zero_copy_only=False)
             rk = r.column(self.rkey).to_numpy(zero_copy_only=False)
@@ -125,11 +134,23 @@ class _BucketJoiner:
             r_idx = np.concatenate(
                 [order[a:b] for a, b in zip(lo, hi) if b > a]
             ) if cnt.sum() else np.zeros(0, dtype=np.int64)
+            r_valid = np.ones(len(r_idx), dtype=bool)
+            if self.how == "left":
+                # unmatched left rows once, with null right columns
+                miss = np.nonzero(cnt == 0)[0]
+                l_idx = np.concatenate([l_idx, miss])
+                r_idx = np.concatenate([r_idx, np.zeros(len(miss), np.int64)])
+                r_valid = np.concatenate(
+                    [r_valid, np.zeros(len(miss), dtype=bool)])
             cols = {}
             for c in self.left_cols:
                 cols[c] = l.column(c).take(pa.array(l_idx))
             for c in self.right_cols:
-                cols[c] = r.column(c).take(pa.array(r_idx))
+                taken = r.column(c).take(pa.array(r_idx))
+                if not r_valid.all():
+                    taken = pa.chunked_array([taken.combine_chunks()]).combine_chunks()
+                    taken = pc_if_else_valid(taken, r_valid)
+                cols[c] = taken
             t = pa.table(cols)
             schema = t.schema
             out.append(t)
@@ -138,9 +159,17 @@ class _BucketJoiner:
         return pa.concat_tables(out)
 
 
+def pc_if_else_valid(arr: pa.Array, valid: np.ndarray) -> pa.Array:
+    """Null out positions where ``valid`` is False (left-join fill)."""
+    import pyarrow.compute as pc
+
+    return pc.if_else(pa.array(valid), arr, pa.nulls(len(arr), arr.type))
+
+
 def bucketed_join(left_dir: str, right_dir: str, key_col: str,
                   left_cols: Sequence[str], right_cols: Sequence[str],
                   right_key: Optional[str] = None, num_buckets: int = 32,
+                  how: str = "inner",
                   concurrency: Optional[int] = None):
     """Inner-join two bucketed tables WITHOUT any exchange: a Dataset
     of bucket ids fans out to tasks that each read + join ONE
@@ -160,6 +189,7 @@ def bucketed_join(left_dir: str, right_dir: str, key_col: str,
             "left_dir": left_dir, "right_dir": right_dir,
             "key_col": key_col, "right_key": right_key,
             "left_cols": left_cols, "right_cols": right_cols,
+            "how": how,
         },
         batch_format="pyarrow",
         batch_size=1,

@@ -92,3 +92,28 @@ def test_bucketed_groupby_is_exact(ray_session, tmp_path):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert out.to_dict("list") == {"k": [1, 2, 3], "n": [2, 1, 3],
                                    "total": [30, 5, 6]}
+
+
+def test_bucketed_left_join(ray_session, tmp_path):
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import bucketed_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2], pa.int64()),
+        "rv": pa.array(["x"], pa.string()),
+    }))
+    _write(left, "k", str(tmp_path / "l"), 4)
+    _write(right, "k", str(tmp_path / "r"), 4)
+    out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "k",
+                        ["k", "lv"], ["rv"], num_buckets=4,
+                        how="left").to_pandas()
+    got = sorted(
+        (int(k), lv, (rv if isinstance(rv, str) else None))
+        for k, lv, rv in out.itertuples(index=False)
+    )
+    assert got == [(1, "a", None), (2, "b", "x"), (3, "c", None)]
