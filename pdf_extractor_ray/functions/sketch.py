@@ -140,6 +140,24 @@ def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9),
     )
 
 
+def _tree_partials(partials_ds, merge_fn, max_driver_blobs: int = 64):
+    """Yield partial-sketch tables with a bounded driver fan-in: when
+    the partial count exceeds ``max_driver_blobs``, one distributed
+    merge level (repartition + per-partition fold) runs first, so the
+    driver only ever receives ≤ max_driver_blobs fixed-size blobs —
+    at 10^5 input blocks the naive collect would ship tens of GB of
+    128-512 KiB partials to one process."""
+    import ray
+
+    m = partials_ds.materialize()
+    if m.num_blocks() > max_driver_blobs:
+        m = (m.repartition(max_driver_blobs)
+              .map_batches(merge_fn, batch_format="pyarrow")
+              .materialize())
+    for r in m.to_arrow_refs():
+        yield ray.get(r)
+
+
 def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
     """Distributed Bloom filter over an integer key column.
 
@@ -170,12 +188,15 @@ def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
                              np.uint64(1) << (h & np.uint64(63)))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    def or_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
     merged = np.zeros(words, dtype=np.uint64)
-    for t in parts:
+    for t in _tree_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            or_merge):
         for blob in t.column("bits").to_pylist():
             merged |= np.frombuffer(blob, dtype=np.uint64)
     return merged
@@ -307,12 +328,15 @@ def cms_build(ds, col: str, weight_col: "str | None" = None,
             np.add.at(m[i], h, w)
         return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    def add_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for blob in batch.column("m").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+        return pa.table({"m": pa.array([acc.tobytes()], pa.binary())})
+
     merged = np.zeros((depth, width), dtype=np.int64)
-    for t in parts:
+    for t in _tree_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            add_merge):
         for blob in t.column("m").to_pylist():
             merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
     return merged

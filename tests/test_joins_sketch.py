@@ -397,3 +397,28 @@ def test_cms_weighted_merge_is_exact_sum(ray_session):
     cms = cms_build(ds, "k", weight_col="w")
     est = cms_estimate(cms, np.array([1, 2, 3, 99], dtype=np.int64))
     assert est[0] == 15 and est[1] == 7 and est[2] == 2 and est[3] == 0
+
+
+def test_sketch_tree_merge_many_blocks(ray_session):
+    """Partial merge with a bounded driver fan-in must equal the naive
+    merge — exercised past the max_driver_blobs threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        cms_build,
+        cms_estimate,
+    )
+
+    keys = np.arange(2000, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64())})
+    ).repartition(100)  # > max_driver_blobs=64 → tree level engages
+    bloom = bloom_build(ds, "k", n_bits=1 << 16)
+    assert bloom_contains(bloom, keys, 1 << 16).all()
+    cms = cms_build(ds, "k", width=1 << 14)
+    est = cms_estimate(cms, keys[:50])
+    assert (est >= 1).all() and est.max() <= 3
