@@ -69,12 +69,15 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
         regs = _registers(_hash64(vals), p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    def max_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for blob in batch.column("regs").to_pylist():
+            acc = np.maximum(acc, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
     merged = np.zeros(1 << p, dtype=np.uint8)
-    for t in parts:
+    for t in _tree_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            max_merge):
         for blob in t.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return round(_estimate(merged, p))
@@ -117,12 +120,15 @@ def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9),
         c = np.bincount(idx, minlength=n_bins).astype(np.int64)
         return pa.table({"counts": pa.array([c.tobytes()], pa.binary())})
 
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    def add_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bins, dtype=np.int64)
+        for blob in batch.column("counts").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"counts": pa.array([acc.tobytes()], pa.binary())})
+
     counts = np.zeros(n_bins, dtype=np.int64)
-    for t in parts:
+    for t in _tree_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            add_merge):
         for blob in t.column("counts").to_pylist():
             counts += np.frombuffer(blob, dtype=np.int64)
     cum = np.cumsum(counts)
