@@ -117,10 +117,27 @@ def lowcard_groupby_agg(
             )
         return partial_core(batch)
 
-    tables = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    def merge_partials(batch: pa.Table) -> pa.Table:
+        """Associative per-partition fold of partial tables (count
+        partials are already sums, so the FINAL fns apply): bounds the
+        driver fan-in the same way the sketch builds do."""
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({})
+        aggs = [(f"__p_{alias}", _FINAL_FN["sum" if fn == "count" else fn])
+                for _c, fn, alias in flat]
+        g = batch.group_by(keys).aggregate(aggs)
+        cols = {k: g.column(k) for k in keys}
+        for _c, fn, alias in flat:
+            pname = f"__p_{alias}_{_FINAL_FN['sum' if fn == 'count' else fn]}"
+            cols[f"__p_{alias}"] = g.column(pname)
+        return pa.table(cols)
+
+    partials_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials_ds.num_blocks() > 64:
+        partials_ds = partials_ds.repartition(64).map_batches(
+            merge_partials, batch_format="pyarrow"
+        )
+    tables = [ray.get(r) for r in partials_ds.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
     if not tables:
         # no rows anywhere (e.g. a filter matched nothing): return a

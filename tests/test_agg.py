@@ -377,3 +377,25 @@ def test_partition_fold_count_on_key_column(ray_session):
     out = partition_fold(ds, ["k"], "k", fn="count", out_val="n") \
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert out.to_dict("list") == {"k": [5, 7, 9], "n": [2, 1, 3]}
+
+
+def test_lowcard_tree_merge_many_blocks(ray_session):
+    """Above 64 partial blocks one distributed merge level folds them
+    before the driver combine — results must be identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+
+    t = pa.table({
+        "g": pa.array(["a", "b"] * 500, pa.string()),
+        "v": pa.array(list(range(1000)), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(100)
+    out = lowcard_groupby_agg(
+        ds, ["g"],
+        [("v", "sum", "s"), ("v", "count", "n"),
+         ("v", "min", "mn"), ("v", "mean", "avg")],
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out.s.tolist() == [sum(range(0, 1000, 2)), sum(range(1, 1000, 2))]
+    assert out.n.tolist() == [500, 500] and out.mn.tolist() == [0, 1]
