@@ -401,6 +401,38 @@ def _q_cms_user_counts(sf_dir: str):
     })
 
 
+def _q_standard_result_flat(sf_dir: str):
+    """The composed standard-mode ENVELOPE (reference
+    extractor/models/standard.py:28-71) flattened to hashable scalars
+    and driver-oracled end-to-end: full_text (byte-identical), six
+    entity lists semicolon-joined, the five Statistics fields — one
+    query covering M9+M12+G1 composition over all 500 rows including
+    every degrade class.  (The unflattened `standard_result` keeps the
+    reference's list-typed shape; lists don't hash in the driver
+    compare, hence this twin.)"""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.pipelines.extraction import standard_result_pipeline
+
+    ds = standard_result_pipeline(_pages(sf_dir))
+
+    def flat(batch: pa.Table) -> pa.Table:
+        out = {
+            "url": batch.column("url"),
+            "full_text": batch.column("full_text"),
+        }
+        for kind in ("email", "phone", "date", "currency", "url_ref", "ssn"):
+            out[f"{kind}_s"] = pc.binary_join(
+                pc.fill_null(batch.column(kind), []), ";"
+            )
+        for stat in ("total_pages", "total_characters", "total_words",
+                     "avg_chars_per_page", "avg_words_per_page"):
+            out[stat] = batch.column(stat)
+        return pa.table(out)
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3926,6 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _q_join_size_estimate,
         "q3_unshipped_revenue": _q_q3_unshipped_revenue,
         "cms_user_counts": _q_cms_user_counts,
+        "standard_result_flat": _q_standard_result_flat,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -4345,6 +4378,194 @@ SELECT
         || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
         || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
     golden AS extracted_text
+FROM uni
+"""
+
+
+_DOC_STATS_SQL = r"""
+WITH
+-- ====================== shared construction-table rows ==================
+ctab AS (
+    SELECT doc_id, r,
+           list_value('VALVE PACKAGE', 'EYE WASH STATION',
+                      'BOILER CIRCULATING PUMP', 'PIPE FITTING',
+                      'COOLING TOWER', 'WASH STATION',
+                      'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
+           || ' | ' || ((doc_id + r) % 9 + 1)
+           || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
+                      'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
+           || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
+                      '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
+           || ' | ' || list_value('wall-mounted', 'floor-mounted',
+                      'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
+           || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
+                      '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1] AS line
+    FROM documents, (SELECT unnest(generate_series(0, 2)) AS r) g
+),
+-- ====================== HTML channel ====================================
+hd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n, (doc_id % 97 = 0) AS giant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) <> 7
+),
+hshape AS (
+    SELECT *, CASE WHEN n % 14 = 0 THEN n // 14
+                   WHEN n % 14 >= 10 THEN n // 14 + 1
+                   ELSE n // 14 END AS np FROM hd
+),
+hpara AS (
+    SELECT doc_id, i,
+           array_to_string(w[14 * i + 1 :
+               CASE WHEN i = np - 1 THEN n ELSE 14 * (i + 1) END], ' ') AS para
+    FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
+          FROM hshape)
+),
+hrep AS (
+    SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
+    FROM hshape s JOIN hpara p USING (doc_id)
+    CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
+    WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
+),
+hent AS (
+    SELECT doc_id, 1000000 AS seq,
+           'For ordering contact sales' || doc_id
+           || '@example.com or call 555-' || (doc_id % 900 + 100)
+           || '-' || (doc_id % 9000 + 1000) || ' before '
+           || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+           || '/2025 to lock the quoted price of $'
+           || (doc_id % 90 + 10) || ',500.00 for this order' AS para
+    FROM hshape WHERE doc_id % 7 = 3
+),
+hchar AS (
+    SELECT doc_id, 2000000 AS seq,
+           'Entities & escapes <tag> café "quoted" '
+           || 'are decoded by real parsers' AS para
+    FROM hshape WHERE doc_id % 41 = 15
+),
+hbody AS (
+    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
+    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent
+          UNION ALL SELECT * FROM hchar) GROUP BY doc_id
+),
+htab AS (
+    SELECT c.doc_id,
+           'Item | Qty | Model | Size | Mounting | Spec' || chr(10) || chr(10)
+           || string_agg(c.line, chr(10) || chr(10) ORDER BY c.r) AS tab
+    FROM ctab c JOIN hshape s USING (doc_id)
+    WHERE c.doc_id % 5 = 0 GROUP BY c.doc_id
+),
+html_pages AS (
+    SELECT s.doc_id, 1 AS page_num,
+           'Document ' || s.doc_id || ': ' || array_to_string(s.w[1:3], ' ')
+           || chr(10) || chr(10) || b.body
+           || coalesce(chr(10) || chr(10) || t.tab, '') AS ptext,
+           (s.doc_id % 5 = 0) AS has_tables
+    FROM hshape s JOIN hbody b USING (doc_id) LEFT JOIN htab t USING (doc_id)
+),
+-- ====================== PDF channel =====================================
+pd AS (
+    SELECT doc_id, str_split(text, ' ') AS w,
+           len(str_split(text, ' ')) AS n,
+           (doc_id % 97 = 0) AS giant,
+           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
+           (doc_id // 10) % 4 AS variant
+    FROM documents
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) = 7
+),
+pdf_v0_pages AS (
+    SELECT doc_id, (j // 8) + 1 AS page_num,
+           string_agg(array_to_string(
+               w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
+               chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0,
+              8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1)) AS j,
+              w, n
+          FROM pd WHERE NOT modern AND (variant = 0 OR giant))
+    GROUP BY doc_id, j // 8, n
+),
+pdf_modern_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n
+          FROM pd WHERE modern)
+    GROUP BY doc_id
+),
+pdf_v1_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 4 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 1)
+    GROUP BY doc_id
+),
+pdf_v2_pages AS (
+    SELECT p.doc_id, 1 AS page_num,
+           'FIXTURE SCHEDULE ' || array_to_string(p.w[1:3], ' ') || chr(10)
+           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
+           || string_agg(c.line, chr(10) ORDER BY c.r) AS ptext,
+           TRUE AS has_tables
+    FROM pd p JOIN ctab c USING (doc_id)
+    WHERE NOT p.modern AND NOT p.giant AND p.variant = 2
+    GROUP BY p.doc_id, p.w
+),
+pdf_v3_pages AS (
+    SELECT doc_id, 1 AS page_num,
+           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
+               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
+               END, chr(10) ORDER BY j) AS ptext,
+           FALSE AS has_tables
+    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
+          FROM pd WHERE NOT modern AND NOT giant AND variant = 3)
+    GROUP BY doc_id
+),
+-- ====================== degraded-but-paged edge rows ====================
+edge_pages AS (
+    SELECT doc_id, 1 AS page_num, '' AS ptext, FALSE AS has_tables
+    FROM documents WHERE (doc_id % 101) IN (29, 61, 83)
+),
+allp AS (
+    SELECT * FROM html_pages
+    UNION ALL SELECT * FROM pdf_v0_pages
+    UNION ALL SELECT * FROM pdf_modern_pages
+    UNION ALL SELECT * FROM pdf_v1_pages
+    UNION ALL SELECT * FROM pdf_v2_pages
+    UNION ALL SELECT * FROM pdf_v3_pages
+    UNION ALL SELECT * FROM edge_pages
+)
+
+, stats AS (
+    SELECT doc_id,
+           count(*) AS total_pages,
+           sum(length(ptext)) AS total_characters,
+           sum(CASE WHEN ptext = '' THEN 0
+                    ELSE len(string_split_regex(ptext, '\s+')) END)
+               AS total_words
+    FROM allp GROUP BY doc_id
+),
+pageless AS (
+    SELECT doc_id, 0 AS total_pages, 0 AS total_characters, 0 AS total_words
+    FROM documents WHERE (doc_id % 101) IN (13, 47)
+),
+uni AS (SELECT * FROM stats UNION ALL SELECT * FROM pageless)
+SELECT
+    'https://example.org/' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+    CAST(total_pages AS BIGINT) AS total_pages,
+    CAST(total_characters AS BIGINT) AS total_characters,
+    CAST(total_words AS BIGINT) AS total_words,
+    CASE WHEN total_pages = 0 THEN 0.0
+         ELSE CAST(total_characters AS DOUBLE) / total_pages END
+        AS avg_chars_per_page,
+    CASE WHEN total_pages = 0 THEN 0.0
+         ELSE CAST(total_words AS DOUBLE) / total_pages END
+        AS avg_words_per_page
 FROM uni
 """
 
@@ -6184,192 +6405,7 @@ def oracle_sql() -> dict[str, str]:
         # G1 Statistics parity per url (reference helpers.py:67-86):
         # per-page char/word sums + float-division averages, derived
         # from the same per-page reconstruction as page_previews
-        "doc_statistics": """
-WITH
--- ====================== shared construction-table rows ==================
-ctab AS (
-    SELECT doc_id, r,
-           list_value('VALVE PACKAGE', 'EYE WASH STATION',
-                      'BOILER CIRCULATING PUMP', 'PIPE FITTING',
-                      'COOLING TOWER', 'WASH STATION',
-                      'PUMP ASSEMBLY')[(doc_id + r) % 7 + 1]
-           || ' | ' || ((doc_id + r) % 9 + 1)
-           || ' | ' || list_value('OM-141', 'MAU-11', 'VP-100', 'K-2005',
-                      'HUH-13', 'CH-30')[(doc_id + r) % 6 + 1]
-           || ' | ' || list_value('12"', '3/4" x 6', '1 1/2"' || chr(248),
-                      '25'' -1 5/8"', '2 x 4 x 6')[(doc_id + r) % 5 + 1]
-           || ' | ' || list_value('wall-mounted', 'floor-mounted',
-                      'ceiling-hung', 'recessed')[(doc_id + r) % 4 + 1]
-           || ' | ' || list_value('ASTM D2665', 'ANSI A112', 'grade A',
-                      '31.1', 'NFPA 13')[(doc_id + r) % 5 + 1] AS line
-    FROM documents, (SELECT unnest(generate_series(0, 2)) AS r) g
-),
--- ====================== HTML channel ====================================
-hd AS (
-    SELECT doc_id, str_split(text, ' ') AS w,
-           len(str_split(text, ' ')) AS n, (doc_id % 97 = 0) AS giant
-    FROM documents
-    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) <> 7
-),
-hshape AS (
-    SELECT *, CASE WHEN n % 14 = 0 THEN n // 14
-                   WHEN n % 14 >= 10 THEN n // 14 + 1
-                   ELSE n // 14 END AS np FROM hd
-),
-hpara AS (
-    SELECT doc_id, i,
-           array_to_string(w[14 * i + 1 :
-               CASE WHEN i = np - 1 THEN n ELSE 14 * (i + 1) END], ' ') AS para
-    FROM (SELECT doc_id, unnest(generate_series(0, np - 1)) AS i, np, w, n
-          FROM hshape)
-),
-hrep AS (
-    SELECT s.doc_id, p.i + s.np * r.rep AS seq, p.para
-    FROM hshape s JOIN hpara p USING (doc_id)
-    CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS rep) r
-    WHERE r.rep < CASE WHEN s.giant THEN 30 ELSE 1 END
-),
-hent AS (
-    SELECT doc_id, 1000000 AS seq,
-           'For ordering contact sales' || doc_id
-           || '@example.com or call 555-' || (doc_id % 900 + 100)
-           || '-' || (doc_id % 9000 + 1000) || ' before '
-           || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
-           || '/2025 to lock the quoted price of $'
-           || (doc_id % 90 + 10) || ',500.00 for this order' AS para
-    FROM hshape WHERE doc_id % 7 = 3
-),
-hchar AS (
-    SELECT doc_id, 2000000 AS seq,
-           'Entities & escapes <tag> café "quoted" '
-           || 'are decoded by real parsers' AS para
-    FROM hshape WHERE doc_id % 41 = 15
-),
-hbody AS (
-    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY seq) AS body
-    FROM (SELECT * FROM hrep UNION ALL SELECT * FROM hent
-          UNION ALL SELECT * FROM hchar) GROUP BY doc_id
-),
-htab AS (
-    SELECT c.doc_id,
-           'Item | Qty | Model | Size | Mounting | Spec' || chr(10) || chr(10)
-           || string_agg(c.line, chr(10) || chr(10) ORDER BY c.r) AS tab
-    FROM ctab c JOIN hshape s USING (doc_id)
-    WHERE c.doc_id % 5 = 0 GROUP BY c.doc_id
-),
-html_pages AS (
-    SELECT s.doc_id, 1 AS page_num,
-           'Document ' || s.doc_id || ': ' || array_to_string(s.w[1:3], ' ')
-           || chr(10) || chr(10) || b.body
-           || coalesce(chr(10) || chr(10) || t.tab, '') AS ptext,
-           (s.doc_id % 5 = 0) AS has_tables
-    FROM hshape s JOIN hbody b USING (doc_id) LEFT JOIN htab t USING (doc_id)
-),
--- ====================== PDF channel =====================================
-pd AS (
-    SELECT doc_id, str_split(text, ' ') AS w,
-           len(str_split(text, ' ')) AS n,
-           (doc_id % 97 = 0) AS giant,
-           (doc_id % 40 = 17 AND doc_id % 97 <> 0) AS modern,
-           (doc_id // 10) % 4 AS variant
-    FROM documents
-    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83) AND (doc_id % 10) = 7
-),
-pdf_v0_pages AS (
-    SELECT doc_id, (j // 8) + 1 AS page_num,
-           string_agg(array_to_string(
-               w[(6 * j) % n + 1 : least((6 * j) % n + 6, n)], ' '),
-               chr(10) ORDER BY j) AS ptext,
-           FALSE AS has_tables
-    FROM (SELECT doc_id, unnest(generate_series(0,
-              8 * (CASE WHEN giant THEN 30 ELSE 1 + doc_id % 3 END) - 1)) AS j,
-              w, n
-          FROM pd WHERE NOT modern AND (variant = 0 OR giant))
-    GROUP BY doc_id, j // 8, n
-),
-pdf_modern_pages AS (
-    SELECT doc_id, 1 AS page_num,
-           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
-               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
-               END, chr(10) ORDER BY j) AS ptext,
-           FALSE AS has_tables
-    FROM (SELECT doc_id, unnest(generate_series(0, 2)) AS j, w, n
-          FROM pd WHERE modern)
-    GROUP BY doc_id
-),
-pdf_v1_pages AS (
-    SELECT doc_id, 1 AS page_num,
-           string_agg(CASE WHEN 4 * j + 1 > n THEN w[1]
-               ELSE array_to_string(w[4 * j + 1 : least(4 * j + 4, n)], ' ')
-               END, chr(10) ORDER BY j) AS ptext,
-           FALSE AS has_tables
-    FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS j, w, n
-          FROM pd WHERE NOT modern AND NOT giant AND variant = 1)
-    GROUP BY doc_id
-),
-pdf_v2_pages AS (
-    SELECT p.doc_id, 1 AS page_num,
-           'FIXTURE SCHEDULE ' || array_to_string(p.w[1:3], ' ') || chr(10)
-           || 'Item | Qty | Model | Size | Mounting | Spec' || chr(10)
-           || string_agg(c.line, chr(10) ORDER BY c.r) AS ptext,
-           TRUE AS has_tables
-    FROM pd p JOIN ctab c USING (doc_id)
-    WHERE NOT p.modern AND NOT p.giant AND p.variant = 2
-    GROUP BY p.doc_id, p.w
-),
-pdf_v3_pages AS (
-    SELECT doc_id, 1 AS page_num,
-           string_agg(CASE WHEN 5 * j + 1 > n THEN w[1]
-               ELSE array_to_string(w[5 * j + 1 : least(5 * j + 5, n)], ' ')
-               END, chr(10) ORDER BY j) AS ptext,
-           FALSE AS has_tables
-    FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS j, w, n
-          FROM pd WHERE NOT modern AND NOT giant AND variant = 3)
-    GROUP BY doc_id
-),
--- ====================== degraded-but-paged edge rows ====================
-edge_pages AS (
-    SELECT doc_id, 1 AS page_num, '' AS ptext, FALSE AS has_tables
-    FROM documents WHERE (doc_id % 101) IN (29, 61, 83)
-),
-allp AS (
-    SELECT * FROM html_pages
-    UNION ALL SELECT * FROM pdf_v0_pages
-    UNION ALL SELECT * FROM pdf_modern_pages
-    UNION ALL SELECT * FROM pdf_v1_pages
-    UNION ALL SELECT * FROM pdf_v2_pages
-    UNION ALL SELECT * FROM pdf_v3_pages
-    UNION ALL SELECT * FROM edge_pages
-)
-
-, stats AS (
-    SELECT doc_id,
-           count(*) AS total_pages,
-           sum(length(ptext)) AS total_characters,
-           sum(CASE WHEN ptext = '' THEN 0
-                    ELSE len(string_split_regex(ptext, '\s+')) END)
-               AS total_words
-    FROM allp GROUP BY doc_id
-),
-pageless AS (
-    SELECT doc_id, 0 AS total_pages, 0 AS total_characters, 0 AS total_words
-    FROM documents WHERE (doc_id % 101) IN (13, 47)
-),
-uni AS (SELECT * FROM stats UNION ALL SELECT * FROM pageless)
-SELECT
-    'https://example.org/' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
-        || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
-    CAST(total_pages AS BIGINT) AS total_pages,
-    CAST(total_characters AS BIGINT) AS total_characters,
-    CAST(total_words AS BIGINT) AS total_words,
-    CASE WHEN total_pages = 0 THEN 0.0
-         ELSE CAST(total_characters AS DOUBLE) / total_pages END
-        AS avg_chars_per_page,
-    CASE WHEN total_pages = 0 THEN 0.0
-         ELSE CAST(total_words AS DOUBLE) / total_pages END
-        AS avg_words_per_page
-FROM uni
-""",
+        "doc_statistics": _DOC_STATS_SQL,
         # M14 preview projection, per-page byte-exact (reuses the
         # extraction-channel reconstruction, per-page granularity)
         "page_previews": """
@@ -6634,6 +6670,45 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
             JOIN (SELECT o_custkey, count(*) AS c FROM orders
                   GROUP BY o_custkey) r
               ON l.user_id = r.o_custkey
+        """,
+        # composed standard-mode envelope, flattened + fully oracled:
+        # byte-identical full_text LEFT-JOINed onto all 500 rows,
+        # deterministic entity strings, per-page Statistics
+        "standard_result_flat": """
+            WITH txt AS (
+                (""" + _EXTRACT_TEXT_HTML_SQL + """)
+                UNION ALL
+                (""" + _EXTRACT_TEXT_PDF_SQL + """)
+            ),
+            stats AS (""" + _DOC_STATS_SQL + """),
+            base AS (
+                SELECT doc_id,
+                       'https://example.org/'
+                           || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                           || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                           AS url,
+                       (doc_id % 7 = 3 AND doc_id % 10 <> 7
+                        AND (doc_id % 101) NOT IN (13, 29, 47, 61, 83))
+                           AS ent
+                FROM documents
+            )
+            SELECT b.url,
+                   coalesce(t.extracted_text, '') AS full_text,
+                   CASE WHEN b.ent THEN 'sales' || b.doc_id || '@example.com'
+                        ELSE '' END AS email_s,
+                   '' AS phone_s,
+                   CASE WHEN b.ent THEN (b.doc_id % 12 + 1) || '/'
+                        || (b.doc_id % 28 + 1) || '/2025'
+                        ELSE '' END AS date_s,
+                   CASE WHEN b.ent THEN '$' || (b.doc_id % 90 + 10)
+                        || ',500.00' ELSE '' END AS currency_s,
+                   '' AS url_ref_s,
+                   '' AS ssn_s,
+                   s.total_pages, s.total_characters, s.total_words,
+                   s.avg_chars_per_page, s.avg_words_per_page
+            FROM base b
+            LEFT JOIN txt t ON t.url = b.url
+            JOIN stats s ON s.url = b.url
         """,
         # bucketed-storage join twin: plain equi-join + integer-cents
         # revenue fold
