@@ -399,3 +399,31 @@ def test_lowcard_tree_merge_many_blocks(ray_session):
     ).to_pandas().sort_values("g").reset_index(drop=True)
     assert out.s.tolist() == [sum(range(0, 1000, 2)), sum(range(1, 1000, 2))]
     assert out.n.tolist() == [500, 500] and out.mn.tolist() == [0, 1]
+
+
+def test_partition_fold_random_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        n = int(rng.randint(50, 2000))
+        df = pd.DataFrame({
+            "a": rng.randint(0, 20, n).astype("int64"),
+            "b": rng.choice(["x", "y", "z"], n),
+            "v": rng.randint(-1000, 1000, n).astype("int64"),
+        })
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+        for fn, pdfn in (("sum", "sum"), ("min", "min"),
+                         ("max", "max"), ("count", "count")):
+            got = partition_fold(ds, ["a", "b"], "v", fn=fn, out_val="o") \
+                .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+            want = getattr(df.groupby(["a", "b"])["v"], pdfn)() \
+                .reset_index(name="o").sort_values(["a", "b"]) \
+                .reset_index(drop=True)
+            want["o"] = want["o"].astype("int64")
+            assert got.equals(want), (trial, fn)
