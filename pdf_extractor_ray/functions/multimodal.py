@@ -310,6 +310,49 @@ class VideoFrameSampleStage:
         )
 
 
+class KeyframeStage:
+    """media batch (video) → one row per KEYFRAME: frames whose mean
+    absolute pixel difference from the previously-KEPT frame exceeds
+    ``threshold`` (frame 0 always kept) — shot-change detection, the
+    content-aware alternative to fixed-stride sampling.  Fully
+    vectorized per video (one int16 diff over the frame tensor);
+    emits (media_id, frame_idx, diff:float64, payload RAW image)."""
+
+    def __init__(self, threshold: float = 8.0) -> None:
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, diffs, payloads = [], [], [], []
+        for media_id, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            vid = decode_video(payload).astype(np.int16)
+            last_kept = None
+            for i in range(vid.shape[0]):
+                if last_kept is None:
+                    d = float("inf")
+                else:
+                    d = float(np.abs(vid[i] - last_kept).mean())
+                if last_kept is None or d >= self.threshold:
+                    frame = vid[i].astype(np.uint8)
+                    head = b"IMGR" + struct.pack(
+                        "<HHB", frame.shape[1], frame.shape[0], frame.shape[2]
+                    )
+                    ids.append(media_id)
+                    frame_idx.append(i)
+                    diffs.append(0.0 if last_kept is None else round(d, 6))
+                    payloads.append(head + frame.tobytes())
+                    last_kept = vid[i]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "diff": pa.array(diffs, pa.float64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
 # ---------------------------------------------------------------- pipelines
 def image_features(sf_dir: str, concurrency=None, batch_size: int = 32):
     concurrency = concurrency or pool_size()

@@ -132,3 +132,30 @@ def test_average_hash_stability():
     other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
     d_other = bin(h1 ^ average_hash(other)).count("1")
     assert d_noise <= 3 < d_other
+
+
+def test_keyframe_stage_detects_shot_changes(ray_session):
+    """Static runs collapse to one keyframe; scene jumps are kept."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.multimodal import KeyframeStage
+
+    w = h = c = 4
+    scenes = [0, 0, 0, 200, 200, 90, 90, 90, 90]  # 3 shots
+    frames = np.stack([
+        np.full((h, w, c), v, dtype=np.uint8) for v in scenes
+    ])
+    payload = (b"VIDR" + struct.pack("<HHBH", w, h, c, len(scenes))
+               + frames.tobytes())
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.large_binary()),
+    })
+    out = KeyframeStage(threshold=8.0)(batch)
+    assert out.column("frame_idx").to_pylist() == [0, 3, 5]
+    diffs = out.column("diff").to_pylist()
+    assert diffs[0] == 0.0 and diffs[1] == 200.0 and diffs[2] == 110.0
