@@ -149,6 +149,13 @@ class OutlinkStage:
         for url, payload in zip(urls, payloads):
             if not payload:
                 continue
+            if payload[:2] == b"\x1f\x8b":
+                import gzip
+
+                try:
+                    payload = gzip.decompress(payload)
+                except Exception:
+                    pass
             seen = set()
             html = _decode_html_bytes(payload)
             for m in self._href.finditer(html):
@@ -248,6 +255,13 @@ class AnchorTextStage:
         ):
             if not payload:
                 continue
+            if payload[:2] == b"\x1f\x8b":
+                import gzip
+
+                try:
+                    payload = gzip.decompress(payload)
+                except Exception:
+                    pass
             seen = set()
             html = _decode_html_bytes(payload)
             for m in self._a.finditer(html):

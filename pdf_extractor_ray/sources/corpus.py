@@ -302,6 +302,13 @@ class PageSynthesizer:
                 else:
                     payload, golden = _html_doc(vid, text, giant, lang=lang)
                     status, kind = "ok", "html"
+                if status == "ok" and vid % 53 == 31:
+                    # gzip Content-Encoding transport (real crawl
+                    # bodies); decompressed transparently at sniff, so
+                    # every oracle holds unchanged
+                    import gzip as _gz
+
+                    payload = _gz.compress(payload, mtime=0)
                 urls.append(f"https://example.org/{vid % 1000:04d}/{vid:09d}")
                 ts.append(_EPOCH + _dt.timedelta(seconds=vid))
                 payloads.append(payload)

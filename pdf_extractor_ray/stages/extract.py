@@ -28,13 +28,45 @@ from ..schemas import PAGE_STRUCT_TYPE, SPAN_TYPE, TABLES_TYPE
 PDF_MAGIC = b"%PDF-"
 
 
+def gunzip_payloads(batch: pa.Table) -> pa.Table:
+    """Transparently decompress gzip-wrapped payloads (Content-Encoding
+    of real crawl bodies): a vectorized magic-prefix check flags gzip
+    rows; only those pay the per-row decompress.  Undecompressable
+    rows fall through unchanged (they degrade downstream like any
+    other malformed payload — never an error)."""
+    import gzip
+
+    payload = batch.column("html")
+    if batch.num_rows == 0:
+        return batch
+    is_gz = pc.equal(pc.binary_slice(payload, 0, 2), b"\x1f\x8b")
+    if not pc.any(pc.fill_null(is_gz, False)).as_py():
+        return batch
+    mask = is_gz.to_pylist()
+    vals = payload.to_pylist()
+    out = []
+    for flag, v in zip(mask, vals):
+        if flag and v:
+            try:
+                v = gzip.decompress(v)
+            except Exception:
+                pass
+        out.append(v)
+    idx = batch.column_names.index("html")
+    return batch.set_column(idx, "html", pa.array(out, pa.large_binary()))
+
+
 def sniff_doc_kind(batch: pa.Table) -> pa.Table:
     """Add ``doc_kind`` ('pdf' | 'html' | 'unknown') from payload magic.
 
     Vectorized: one ``binary_slice`` + equality over the whole batch.
-    Empty/null payloads route to 'unknown'.  Idempotent: an existing
-    ``doc_kind`` column is recomputed, not duplicated.
+    Gzip-wrapped payloads (crawl Content-Encoding) are transparently
+    decompressed FIRST, so the magic sniff and every downstream codec
+    see the true bytes.  Empty/null payloads route to 'unknown'.
+    Idempotent: an existing ``doc_kind`` column is recomputed, not
+    duplicated.
     """
+    batch = gunzip_payloads(batch)
     if "doc_kind" in batch.column_names:
         batch = batch.drop_columns(["doc_kind"])
     payload = batch.column("html")

@@ -264,3 +264,31 @@ def test_standard_result_envelope(ray_session, sf_dir):
     # full_text is the combined page text for ok docs
     ok = df[df["total_pages"] > 0].iloc[0]
     assert isinstance(ok["full_text"], str)
+
+
+def test_gzip_payload_rows_decode_transparently(ray_session):
+    """doc_id % 53 == 31 rows carry gzip-wrapped payloads; sniff
+    decompresses before routing, so kinds, statuses and goldens are
+    identical to the plain rows."""
+    import gzip
+
+    from pdf_extractor_ray.codecs.html_codec import HtmlCodec
+    from pdf_extractor_ray.sources.corpus import PageSynthesizer
+
+    import pyarrow as pa
+
+    batch = pa.table({
+        "doc_id": pa.array([31, 84], pa.int64()),  # 84 % 53 = 31 too
+        "text": pa.array([" ".join(f"w{i}" for i in range(40))] * 2),
+        "lang": pa.array(["en", "en"]),
+    })
+    pages = PageSynthesizer()(batch)
+    payloads = pages.column("html").to_pylist()
+    assert all(p[:2] == b"\x1f\x8b" for p in payloads)
+    goldens = pages.column("text").to_pylist()
+    from pdf_extractor_ray.stages.extract import sniff_doc_kind
+
+    sniffed = sniff_doc_kind(pages)
+    assert sniffed.column("doc_kind").to_pylist() == ["html", "html"]
+    for raw, want in zip(sniffed.column("html").to_pylist(), goldens):
+        assert HtmlCodec().extract(raw).text == want
