@@ -86,12 +86,36 @@ def _iter_warc_records(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = block_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked → raw body (hex size lines + CRLF
+    framing; trailers ignored).  Malformed framing returns the bytes
+    as-is — degrade, never raise."""
+    out = bytearray()
+    i = 0
+    try:
+        while i < len(body):
+            j = body.index(b"\r\n", i)
+            size = int(body[i:j].split(b";")[0], 16)
+            if size == 0:
+                break
+            out += body[j + 2 : j + 2 + size]
+            i = j + 2 + size + 2  # skip chunk CRLF
+        return bytes(out)
+    except (ValueError, IndexError):
+        return body
+
+
 def _http_body(block: bytes) -> bytes:
-    """HTTP response block → body (headers stripped); tolerates a bare
-    payload with no status line."""
+    """HTTP response block → body (headers stripped, chunked
+    transfer-encoding decoded, gzip Content-Encoding left to the
+    pipeline's transparent gunzip); tolerates a bare payload with no
+    status line."""
     if block[:5] in (b"HTTP/",):
-        _, off = _parse_headers(block)
-        return block[off:]
+        headers, off = _parse_headers(block)
+        body = block[off:]
+        if "chunked" in headers.get("transfer-encoding", "").lower():
+            body = _dechunk(body)
+        return body
     return block
 
 

@@ -118,3 +118,25 @@ def test_wet_empty_text_and_empty_block(ray_session, tmp_path):
     }))
     man = write_wet(empty, str(tmp_path / "w2")).to_pandas()
     assert len(man) == 0
+
+
+def test_http_chunked_body_dechunked():
+    from pdf_extractor_ray.sources.warc import parse_warc_bytes
+
+    body = b"5\r\nhello\r\n7\r\n, world\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x/\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    pages = parse_warc_bytes(rec)
+    assert pages[0]["html"] == b"hello, world"
+
+
+def test_http_chunked_malformed_degrades():
+    from pdf_extractor_ray.sources.warc import _dechunk
+
+    assert _dechunk(b"not-a-chunk-framing") == b"not-a-chunk-framing"
+    assert _dechunk(b"") == b""
