@@ -119,6 +119,16 @@ def _http_body(block: bytes) -> bytes:
     return block
 
 
+def _http_status(block: bytes) -> int:
+    """HTTP status code of a response block (200 when the payload is
+    bare / the status line is malformed — permissive like browsers)."""
+    if block[:5] == b"HTTP/":
+        parts = block.split(b"\r\n", 1)[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            return int(parts[1])
+    return 200
+
+
 def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None,
                      record_type: str = "response") -> List[dict]:
     """One WARC file's bytes → list of page dicts (pure function).
@@ -143,12 +153,17 @@ def parse_warc_bytes(data: bytes, is_gzip: Optional[bool] = None,
         except ValueError:
             ts = _dt.datetime(1970, 1, 1)
         body = _http_body(block) if record_type == "response" else block
-        pages.append({"url": url, "warc_ts": ts, "html": body})
+        status = _http_status(block) if record_type == "response" else 200
+        pages.append({"url": url, "warc_ts": ts, "html": body,
+                      "http_status": status})
     return pages
 
 
-def pages_from_warc(paths) -> "ray.data.Dataset":  # noqa: F821
-    """WARC file paths/dirs → pages Dataset (canonical input schema)."""
+def pages_from_warc(paths, ok_only: bool = True) -> "ray.data.Dataset":  # noqa: F821
+    """WARC file paths/dirs → pages Dataset (canonical input schema).
+    ``ok_only`` drops non-2xx responses (error pages / redirects are
+    crawl noise a training pipeline excludes); pass False to keep
+    everything."""
     import ray.data
 
     ds = ray.data.read_binary_files(
@@ -161,6 +176,8 @@ def pages_from_warc(paths) -> "ray.data.Dataset":  # noqa: F821
         payloads: List[bytes] = []
         for blob in batch.column("bytes").to_pylist():
             for page in parse_warc_bytes(blob):
+                if ok_only and not (200 <= page["http_status"] < 300):
+                    continue
                 urls.append(page["url"])
                 ts.append(page["warc_ts"])
                 payloads.append(page["html"])

@@ -140,3 +140,26 @@ def test_http_chunked_malformed_degrades():
 
     assert _dechunk(b"not-a-chunk-framing") == b"not-a-chunk-framing"
     assert _dechunk(b"") == b""
+
+
+def test_non_2xx_responses_dropped_by_default(ray_session, tmp_path):
+    from pdf_extractor_ray.sources.warc import pages_from_warc
+
+    def rec(url, status, body):
+        http = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n"
+                ).encode() + body
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n")
+
+    blob = (rec("https://a/ok", 200, b"<html>ok</html>")
+            + rec("https://a/gone", 404, b"<html>404</html>")
+            + rec("https://a/moved", 301, b""))
+    p = tmp_path / "t.warc"
+    p.write_bytes(blob)
+    kept = pages_from_warc([str(p)]).to_pandas()
+    assert kept.url.tolist() == ["https://a/ok"]
+    everything = pages_from_warc([str(p)], ok_only=False).to_pandas()
+    assert len(everything) == 3
