@@ -163,3 +163,37 @@ def test_non_2xx_responses_dropped_by_default(ray_session, tmp_path):
     assert kept.url.tolist() == ["https://a/ok"]
     everything = pages_from_warc([str(p)], ok_only=False).to_pandas()
     assert len(everything) == 3
+
+
+def test_corpus_warc_roundtrip_extraction_byte_identical(ray_session, tmp_path):
+    """Synthesized pages serialized as a gzip WARC, read back through
+    pages_from_warc, extracted — byte-identical to the goldens
+    (integration across source → router → codecs, incl. PDF rows)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+    from pdf_extractor_ray.sources.corpus import PageSynthesizer
+    from pdf_extractor_ray.sources.warc import build_warc, pages_from_warc
+
+    batch = pa.table({
+        "doc_id": pa.array(list(range(20, 40)), pa.int64()),
+        "text": pa.array([" ".join(f"w{i}" for i in range(40))] * 20),
+        "lang": pa.array(["en"] * 20),
+    })
+    pages = PageSynthesizer()(batch)
+    goldens = dict(zip(pages.column("url").to_pylist(),
+                       pages.column("text").to_pylist()))
+    records = [
+        (u, "2025-01-01T00:00:00Z", p or b"")
+        for u, p in zip(pages.column("url").to_pylist(),
+                        pages.column("html").to_pylist())
+    ]
+    p = tmp_path / "corpus.warc.gz"
+    p.write_bytes(build_warc(records, gzip_members=True))
+    ds = pages_from_warc([str(p)])
+    out = extraction_pipeline(ds).to_pandas()
+    assert len(out) == 20
+    ok = out[out.extract_status == "ok"]
+    assert len(ok) >= 18  # the range includes pdf rows (27, 37) — all ok
+    for _, r in ok.iterrows():
+        assert r.extracted_text == goldens[r.url], r.url
