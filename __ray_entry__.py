@@ -433,6 +433,84 @@ def _q_standard_result_flat(sf_dir: str):
     return ds.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval over the documents table for a fixed
+    3-term query: one vectorized pass computes per-doc term
+    frequencies (double-space token-occurrence kernels) + lengths;
+    corpus statistics (N, avg length, per-term DF) fold to five
+    scalars; a second pass scores every candidate row-locally with the
+    classic BM25 formula (k1=1.2, b=0.75) and the global top-10 ranks
+    deterministically.  FLOAT PARITY BY CONSTRUCTION: idf rounded to 9
+    digits before use, per-doc contributions summed in fixed term
+    order inside the row (never across rows), final score rounded to 6
+    — the SQL twin evaluates the byte-identical expression tree."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    TERMS = ["batch", "join", "scan"]
+    K1, B = 1.2, 0.75
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tf_pass(batch: pa.Table) -> pa.Table:
+        pad = pc.binary_join_element_wise(
+            " ", pc.replace_substring(
+                pc.fill_null(batch.column("text"), ""), " ", "  "), " ", "")
+        out = {"doc_id": batch.column("doc_id")}
+        nw = pc.list_value_length(pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " "))
+        out["n_words"] = pc.cast(nw, pa.int64())
+        for i, t in enumerate(TERMS):
+            tf = pc.count_substring(pad, f" {t} ")
+            out[f"tf{i}"] = pc.cast(tf, pa.int64())
+            out[f"has{i}"] = pc.cast(pc.greater(tf, 0), pa.int64())
+        return pa.table(out)
+
+    tf = tf_pass_ds = docs.map_batches(tf_pass, batch_format="pyarrow")
+    tf = tf.materialize()
+    stats = tf.aggregate(
+        Count(alias_name="n"), Sum("n_words", alias_name="sw"),
+        *[Sum(f"has{i}", alias_name=f"df{i}") for i in range(len(TERMS))],
+    )
+    n = int(stats["n"])
+    avglen = float(stats["sw"]) / n
+    idfs = [
+        round(math.log((n - int(stats[f"df{i}"]) + 0.5)
+                       / (int(stats[f"df{i}"]) + 0.5) + 1.0), 9)
+        for i in range(len(TERMS))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        lens = batch.column("n_words").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = np.zeros(batch.num_rows)
+        any_tf = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(len(TERMS)):
+            tfv = batch.column(f"tf{i}").to_numpy(
+                zero_copy_only=False)
+            any_tf += tfv
+            tfv = tfv.astype(np.float64)
+            s = s + idfs[i] * ((tfv * (K1 + 1.0))
+                               / (tfv + K1 * (1.0 - B + B * lens / avglen)))
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "score": pa.array(np.round(s, 6), pa.float64()),
+        })
+        return t.filter(pa.array(any_tf > 0))
+
+    return (
+        tf.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -3959,6 +4037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_unshipped_revenue": _q_q3_unshipped_revenue,
         "cms_user_counts": _q_cms_user_counts,
         "standard_result_flat": _q_standard_result_flat,
+        "bm25_topk": _q_bm25_topk,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6710,6 +6789,38 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
             LEFT JOIN txt t ON t.url = b.url
             JOIN stats s ON s.url = b.url
         """,
+        # BM25 ranked retrieval, float-parity-by-construction twin
+        "bm25_topk": """
+WITH pads AS (
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
+           len(str_split(text, ' ')) AS n_words
+    FROM documents
+),
+meta AS (
+    SELECT count(*) AS n, CAST(sum(n_words) AS DOUBLE) / count(*) AS avglen
+    FROM pads
+),
+tf AS (
+    SELECT doc_id, n_words,
+           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
+    FROM pads
+),
+idf AS (
+    SELECT
+        round(ln((m.n - d0.df + 0.5) / (d0.df + 0.5) + 1.0), 9) AS idf0, round(ln((m.n - d1.df + 0.5) / (d1.df + 0.5) + 1.0), 9) AS idf1, round(ln((m.n - d2.df + 0.5) / (d2.df + 0.5) + 1.0), 9) AS idf2,
+        m.avglen, m.n
+    FROM meta m,
+         (SELECT count(*) AS df FROM tf WHERE tf0 > 0) d0, (SELECT count(*) AS df FROM tf WHERE tf1 > 0) d1, (SELECT count(*) AS df FROM tf WHERE tf2 > 0) d2
+)
+SELECT doc_id,
+       round(
+         i.idf0 * ((tf.tf0 * 2.2) / (tf.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf1 * ((tf.tf1 * 2.2) / (tf.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf2 * ((tf.tf2 * 2.2) / (tf.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen)))
+       , 6) AS score
+FROM tf, idf i
+WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
         # bucketed-storage join twin: plain equi-join + integer-cents
         # revenue fold
         "bucketed_join_orders": """
