@@ -472,8 +472,7 @@ def _q_bm25_topk(sf_dir: str):
             out[f"has{i}"] = pc.cast(pc.greater(tf, 0), pa.int64())
         return pa.table(out)
 
-    tf = tf_pass_ds = docs.map_batches(tf_pass, batch_format="pyarrow")
-    tf = tf.materialize()
+    tf = docs.map_batches(tf_pass, batch_format="pyarrow").materialize()
     stats = tf.aggregate(
         Count(alias_name="n"), Sum("n_words", alias_name="sw"),
         *[Sum(f"has{i}", alias_name=f"df{i}") for i in range(len(TERMS))],
