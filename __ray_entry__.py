@@ -510,6 +510,54 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_search_snippets(sf_dir: str):
+    """Snippet extraction (the search-stack step after ranking): for
+    every document containing a query term, the FIRST 15-word window
+    maximizing query-term hits — vectorized per doc (one cumsum
+    sliding count), exact integer semantics, end-truncating windows.
+    Oracle: SQL window frame ROWS BETWEEN CURRENT AND 14 FOLLOWING
+    with the identical first-max tie-break."""
+    import numpy as np
+    import ray.data
+
+    TERMS = {"batch", "join", "scan"}
+    W = 15
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def snip(batch: pa.Table) -> pa.Table:
+        ids, starts, hits_out, snippets = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            hits = np.fromiter(
+                (1 if x in TERMS else 0 for x in toks), np.int64, len(toks))
+            if not hits.any():
+                continue
+            cum = np.concatenate([[0], np.cumsum(hits)])
+            n = len(toks)
+            ends = np.minimum(np.arange(n) + W, n)
+            cnt = cum[ends] - cum[np.arange(n)]
+            best = int(np.argmax(cnt))  # first max wins, like the SQL rank
+            ids.append(doc_id)
+            starts.append(best + 1)  # 1-based like SQL positions
+            hits_out.append(int(cnt[best]))
+            snippets.append(" ".join(toks[best:best + W]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "start_pos": pa.array(starts, pa.int64()),
+            "n_hits": pa.array(hits_out, pa.int64()),
+            "snippet": pa.array(snippets, pa.string()),
+        })
+
+    return docs.map_batches(snip, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4037,6 +4085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "standard_result_flat": _q_standard_result_flat,
         "bm25_topk": _q_bm25_topk,
+        "search_snippets": _q_search_snippets,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6788,6 +6837,33 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
             LEFT JOIN txt t ON t.url = b.url
             JOIN stats s ON s.url = b.url
         """,
+        # best-window snippet extraction, SQL window-frame twin
+        "search_snippets": """
+WITH toks AS (
+    SELECT doc_id, str_split(text, ' ') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, w, w[pos] AS tok, pos
+    FROM toks, LATERAL unnest(generate_series(1, len(w))) AS g(pos)
+),
+win AS (
+    SELECT doc_id, w, pos,
+           SUM(CASE WHEN tok IN ('batch', 'join', 'scan') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS cnt
+    FROM pos
+),
+best AS (
+    SELECT doc_id, w, pos, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, pos) AS rn
+    FROM win
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS start_pos, CAST(cnt AS BIGINT) AS n_hits,
+       array_to_string(w[pos : least(pos + 15 - 1, len(w))], ' ') AS snippet
+FROM best WHERE rn = 1 AND cnt > 0
+ORDER BY doc_id
+""",
         # BM25 ranked retrieval, float-parity-by-construction twin
         "bm25_topk": """
 WITH pads AS (
