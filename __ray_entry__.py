@@ -558,6 +558,31 @@ def _q_search_snippets(sf_dir: str):
     return docs.map_batches(snip, batch_format="pyarrow")
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval ("batch scan" as adjacent tokens): one
+    vectorized substring-count kernel over space-delimited text — the
+    post-inverted-index adjacency verification of a phrase query.
+    Counts are non-overlapping occurrences; only matching docs
+    return."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    PHRASE = "batch scan"
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def find(batch: pa.Table) -> pa.Table:
+        pad = pc.binary_join_element_wise(
+            " ", pc.fill_null(batch.column("text"), ""), " ", "")
+        n = pc.cast(pc.count_substring(pad, f" {PHRASE} "), pa.int64())
+        t = pa.table({"doc_id": batch.column("doc_id"), "n_occurrences": n})
+        return t.filter(pc.greater(n, 0))
+
+    return docs.map_batches(find, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4086,6 +4111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standard_result_flat": _q_standard_result_flat,
         "bm25_topk": _q_bm25_topk,
         "search_snippets": _q_search_snippets,
+        "phrase_search": _q_phrase_search,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6836,6 +6862,18 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
             FROM base b
             LEFT JOIN txt t ON t.url = b.url
             JOIN stats s ON s.url = b.url
+        """,
+        # exact-phrase counts: non-overlapping replace-length twin
+        # over the same single-space padding
+        "phrase_search": """
+            WITH p AS (
+                SELECT doc_id, ' ' || text || ' ' AS pad FROM documents
+            )
+            SELECT doc_id,
+                   CAST((length(pad) - length(replace(pad, ' batch scan ', '')))
+                        // length(' batch scan ') AS BIGINT) AS n_occurrences
+            FROM p
+            WHERE position(' batch scan ' IN pad) > 0
         """,
         # best-window snippet extraction, SQL window-frame twin
         "search_snippets": """
