@@ -583,6 +583,69 @@ def _q_phrase_search(sf_dir: str):
     return docs.map_batches(find, batch_format="pyarrow")
 
 
+def _q_ql_dirichlet_topk(sf_dir: str):
+    """Query-likelihood ranking with Dirichlet smoothing (μ=300) — the
+    language-modeling sibling of BM25 (Zhai & Lafferty 2001): same
+    vectorized tf/length pass, background model = corpus term
+    probabilities folded to scalars (rounded to 12 before use), score
+    = Σ_t ln((tf + μ·p_bg) / (len + μ)) summed row-locally in fixed
+    term order, final round-6, deterministic top-10."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    TERMS = ["batch", "join", "scan"]
+    MU = 300.0
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tf_pass(batch: pa.Table) -> pa.Table:
+        pad = pc.binary_join_element_wise(
+            " ", pc.replace_substring(
+                pc.fill_null(batch.column("text"), ""), " ", "  "), " ", "")
+        out = {"doc_id": batch.column("doc_id")}
+        out["n_words"] = pc.cast(pc.list_value_length(pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")), pa.int64())
+        for i, t in enumerate(TERMS):
+            out[f"tf{i}"] = pc.cast(pc.count_substring(pad, f" {t} "), pa.int64())
+        return pa.table(out)
+
+    tf = docs.map_batches(tf_pass, batch_format="pyarrow").materialize()
+    stats = tf.aggregate(
+        Sum("n_words", alias_name="c"),
+        *[Sum(f"tf{i}", alias_name=f"ctf{i}") for i in range(len(TERMS))],
+    )
+    c = int(stats["c"])
+    pbg = [round(int(stats[f"ctf{i}"]) / c, 12) for i in range(len(TERMS))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        lens = batch.column("n_words").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = np.zeros(batch.num_rows)
+        any_tf = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(len(TERMS)):
+            tfv = batch.column(f"tf{i}").to_numpy(zero_copy_only=False)
+            any_tf += tfv
+            s = s + np.log((tfv.astype(np.float64) + MU * pbg[i])
+                           / (lens + MU))
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "score": pa.array(np.round(s, 6), pa.float64()),
+        })
+        return t.filter(pa.array(any_tf > 0))
+
+    return (
+        tf.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4112,6 +4175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "search_snippets": _q_search_snippets,
         "phrase_search": _q_phrase_search,
+        "ql_dirichlet_topk": _q_ql_dirichlet_topk,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -6863,6 +6927,33 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
             LEFT JOIN txt t ON t.url = b.url
             JOIN stats s ON s.url = b.url
         """,
+        # Dirichlet query-likelihood twin (same parity discipline as
+        # bm25: round-12 background probs, row-local fixed-order sums)
+        "ql_dirichlet_topk": """
+WITH pads AS (
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
+           len(str_split(text, ' ')) AS n_words
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, n_words,
+           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
+    FROM pads
+),
+bg AS (
+    SELECT CAST(sum(n_words) AS BIGINT) AS c,
+           round(CAST(sum(tf0) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p0, round(CAST(sum(tf1) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p1, round(CAST(sum(tf2) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p2
+    FROM tf
+)
+SELECT doc_id,
+       round(
+         ln((tf.tf0 + 300.0 * bg.p0) / (tf.n_words + 300.0)) + ln((tf.tf1 + 300.0 * bg.p1) / (tf.n_words + 300.0)) + ln((tf.tf2 + 300.0 * bg.p2) / (tf.n_words + 300.0))
+       , 6) AS score
+FROM tf, bg
+WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
         # exact-phrase counts: non-overlapping replace-length twin
         # over the same single-space padding
         "phrase_search": """
