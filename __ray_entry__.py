@@ -646,6 +646,49 @@ def _q_ql_dirichlet_topk(sf_dir: str):
     )
 
 
+def _q_mmr_topk(sf_dir: str):
+    """Diversified retrieval: distributed brute-force ANN gathers a
+    50-candidate pool per query, then the driver-local MMR greedy
+    (λ=0.7) re-ranks to 10 — semantic near-copies drop out of the
+    result page.  Rows-only (greedy float iteration); the operator is
+    pinned against a reference implementation and a planted-cluster
+    diversity test."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ann_topk, mmr_rerank
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = _emb_queries(sf_dir)
+    pool = ann_topk(emb, q, k=50, query_ids=[0, 1, 2]).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    lut = {v: np.asarray(e, dtype=np.float64) for v, e in zip(
+        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())}
+
+    rows = {"query_id": [], "rank": [], "vec_id": [], "relevance": []}
+    for qi, qid in enumerate([0, 1, 2]):
+        cand = pool[pool.query_id == qid].sort_values("rank")
+        ids = cand.vec_id.to_numpy()
+        vecs = np.stack([lut[int(v)] for v in ids])
+        sel_ids, rel, _ = mmr_rerank(ids, vecs, q[qi], m=10, lam=0.7)
+        rows["query_id"] += [qid] * len(sel_ids)
+        rows["rank"] += list(range(1, len(sel_ids) + 1))
+        rows["vec_id"] += [int(v) for v in sel_ids]
+        rows["relevance"] += [round(float(r), 6) for r in rel]
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "relevance": pa.array(rows["relevance"], pa.float64()),
+    })
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4176,6 +4219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_search_snippets,
         "phrase_search": _q_phrase_search,
         "ql_dirichlet_topk": _q_ql_dirichlet_topk,
+        "mmr_topk": _q_mmr_topk,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,

@@ -975,3 +975,46 @@ def pq_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, m: int = 8,
             ]
         ),
     )
+
+
+# ----------------------------------------------------------------- MMR
+def mmr_rerank(cand_ids: "np.ndarray", cand_vecs: "np.ndarray",
+               query_vec: "np.ndarray", m: int = 10,
+               lam: float = 0.7):
+    """Maximal Marginal Relevance re-rank of an ANN candidate set:
+    greedily select ``m`` items maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the diversity
+    step after retrieval (dedups semantic near-copies out of a result
+    page / training batch).
+
+    Runs DRIVER-LOCAL over the candidate set BY DESIGN: candidates
+    come from the distributed ANN stage (k ≤ hundreds), so the O(k²·m)
+    greedy loop is microseconds — never run this over a corpus.
+    Deterministic: ties broken by lower vec_id.  Returns
+    (ids, relevance, mmr_score) in selection order.
+    """
+    q = query_vec / np.linalg.norm(query_vec)
+    v = cand_vecs / np.linalg.norm(cand_vecs, axis=1, keepdims=True)
+    rel = v @ q
+    pair = v @ v.T
+    n = len(cand_ids)
+    m = min(m, n)
+    selected: list = []
+    max_sim = np.full(n, -np.inf)
+    picked = np.zeros(n, dtype=bool)
+    scores = []
+    for _ in range(m):
+        mmr = lam * rel - (1.0 - lam) * np.where(
+            np.isinf(max_sim), 0.0 if not selected else max_sim, max_sim)
+        if not selected:
+            mmr = lam * rel
+        mmr = np.where(picked, -np.inf, mmr)
+        # first-max with id tie-break: argsort by (-mmr, id)
+        order = np.lexsort((cand_ids, -mmr))
+        best = order[0]
+        selected.append(best)
+        scores.append(float(mmr[best]))
+        picked[best] = True
+        max_sim = np.maximum(max_sim, pair[:, best])
+    sel = np.asarray(selected)
+    return cand_ids[sel], rel[sel], np.asarray(scores)

@@ -102,3 +102,41 @@ def test_pq_encode_deterministic_and_compact(ray_session):
     b = {r["vec_id"]: r["pq_code"] for r in pq_encode(ds, books).take_all()}
     assert a == b
     assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+
+
+def test_mmr_rerank_reference_parity_and_determinism():
+    import numpy as np
+
+    from pdf_extractor_ray.functions.similarity import mmr_rerank
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(30, 16)
+    ids = rng.permutation(1000)[:30].astype(np.int64)
+    q = rng.randn(16)
+    lam = 0.7
+
+    # straightforward reference greedy
+    qn = q / np.linalg.norm(q)
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rel = v @ qn
+    pair = v @ v.T
+    picked, sel = np.zeros(30, bool), []
+    for step in range(10):
+        best, best_key = None, None
+        for i in range(30):
+            if picked[i]:
+                continue
+            pen = max(pair[i, j] for j in sel) if sel else 0.0
+            score = lam * rel[i] - (1 - lam) * pen
+            key = (-score, ids[i])
+            if best is None or key < best_key:
+                best, best_key = i, key
+        sel.append(best)
+        picked[best] = True
+    want = [int(ids[i]) for i in sel]
+
+    got_ids, got_rel, _ = mmr_rerank(ids, vecs, q, m=10, lam=lam)
+    assert [int(x) for x in got_ids] == want
+    # deterministic across calls
+    again, _, _ = mmr_rerank(ids, vecs, q, m=10, lam=lam)
+    assert list(again) == list(got_ids)
