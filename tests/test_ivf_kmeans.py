@@ -140,3 +140,21 @@ def test_mmr_rerank_reference_parity_and_determinism():
     # deterministic across calls
     again, _, _ = mmr_rerank(ids, vecs, q, m=10, lam=lam)
     assert list(again) == list(got_ids)
+
+
+def test_mmr_diversifies_planted_clusters():
+    import numpy as np
+
+    from pdf_extractor_ray.functions.similarity import mmr_rerank
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(3, 8)
+    vecs = np.concatenate([base[i] + 0.01 * rng.randn(4, 8) for i in range(3)])
+    ids = np.arange(12, dtype=np.int64)
+    q = base[0] + 0.05 * rng.randn(8)
+    sel, _rel, _ = mmr_rerank(ids, vecs, q, m=3, lam=0.5)
+    assert {int(i) // 4 for i in sel} == {0, 1, 2}
+    # pure-relevance top-3 is all cluster 0 — MMR changed the outcome
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    top3 = np.argsort(-(v @ (q / np.linalg.norm(q))))[:3]
+    assert {int(i) // 4 for i in top3} == {0}
