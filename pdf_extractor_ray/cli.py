@@ -153,25 +153,16 @@ def main(argv: List[str] | None = None) -> int:
         return rc
 
     if args.mode == "web-prep":
-        # end-to-end pages → extraction → gate → dedup survivor corpus
-        import ray.data
+        # end-to-end pages → extraction → gate → global dedup, with
+        # phase-1 per-partition checkpointing (resume skips committed
+        # partitions; the global dedup re-runs over gated survivors)
+        from pdf_extractor_ray.pipelines.web_prep import run_web_prep_job
 
-        from pdf_extractor_ray.pipelines.web_prep import web_prep_pipeline
-
-        ds = ray.data.read_parquet(
-            _expand(args.input), columns=["url", "warc_ts", "html", "lang"]
+        metrics = run_web_prep_job(
+            _expand(args.input), args.output,
+            files_per_partition=args.files_per_partition,
         )
-        out = web_prep_pipeline(ds)
-        out.write_parquet(args.output)
-        import pyarrow.parquet as pq
-
-        metrics = {
-            "rows": sum(
-                pq.read_metadata(f).num_rows
-                for f in sorted(glob.glob(f"{args.output}/*.parquet"))
-            )
-        }
-        print(json.dumps({"mode": args.mode, "output": args.output, **metrics}))
+        print(json.dumps({"mode": args.mode, **metrics}))
         if started_ray:
             ray.shutdown()
         return 0

@@ -64,3 +64,94 @@ def web_prep_pipeline(pages_ds, min_words: int = 30, num_partitions: int = 32):
         .groupby("__wpart")
         .map_groups(_survivor_fold, batch_format="pyarrow")
     )
+
+
+def run_web_prep_job(
+    input_files,
+    out_dir: str,
+    files_per_partition: int = 16,
+    min_words: int = 30,
+    num_partitions: int = 32,
+) -> dict:
+    """Checkpointed, RESUMABLE flagship job — the global-dedup answer
+    to per-partition checkpointing:
+
+    - **Phase 1 (checkpointed)**: extraction + quality gate run per
+      input partition with the same atomic commit + lineage manifest
+      as ``run_extraction_job`` (under ``out_dir/stage1``); a killed
+      run resumes from the last committed partition, re-extracting
+      nothing.
+    - **Phase 2 (recomputed on resume, by design)**: the GLOBAL exact
+      dedup cannot be checkpointed per input partition — a duplicate
+      pair may span partitions — so it re-runs over phase-1's gated
+      intermediates (a column-pruned read of survivors only, a small
+      fraction of the raw corpus) and writes the final survivor
+      parquet to ``out_dir/final``.  Phase 2 cost is one hash exchange
+      over already-extracted text: cheap relative to re-extraction,
+      and always consistent with whatever phase-1 state resumed.
+    """
+    import glob as _glob
+    import shutil
+
+    import ray.data
+
+    from ..pipelines.extraction import extraction_pipeline
+    from ..state.manifest import Manifest, partition_plan
+
+    import os
+
+    stage1 = os.path.join(out_dir, "stage1")
+    manifest = Manifest(stage1)
+    plan = partition_plan(list(input_files), files_per_partition)
+    skipped = 0
+    for pid, files in enumerate(plan):
+        if manifest.is_committed(pid):
+            skipped += 1
+            continue
+        tmp = manifest.tmp_dir(pid)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        ds = ray.data.read_parquet(
+            list(files), columns=["url", "warc_ts", "html", "lang"]
+        )
+        gated = extraction_pipeline(ds).filter(
+            expr=f"extract_status == 'ok' and n_words >= {min_words}"
+        ).select_columns(["url", "extracted_text", "n_words"])
+        gated.write_parquet(tmp)
+        import pyarrow.parquet as _pq
+
+        n_rows = sum(
+            _pq.read_metadata(f).num_rows
+            for f in sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+        )
+        manifest.commit(pid, files, {"docs_in": -1, "docs_ok": n_rows})
+
+    # phase 2: global dedup over every committed partition's output
+    part_dirs = [manifest.partition_dir(pid) for pid in range(len(plan))]
+    shards = [
+        f for d in part_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    final = os.path.join(out_dir, "final")
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    gated_all = ray.data.read_parquet(shards)
+    survivors = (
+        gated_all.map_batches(
+            lambda b: _hash_part(b, num_partitions), batch_format="pyarrow"
+        )
+        .groupby("__wpart")
+        .map_groups(_survivor_fold, batch_format="pyarrow")
+    )
+    survivors.write_parquet(final)
+    import pyarrow.parquet as _pq
+
+    n_final = sum(
+        _pq.read_metadata(f).num_rows
+        for f in sorted(_glob.glob(os.path.join(final, "*.parquet")))
+    )
+    return {
+        "partitions_total": len(plan),
+        "partitions_skipped": skipped,
+        "survivors": n_final,
+        "output": final,
+    }

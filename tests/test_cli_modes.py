@@ -32,7 +32,8 @@ def test_cli_web_prep_mode(ray_session, tmp_path, capsys):
     assert rc == 0
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # two identical payloads dedup to one survivor; empty payload gated
-    assert metrics["rows"] == 1
+    assert metrics["survivors"] == 1
+    assert metrics["partitions_skipped"] == 0
 
 
 def test_cli_wet_format(ray_session, tmp_path, capsys):

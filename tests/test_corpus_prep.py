@@ -164,3 +164,44 @@ def test_web_prep_invariants(ray_session):
     assert out.url.tolist() == ["https://d/0"]  # min url of the dup pair
     assert (out.n_words >= 30).all()
     assert out.extracted_text.is_unique
+
+
+def test_run_web_prep_job_resume(ray_session, tmp_path):
+    """Kill-resume semantics: phase-1 partitions committed by a first
+    run are SKIPPED on resume; phase-2 global dedup re-runs and the
+    final survivor set is identical either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import datetime as dt
+
+    from pdf_extractor_ray.pipelines.web_prep import run_web_prep_job
+
+    long = " ".join(f"word{i}" for i in range(40))
+    html = ("<html><body><p>" + long + "</p></body></html>").encode()
+    # duplicate texts SPANNING the two input shards — only global
+    # dedup can drop them
+    def shard(path, urls):
+        pq.write_table(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * len(urls),
+                                pa.timestamp("us")),
+            "html": pa.array([html] * len(urls), pa.large_binary()),
+            "text": pa.array([long] * len(urls), pa.large_string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }), path)
+
+    s1, s2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    shard(s1, ["https://d/1", "https://d/2"])
+    shard(s2, ["https://d/3"])
+    out = str(tmp_path / "job")
+    m1 = run_web_prep_job([s1, s2], out, files_per_partition=1)
+    assert m1["partitions_total"] == 2 and m1["partitions_skipped"] == 0
+    assert m1["survivors"] == 1  # cross-partition dup collapsed
+    m2 = run_web_prep_job([s1, s2], out, files_per_partition=1)
+    assert m2["partitions_skipped"] == 2  # resume skipped everything
+    assert m2["survivors"] == 1
+    import ray.data
+
+    final = ray.data.read_parquet(m2["output"]).to_pandas()
+    assert final.url.tolist() == ["https://d/1"]
