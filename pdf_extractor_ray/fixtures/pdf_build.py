@@ -17,6 +17,7 @@ import zlib
 from dataclasses import dataclass, field
 from typing import List, Sequence, Tuple
 
+from ..codecs.aes import aes128_cbc_encrypt
 from ..codecs.pdf_codec import _PAD, _rc4
 
 
@@ -220,9 +221,18 @@ def _file_key(o: bytes, keylen: int = 16) -> bytes:
     return key[:keylen]
 
 
-def _obj_key(fkey: bytes, num: int, gen: int = 0) -> bytes:
+def _obj_key(fkey: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
     k = fkey + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        k += b"sAlT"
     return hashlib.md5(k).digest()[:16]
+
+
+def _encrypt_obj(fkey: bytes, num: int, data: bytes, aes: bool) -> bytes:
+    if aes:
+        iv = hashlib.md5(b"fixture-iv" + num.to_bytes(3, "little")).digest()
+        return aes128_cbc_encrypt(_obj_key(fkey, num, aes=True), iv, data)
+    return _rc4(_obj_key(fkey, num), data)
 
 
 def build_pdf(
@@ -230,7 +240,7 @@ def build_pdf(
     compress: bool = True,
     truncate_at: int | None = None,
     info: dict | None = None,
-    encrypt: bool = False,
+    encrypt: "bool | str" = False,
     stream_filter: str = "flate",
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
@@ -238,12 +248,14 @@ def build_pdf(
     ``truncate_at`` chops the output to simulate a corrupt shard
     (FIXTURES.md F1 edge rows).  ``info`` adds a document-information
     dictionary referenced from the trailer ``/Info`` key.  ``encrypt``
-    wraps the file in the standard security handler (V2 R3 RC4-128,
-    empty user password): every stream and Info string is encrypted
+    wraps the file in the standard security handler — ``True``/"rc4"
+    = V2 R3 RC4-128, ``"aes"`` = V4 R4 /AESV2 (AES-128-CBC) — with
+    empty user password: every stream and Info string is encrypted
     with its object key — SAME logical content, so byte-identity
     oracles apply unchanged and the codec must decrypt transparently.
     """
     objects: List[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    aes = encrypt == "aes"
     fkey = _file_key(_owner_entry(_FIXTURE_OWNER_PW)) if encrypt else None
 
     n_pages = len(pages)
@@ -269,7 +281,7 @@ def build_pdf(
             fname, enc_fn = _STREAM_FILTERS[stream_filter]
             data = enc_fn(data)
         if fkey is not None:  # this stream will be object len(objects)+1
-            data = _rc4(_obj_key(fkey, len(objects) + 1), data)
+            data = _encrypt_obj(fkey, len(objects) + 1, data, aes)
         if compress:
             head = f"<< /Length {len(data)} /Filter {fname} >>".encode()
         else:
@@ -284,7 +296,7 @@ def build_pdf(
         if fkey is not None:
             num = len(objects) + 1
             objects.append(_info_body(
-                info, cipher=lambda b, n=num: _rc4(_obj_key(fkey, n), b)
+                info, cipher=lambda b, n=num: _encrypt_obj(fkey, n, b, aes)
             ))
         else:
             objects.append(_info_body(info))
@@ -293,12 +305,19 @@ def build_pdf(
     if fkey is not None:
         o_hex = _owner_entry(_FIXTURE_OWNER_PW).hex()
         u_hex = _rc4(fkey, _PAD).hex()
-        objects.append(
-            (
+        if aes:
+            enc_body = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+                f"/O <{o_hex}> /U <{u_hex}> /P {_ENC_P} >>"
+            )
+        else:
+            enc_body = (
                 "<< /Filter /Standard /V 2 /R 3 /Length 128 "
                 f"/O <{o_hex}> /U <{u_hex}> /P {_ENC_P} >>"
-            ).encode()
-        )
+            )
+        objects.append(enc_body.encode())
         enc_ref = (
             f" /Encrypt {len(objects)} 0 R /ID [<{_FIXTURE_FILE_ID.hex()}> "
             f"<{_FIXTURE_FILE_ID.hex()}>]"

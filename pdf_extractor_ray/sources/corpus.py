@@ -190,7 +190,7 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     # RC4-128-encrypted transport for a deterministic classic-PDF
     # subset: SAME logical content (text, Info), so every byte-identity
     # oracle applies unchanged — the codec must decrypt transparently
-    enc = doc_id % 23 == 9
+    enc = "aes" if doc_id % 59 == 41 else (doc_id % 23 == 9)
     # stream-filter transport variation for classic PDFs — every
     # filter the codec supports appears in the driver-checked path,
     # again with unchanged logical content

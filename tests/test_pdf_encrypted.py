@@ -246,3 +246,21 @@ def test_corpus_encrypted_subset_is_planted():
     plain_payload, _ = _pdf_doc(137, text, False)
     assert b"Encrypt" in enc_payload
     assert b"Encrypt" not in plain_payload
+
+
+def test_fixture_builder_aesv2_roundtrip():
+    """build_pdf(encrypt='aes') = V4 R4 /AESV2: streams AND Info
+    strings AES-128-CBC with per-object keys; byte-identical decode."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import simple_text_pdf, table_pdf
+
+    info = {"Title": "aes title", "Author": "A"}
+    for build in (
+        lambda e: simple_text_pdf([["alpha beta", "gamma"]], info=info, encrypt=e),
+        lambda e: table_pdf([["a", "b"], ["c", "d"]], info=info, encrypt=e),
+    ):
+        plain, enc = build(False), build("aes")
+        assert b"AESV2" in enc
+        rp, re_ = PdfCodec().extract(plain), PdfCodec().extract(enc)
+        assert re_.status == "ok" and re_.text == rp.text
+        assert extract_info(enc) == extract_info(plain)
