@@ -689,6 +689,53 @@ def _q_mmr_topk(sf_dir: str):
     })
 
 
+def _q_quality_logreg(sf_dir: str):
+    """Distributed quality-classifier TRAINING: logistic regression by
+    full-batch GD whose per-row gradients are int64-quantized before
+    summation — bit-identical weights across block orders, cluster
+    sizes and reruns (functions/ml.py).  Task: predict the stopword
+    detector's 'en' label from (stopword_ratio, punct_ratio,
+    n_tokens/100) — a self-contained corpus-quality signal.  Output:
+    one row of rounded weights + training accuracy.  Rows-only
+    (iterative float algorithm); determinism + local-numpy parity are
+    test-pinned."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.ml import logreg_predict, logreg_train
+    from pdf_extractor_ray.functions.text import add_text_features, detect_language
+
+    ds = _docs(sf_dir).map_batches(add_text_features, batch_format="pyarrow")
+    ds = ds.map_batches(detect_language, batch_format="pyarrow")
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "f_stop": pc.cast(batch.column("stopword_ratio"), pa.float64()),
+            "f_punct": pc.cast(batch.column("punct_ratio"), pa.float64()),
+            "f_len": pc.divide(
+                pc.cast(batch.column("n_tokens"), pa.float64()),
+                pa.scalar(100.0)),
+            "y": pc.cast(
+                pc.equal(batch.column("detected_lang"), "en"), pa.int64()),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    w = logreg_train(feats, ["f_stop", "f_punct", "f_len"], "y",
+                     lr=2.0, iters=40)
+
+    t = feats.to_pandas()
+    x = t[["f_stop", "f_punct", "f_len"]].to_numpy()
+    acc = float(((logreg_predict(w, x) > 0.5).astype(int)
+                 == t["y"].to_numpy()).mean())
+    return pa.table({
+        "w_stopword": pa.array([round(float(w[0]), 6)], pa.float64()),
+        "w_punct": pa.array([round(float(w[1]), 6)], pa.float64()),
+        "w_len": pa.array([round(float(w[2]), 6)], pa.float64()),
+        "bias": pa.array([round(float(w[3]), 6)], pa.float64()),
+        "train_accuracy": pa.array([round(acc, 6)], pa.float64()),
+    })
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4220,6 +4267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "ql_dirichlet_topk": _q_ql_dirichlet_topk,
         "mmr_topk": _q_mmr_topk,
+        "quality_logreg": _q_quality_logreg,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,

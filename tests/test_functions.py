@@ -787,3 +787,34 @@ def test_keyed_chain_edges_md5_mode(ray_session):
     comps = connected_components(keyed_chain_edges(ds, key="md5"))
     got = {r["node"]: r["component"] for r in comps.take_all()}
     assert got == {1: 1, 5: 1, 9: 1, 3: 3, 7: 3}  # doc 2 is a singleton
+
+
+def test_logreg_train_deterministic_and_learns(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.ml import logreg_predict, logreg_train
+
+    rng = np.random.RandomState(4)
+    n = 2000
+    x = rng.randn(n, 2)
+    y = (x @ np.array([2.0, -1.0]) > 0.2).astype(np.int64)
+    t = pa.table({"a": pa.array(x[:, 0]), "b": pa.array(x[:, 1]),
+                  "y": pa.array(y)})
+    w5 = logreg_train(ray.data.from_arrow(t).repartition(5),
+                      ["a", "b"], "y", lr=1.0, iters=30)
+    w13 = logreg_train(ray.data.from_arrow(t).repartition(13),
+                       ["a", "b"], "y", lr=1.0, iters=30)
+    assert np.array_equal(w5, w13)  # bit-identical across block layouts
+    acc = ((logreg_predict(w5, x) > 0.5).astype(int) == y).mean()
+    assert acc > 0.93
+    # local-numpy parity with the identical quantization schedule
+    scale = 1 << 20
+    wl = np.zeros(3)
+    for _ in range(30):
+        p = 1 / (1 + np.exp(-(x @ wl[:2] + wl[2])))
+        g = np.concatenate([x * (p - y)[:, None], (p - y)[:, None]], axis=1)
+        wl = wl - 1.0 * (np.round(g * scale).astype(np.int64).sum(axis=0)
+                         / scale) / n
+    assert np.array_equal(w5, wl)
