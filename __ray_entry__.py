@@ -383,17 +383,20 @@ def _q_cms_user_counts(sf_dir: str):
     from pdf_extractor_ray.functions.sketch import cms_build, cms_estimate
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    cms = cms_build(ds, "user_id")
+    cms = cms_build(ds, "user_id", width=1 << 17)
     exact = partition_fold(
         ds, ["user_id"], "user_id", fn="count", out_val="n_events"
     ).to_pandas().sort_values("user_id").reset_index(drop=True)
     est = cms_estimate(cms, exact["user_id"].to_numpy())
     n_total = int(exact["n_events"].sum())
     eps_n = max(1, int(np.e / cms.shape[1] * n_total))
-    if (est < exact["n_events"].to_numpy()).any():
+    over = est - exact["n_events"].to_numpy()
+    if (over < 0).any():
         raise AssertionError("CMS underestimated — impossible by construction")
-    if int((est - exact["n_events"].to_numpy()).max()) > 3 * eps_n:
-        raise AssertionError("CMS overshoot exceeded 3·ε·N")
+    # the ε·N bound is PER-KEY probabilistic (P(viol) ≤ e^-depth ≈ 2%);
+    # over many keys enforce the bound's RATE, not its max
+    if float((over > eps_n).mean()) > 0.05:
+        raise AssertionError("CMS ε·N bound violated for >5% of keys")
     return pa.table({
         "user_id": pa.array(exact["user_id"].to_numpy(), pa.int64()),
         "n_events": pa.array(exact["n_events"].to_numpy(), pa.int64()),
