@@ -72,6 +72,7 @@ def run_web_prep_job(
     files_per_partition: int = 16,
     min_words: int = 30,
     num_partitions: int = 32,
+    emit_wet: bool = False,
 ) -> dict:
     """Checkpointed, RESUMABLE flagship job — the global-dedup answer
     to per-partition checkpointing:
@@ -149,9 +150,23 @@ def run_web_prep_job(
         _pq.read_metadata(f).num_rows
         for f in sorted(_glob.glob(os.path.join(final, "*.parquet")))
     )
-    return {
+    metrics = {
         "partitions_total": len(plan),
         "partitions_skipped": skipped,
         "survivors": n_final,
         "output": final,
     }
+    if emit_wet:
+        # publish the survivor corpus as Common-Crawl-style WET shards
+        # (idempotent content-hash names; no warc_ts in the survivor
+        # table → epoch timestamps, WET consumers key on URI)
+        from ..sources.warc import write_wet
+
+        wet_dir = os.path.join(out_dir, "wet")
+        man = write_wet(
+            ray.data.read_parquet(final), wet_dir
+        ).to_pandas()
+        metrics["wet_files"] = len(man)
+        metrics["wet_records"] = int(man["n_records"].sum())
+        metrics["wet_output"] = wet_dir
+    return metrics

@@ -205,3 +205,29 @@ def test_run_web_prep_job_resume(ray_session, tmp_path):
 
     final = ray.data.read_parquet(m2["output"]).to_pandas()
     assert final.url.tolist() == ["https://d/1"]
+
+
+def test_run_web_prep_job_emit_wet(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.web_prep import run_web_prep_job
+    from pdf_extractor_ray.sources.warc import texts_from_wet
+
+    long = " ".join(f"word{i}" for i in range(40))
+    html = ("<html><body><p>" + long + "</p></body></html>").encode()
+    p = tmp_path / "a.parquet"
+    pq.write_table(pa.table({
+        "url": pa.array(["https://w/1", "https://w/2"], pa.string()),
+        "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 2, pa.timestamp("us")),
+        "html": pa.array([html, html + b"<!--x-->"], pa.large_binary()),
+        "text": pa.array([long] * 2, pa.large_string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+    }), p)
+    out = str(tmp_path / "job")
+    m = run_web_prep_job([str(p)], out, emit_wet=True)
+    assert m["wet_records"] == m["survivors"] == 1
+    back = texts_from_wet([m["wet_output"]]).to_pandas()
+    assert back.text.tolist() == [long]
