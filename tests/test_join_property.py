@@ -201,3 +201,56 @@ def test_hash_join_full_many_matches_sql_semantics(ray_session, left, right):
         if rk is None or not any(lk == rk for lk, _ in left):
             want.append((None, rv))
     assert got_set == sorted(want, key=keyf)
+
+
+def test_semi_anti_join_random_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        left = pd.DataFrame({
+            "k": rng.randint(0, 15, 200).astype("float64"),
+            "v": np.arange(200),
+        })
+        left.loc[rng.choice(200, 10, replace=False), "k"] = np.nan
+        right = pd.DataFrame({"rk": rng.randint(0, 20, 50).astype("int64")})
+        lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+        rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+        rset = set(right.rk.tolist())
+        for how in ("semi", "anti"):
+            got = semi_anti_join(lds, rds, "k", "rk", ["k", "v"], how=how) \
+                .to_pandas().sort_values("v").v.tolist()
+            if how == "semi":
+                want = left[left.k.isin(rset)].v.tolist()
+            else:  # null keys match nothing → kept by anti
+                want = left[~left.k.isin(rset)].v.tolist()
+            assert got == want, (trial, how)
+
+
+def test_latest_by_key_random_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import latest_by_key
+
+    rng = np.random.RandomState(29)
+    df = pd.DataFrame({
+        "u": rng.randint(0, 12, 300).astype("int64"),
+        "ts": rng.randint(0, 50, 300).astype("int64"),
+        "tb": np.arange(300, dtype="int64"),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = latest_by_key(ds, "u", "ts", "tb").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    want = df.sort_values(["u", "ts", "tb"]).groupby("u").tail(1) \
+        .sort_values("u").reset_index(drop=True)
+    assert got.u.tolist() == want.u.tolist()
+    assert got.ts.tolist() == want.ts.tolist()
+    assert got.tb.tolist() == want.tb.tolist()
