@@ -132,6 +132,9 @@ def main(argv: List[str] | None = None) -> int:
                     help="print one document's composed result envelope as JSON "
                     "to stdout and exit (the demo_streamlit per-document "
                     "inspection surface, reference: demo_streamlit.py:117-225)")
+    ap.add_argument("--emit-wet", action="store_true",
+                    help="with --mode web-prep: also publish the survivor "
+                    "corpus as Common-Crawl-style WET shards")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="override ray.init num_cpus (default: all)")
     args = ap.parse_args(argv)
@@ -161,6 +164,7 @@ def main(argv: List[str] | None = None) -> int:
         metrics = run_web_prep_job(
             _expand(args.input), args.output,
             files_per_partition=args.files_per_partition,
+            emit_wet=args.emit_wet,
         )
         print(json.dumps({"mode": args.mode, **metrics}))
         if started_ray:
