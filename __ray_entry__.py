@@ -739,6 +739,33 @@ def _q_quality_logreg(sf_dir: str):
     })
 
 
+def _q_boolean_search(sf_dir: str):
+    """Boolean retrieval model: docs matching ``batch AND join AND NOT
+    scan`` — conjunctive token-membership kernels with a negation,
+    the pre-ranking candidate filter of classic search.  One
+    vectorized pass; membership via the double-space padding trick."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        pad = pc.binary_join_element_wise(
+            " ", pc.replace_substring(
+                pc.fill_null(batch.column("text"), ""), " ", "  "), " ", "")
+
+        def has(t):
+            return pc.greater(pc.count_substring(pad, f" {t} "), 0)
+
+        keep = pc.and_(pc.and_(has("batch"), has("join")),
+                       pc.invert(has("scan")))
+        return pa.table({"doc_id": batch.column("doc_id")}).filter(keep)
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4271,6 +4298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ql_dirichlet_topk": _q_ql_dirichlet_topk,
         "mmr_topk": _q_mmr_topk,
         "quality_logreg": _q_quality_logreg,
+        "boolean_search": _q_boolean_search,
         "extract_items": _q_extract_items,
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
@@ -7049,6 +7077,18 @@ WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
 """,
+        # boolean retrieval twin over the same double-space padding
+        "boolean_search": """
+            WITH p AS (
+                SELECT doc_id,
+                       ' ' || replace(text, ' ', '  ') || ' ' AS pad
+                FROM documents
+            )
+            SELECT doc_id FROM p
+            WHERE position(' batch ' IN pad) > 0
+              AND position(' join ' IN pad) > 0
+              AND position(' scan ' IN pad) = 0
+        """,
         # exact-phrase counts: non-overlapping replace-length twin
         # over the same single-space padding
         "phrase_search": """
