@@ -726,10 +726,24 @@ def _q_quality_logreg(sf_dir: str):
     w = logreg_train(feats, ["f_stop", "f_punct", "f_len"], "y",
                      lr=2.0, iters=40)
 
-    t = feats.to_pandas()
-    x = t[["f_stop", "f_punct", "f_len"]].to_numpy()
-    acc = float(((logreg_predict(w, x) > 0.5).astype(int)
-                 == t["y"].to_numpy()).mean())
+    # accuracy computed DISTRIBUTED (broadcast w, per-block correct
+    # counts) — the feature table never touches the driver
+    from ray.data.aggregate import Count, Sum
+
+    def correct(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = np.stack([
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("f_stop", "f_punct", "f_len")
+        ], axis=1)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pred = (logreg_predict(w, x) > 0.5).astype(np.int64)
+        return pa.table({"ok": pa.array((pred == y).astype(np.int64))})
+
+    row = feats.map_batches(correct, batch_format="pyarrow").aggregate(
+        Sum("ok", alias_name="n_ok"), Count(alias_name="n"))
+    acc = float(int(row["n_ok"]) / int(row["n"]))
     return pa.table({
         "w_stopword": pa.array([round(float(w[0]), 6)], pa.float64()),
         "w_punct": pa.array([round(float(w[1]), 6)], pa.float64()),
