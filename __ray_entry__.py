@@ -667,12 +667,21 @@ def _q_mmr_topk(sf_dir: str):
     q = _emb_queries(sf_dir)
     pool = ann_topk(emb, q, k=50, query_ids=[0, 1, 2]).to_pandas()
 
-    import pyarrow.parquet as pq
+    # fetch ONLY the candidate vectors (≤ 150 rows) via a keys-only
+    # semi-join — the embedding table never touches the driver
+    import ray.data as _rd
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    lut = {v: np.asarray(e, dtype=np.float64) for v, e in zip(
-        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())}
+    from pdf_extractor_ray.functions.joins import semi_anti_join
+
+    cand_ids_tbl = _rd.from_arrow(pa.table({
+        "vec_id": pa.array(sorted(set(pool.vec_id.tolist())), pa.int64())
+    }))
+    cand_rows = semi_anti_join(
+        emb, cand_ids_tbl, "vec_id", "vec_id",
+        ["vec_id", "embedding"], how="semi",
+    ).to_pandas()
+    lut = {int(v): np.asarray(e, dtype=np.float64)
+           for v, e in zip(cand_rows.vec_id, cand_rows.embedding)}
 
     rows = {"query_id": [], "rank": [], "vec_id": [], "relevance": []}
     for qi, qid in enumerate([0, 1, 2]):
