@@ -998,10 +998,17 @@ def _emb_dim(sf_dir: str) -> int:
 
 
 def _emb_queries(sf_dir: str, ids=(0, 1, 2)):
+    """Fetch the query vectors ONLY (predicate pushed to the parquet
+    reader — row groups without the ids are skipped; the embedding
+    table never loads whole)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    lookup = {v: e for v, e in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())}
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(ids))],
+    )
+    lookup = {v: e for v, e in zip(t.column("vec_id").to_pylist(),
+                                   t.column("embedding").to_pylist())}
     return np.asarray([lookup[i] for i in ids], dtype=np.float64)
 
 
