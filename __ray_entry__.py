@@ -789,6 +789,44 @@ def _q_boolean_search(sf_dir: str):
     return docs.map_batches(match, batch_format="pyarrow")
 
 
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities over the site link graph (same edge
+    extraction as link_depth): top-15 authorities with hub scores —
+    link analysis beyond PageRank (a page can be a great directory
+    without being a great target).  Rows-only (iterative normalized
+    floats); local-vs-distributed agreement is test-pinned."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.graph import hits
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir))
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+    return (
+        hits(edges, iters=20)
+        .sort(["authority", "node"], descending=[True, False])
+        .limit(15)
+    )
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4473,6 +4511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "url_pagerank": _q_url_pagerank,
         "link_depth": _q_link_depth,
+        "hits_scores": _q_hits_scores,
         "quantiles_chars_cont": _q_quantiles_chars_cont,
         "doc_compression_ratio": _q_doc_compression_ratio,
         # corpus-mixture stages (split / rebalance / percentile gate /

@@ -14,7 +14,7 @@ from .text import (  # noqa: F401
     top_tokens_approx,
 )
 from .bucketed import bucketed_groupby, bucketed_join, write_bucketed  # noqa: F401
-from .graph import bfs_depths, connected_components, keyed_chain_edges, pagerank  # noqa: F401
+from .graph import bfs_depths, connected_components, hits, keyed_chain_edges, pagerank  # noqa: F401
 from .ml import logreg_predict, logreg_train  # noqa: F401
 from .window import (  # noqa: F401
     dense_rank_in_group,

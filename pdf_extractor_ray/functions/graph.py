@@ -601,3 +601,156 @@ def bfs_depths(edges_ds, sources, col_src: str = "src",
     raise RuntimeError(
         f"bfs_depths: frontier still non-empty after {max_depth} rounds"
     )
+
+
+# ---------------------------------------------------------------- HITS
+def _local_hits(edges_t: pa.Table, iters: int):
+    src = edges_t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges_t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[int(v)] for v in src), np.int64, len(src))
+    di = np.fromiter((idx[int(v)] for v in dst), np.int64, len(dst))
+    n = len(nodes)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        auth = np.bincount(di, weights=hub[si], minlength=n)
+        s = np.sqrt((auth * auth).sum())
+        if s > 0:
+            auth = auth / s
+        hub = np.bincount(si, weights=auth[di], minlength=n)
+        s = np.sqrt((hub * hub).sum())
+        if s > 0:
+            hub = hub / s
+    return nodes, hub, auth
+
+
+def hits(edges_ds, col_src: str = "src", col_dst: str = "dst",
+         iters: int = 20, local_max_edges: int = 2_000_000):
+    """HITS hubs & authorities over an (src, dst) int64 edge list —
+    FIXED ``iters`` mutual-reinforcement rounds with L2 normalization
+    (Kleinberg 1999), the complement of PageRank for link analysis
+    (a page can be a great DIRECTORY without being a great TARGET).
+
+    Same size-gated plan as :func:`pagerank`: local numpy under the
+    exact edge-count gate; above it each half-round is ONE hash join
+    (edge table pinned once) + one sum-groupby over (node, score)
+    pairs, lineage severed per round; the L2 norm is a scalar
+    aggregate.  Distributed-vs-local agreement is pinned by tests.
+    Output: Dataset ``(node, hub, authority)`` (scores rounded to 9 —
+    normalization divisions make trailing bits platform-noise).
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column(col_src).cast(pa.int64()),
+            "dst": batch.column(col_dst).cast(pa.int64()),
+        })
+
+    edges = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64()),
+        }))
+    if n_edges <= local_max_edges:
+        nodes, hub, auth = _local_hits(
+            pa.concat_tables(
+                [t for t in ( __import__("ray").get(r)
+                              for r in edges.to_arrow_refs()) if t.num_rows]
+            ), iters)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "hub": pa.array(np.round(hub, 9), pa.float64()),
+            "authority": pa.array(np.round(auth, 9), pa.float64()),
+        }))
+
+    # node table (distinct endpoints)
+    nodes = _pin(
+        edges.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays(
+                [b.column("src").combine_chunks(),
+                 b.column("dst").combine_chunks()])}),
+            batch_format="pyarrow",
+        ).groupby("node").aggregate(Sum("node", alias_name="__x"))
+        .map_batches(lambda b: pa.table({"node": b.column("node")}),
+                     batch_format="pyarrow")
+    )
+
+    def ones(name):
+        return _pin(nodes.map_batches(
+            lambda b: b.append_column(
+                name, pa.array([1.0] * b.num_rows, pa.float64())),
+            batch_format="pyarrow",
+        ))
+
+    hub = ones("score")
+
+    def push(scores, key_join, key_out):
+        """scores keyed on ``key_join`` flow along edges to ``key_out``,
+        summed per target, L2-normalized."""
+        contrib = hash_join(
+            edges, scores, key_join, "node",
+            left_cols=[key_out], right_cols=["score"],
+            how="inner",
+        )
+        summed = contrib.groupby(key_out).aggregate(
+            Sum("score", alias_name="s"))
+        summed = _pin(summed.map_batches(
+            lambda b: pa.table({
+                "node": b.column(key_out).cast(pa.int64()),
+                "score": b.column("s").cast(pa.float64()),
+            }), batch_format="pyarrow",
+        ))
+        row = summed.map_batches(
+            lambda b: pa.table({"q": pa.array(
+                [float((b.column("score").to_numpy(zero_copy_only=False)
+                        ** 2).sum())])}),
+            batch_format="pyarrow",
+        ).aggregate(Sum("q", alias_name="qq"))
+        norm = math.sqrt(float(row["qq"] or 0.0)) or 1.0
+        return _pin(summed.map_batches(
+            lambda b, norm=norm: pa.table({
+                "node": b.column("node"),
+                "score": pa.array(
+                    b.column("score").to_numpy(zero_copy_only=False) / norm,
+                    pa.float64()),
+            }), batch_format="pyarrow",
+        ))
+
+    auth = None
+    for _ in range(iters):
+        auth = push(hub, "src", "dst")      # authorities gather from hubs
+        hub = push(auth, "dst", "src")      # hubs gather from authorities
+
+    # assemble over ALL nodes (missing scores = 0, like the local path)
+    from .joins import hash_join as _hj
+
+    out = _hj(nodes, hub, "node", "node", ["node"], ["score"], how="left")
+    out = out.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "hub": pa.array(np.round(np.nan_to_num(
+                b.column("score").to_numpy(zero_copy_only=False)
+                .astype(np.float64)), 9), pa.float64()),
+        }), batch_format="pyarrow",
+    )
+    out = _hj(out, auth, "node", "node", ["node", "hub"], ["score"], how="left")
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "hub": b.column("hub"),
+            "authority": pa.array(np.round(np.nan_to_num(
+                b.column("score").to_numpy(zero_copy_only=False)
+                .astype(np.float64)), 9), pa.float64()),
+        }), batch_format="pyarrow",
+    )
