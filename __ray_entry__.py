@@ -7317,11 +7317,12 @@ LIMIT 10
         # cross-link rule (site graph; seed site 0)
         "link_depth": """
             WITH RECURSIVE e AS (
+                -- BOTH channels link: HTML <a> cross-links and PDF
+                -- /Annots URI actions follow the same rule
                 SELECT DISTINCT (doc_id % 1000) AS src,
                        ((doc_id * 31 + 7 * k.k) % 1000) AS dst
                 FROM documents, (VALUES (1), (2), (3)) AS k(k)
                 WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
-                  AND (doc_id % 10) <> 7
             ), r AS (
                 SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
                 UNION

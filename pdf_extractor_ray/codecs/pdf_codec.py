@@ -1476,6 +1476,48 @@ def extract_info(payload: bytes) -> Dict[str, Optional[str]]:
     return out
 
 
+def extract_links(payload: bytes) -> List[str]:
+    """URI link annotations (page ``/Annots`` → ``/A /S /URI``
+    actions) in page order, de-duplicated — the PDF channel's outlink
+    extractor (PDFs carry real hyperlinks; a web graph that ignores
+    them is missing every PDF→page edge).  Encrypted strings decrypt
+    with the annotation OBJECT's key.  Never raises; unparseable
+    documents yield []."""
+    out: List[str] = []
+    seen = set()
+    try:
+        doc = _PdfDocument(payload)
+        for page in doc.pages():
+            annots = doc.resolve(page.get("Annots"))
+            if not isinstance(annots, list):
+                continue
+            for ref in annots:
+                try:
+                    a = doc.resolve(ref)
+                    if not isinstance(a, dict) or a.get("Subtype") != "Link":
+                        continue
+                    action = doc.resolve(a.get("A"))
+                    if not isinstance(action, dict) or action.get("S") != "URI":
+                        continue
+                    uri = doc.resolve(action.get("URI"))
+                    if not isinstance(uri, bytes):
+                        continue
+                    if doc.security is not None and isinstance(ref, Ref):
+                        try:
+                            uri = doc.security.decrypt(ref.num, ref.gen, uri)
+                        except Exception:
+                            continue
+                    u = _decode_pdf_string(uri)
+                    if u and u not in seen:
+                        seen.add(u)
+                        out.append(u)
+                except Exception:
+                    continue
+    except Exception:
+        pass
+    return out
+
+
 # --------------------------------------------------------------------------
 # public codec
 # --------------------------------------------------------------------------

@@ -31,6 +31,8 @@ class PdfPage:
     rules: List[Tuple[float, float, float, float]] = field(default_factory=list)
     use_tj_array: bool = False  # exercise the TJ operator path
     use_leading: bool = False  # exercise TL / T* line advances
+    # URI link annotations (/Annots with /A /S /URI actions)
+    links: List[str] = field(default_factory=list)
 
 
 def _esc(s: str) -> str:
@@ -260,6 +262,14 @@ def build_pdf(
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
+    # link-annotation objects follow the font object, in page order
+    annot_base = font_num + 1
+    annot_nums: List[List[int]] = []
+    next_annot = annot_base
+    for page in pages:
+        nums = list(range(next_annot, next_annot + len(page.links)))
+        annot_nums.append(nums)
+        next_annot += len(page.links)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
     objects.append(
@@ -268,12 +278,16 @@ def build_pdf(
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
+        annots = ""
+        if annot_nums[i]:
+            refs = " ".join(f"{n} 0 R" for n in annot_nums[i])
+            annots = f" /Annots [ {refs} ]"
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R "
                 f"/MediaBox [0 0 {_fmt(page.width)} {_fmt(page.height)}] "
                 f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-                f"/Contents {content_num} 0 R >>"
+                f"/Contents {content_num} 0 R{annots} >>"
             ).encode()
         )
         data = _content_stream(page)
@@ -291,6 +305,23 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )  # font obj
+    for i, page in enumerate(pages):
+        for k, uri in enumerate(page.links):
+            num = len(objects) + 1
+            uri_bytes = _esc(uri).encode("latin-1")
+            if fkey is not None:
+                ct = _encrypt_obj(fkey, num, uri_bytes, aes)
+                uri_lit = b"<" + ct.hex().encode() + b">"
+            else:
+                uri_lit = b"(" + uri_bytes + b")"
+            y = 40.0 + 12 * k
+            objects.append(
+                (
+                    f"<< /Type /Annot /Subtype /Link "
+                    f"/Rect [72 {_fmt(y)} 200 {_fmt(y + 10)}] "
+                    f"/Border [0 0 0] /A << /Type /Action /S /URI /URI "
+                ).encode() + uri_lit + b" >> >>"
+            )
     info_ref = b""
     if info:
         if fkey is not None:
@@ -353,6 +384,7 @@ def simple_text_pdf(
     info: dict | None = None,
     encrypt: bool = False,
     stream_filter: str = "flate",
+    links: "List[str] | None" = None,
 ) -> bytes:
     """One text chunk per line, single column, top-down."""
     pages = []
@@ -362,21 +394,24 @@ def simple_text_pdf(
             for i, line in enumerate(lines)
         ]
         pages.append(PdfPage(texts=texts, use_tj_array=use_tj, use_leading=use_leading))
+    if pages and links:
+        pages[0].links = list(links)
     return build_pdf(pages, info=info, encrypt=encrypt,
                      stream_filter=stream_filter)
 
 
 def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0,
                    info: dict | None = None, encrypt: bool = False,
-                   stream_filter: str = "flate") -> bytes:
+                   stream_filter: str = "flate",
+                   links: "List[str] | None" = None) -> bytes:
     """Two-column page: reading order = all left lines, then all right."""
     texts = []
     for i, line in enumerate(left):
         texts.append((50.0, 720.0 - i * (size * 1.4), size, line))
     for i, line in enumerate(right):
         texts.append((330.0, 720.0 - i * (size * 1.4), size, line))
-    return build_pdf([PdfPage(texts=texts)], info=info, encrypt=encrypt,
-                     stream_filter=stream_filter)
+    return build_pdf([PdfPage(texts=texts, links=list(links or []))],
+                     info=info, encrypt=encrypt, stream_filter=stream_filter)
 
 
 def table_pdf(
@@ -386,6 +421,7 @@ def table_pdf(
     info: dict | None = None,
     encrypt: bool = False,
     stream_filter: str = "flate",
+    links: "List[str] | None" = None,
 ) -> bytes:
     """Page with a ruled table grid (plus optional prose above it)."""
     texts = []
@@ -409,13 +445,15 @@ def table_pdf(
         for c, cell in enumerate(row):
             if cell:
                 texts.append((x0 + c * col_w + 4.0, cy, size, cell))
-    return build_pdf([PdfPage(texts=texts, rules=rules)], info=info,
+    return build_pdf([PdfPage(texts=texts, rules=rules,
+                              links=list(links or []))], info=info,
                      encrypt=encrypt, stream_filter=stream_filter)
 
 
 # ---------------------------------------------------------------- PDF ≥1.5
 def modern_text_pdf(lines: Sequence[str], predictor: bool = True,
-                    info: dict | None = None) -> bytes:
+                    info: dict | None = None,
+                    links: "List[str] | None" = None) -> bytes:
     """Author a PDF 1.5-style file: catalog/pages/page/font packed in a
     compressed OBJECT STREAM, a CROSS-REFERENCE STREAM (W=[1,4,2],
     optional PNG Up predictor) instead of a classic xref table.
@@ -433,11 +471,18 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True,
     content = zlib.compress(("\n".join(ops) + "\n").encode("latin-1"))
 
     # object stream (object 6) holding objects 1,2,3,5 (+8 = Info)
+    links = list(links or [])
+    annot_start = 9 if info else 8
+    annots_ref = b""
+    if links:
+        refs = " ".join(f"{annot_start + k} 0 R" for k in range(len(links)))
+        annots_ref = f" /Annots [ {refs} ]".encode()
     members = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
         (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
         (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R"
+            + annots_ref + b" >>"),
         (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     ]
     if info:
@@ -464,9 +509,15 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True,
          + b" /First " + str(first).encode()
          + b" /Length " + str(len(objstm)).encode()
          + b" /Filter /FlateDecode >>\nstream\n" + objstm + b"\nendstream")
+    for k, uri in enumerate(links):
+        emit(annot_start + k,
+             (f"<< /Type /Annot /Subtype /Link /Rect [72 {40 + 12 * k} 200 "
+              f"{50 + 12 * k}] /Border [0 0 0] /A << /Type /Action /S /URI "
+              f"/URI ({_esc(uri)}) >> >>").encode("latin-1"))
 
-    # xref stream (object 7): W = [1, 4, 2]; entries for objects 0..7(+8)
-    n_objs = 9 if info else 8
+    # xref stream (object 7): W = [1, 4, 2]; entries for objects
+    # 0..7 (+8 Info) (+annotations)
+    n_objs = (9 if info else 8) + len(links)
     xref_pos_placeholder = len(out)  # object 7 starts here
     offsets[7] = xref_pos_placeholder
     rows = []
@@ -479,6 +530,10 @@ def modern_text_pdf(lines: Sequence[str], predictor: bool = True,
     rows.append(bytes([1]) + offsets[7].to_bytes(4, "big") + (0).to_bytes(2, "big"))
     if info:
         rows.append(bytes([2]) + (6).to_bytes(4, "big") + (4).to_bytes(2, "big"))  # obj 8
+    for k in range(len(links)):
+        rows.append(bytes([1])
+                    + offsets[annot_start + k].to_bytes(4, "big")
+                    + (0).to_bytes(2, "big"))
     rec = b"".join(rows)
     parms = b""
     if predictor:

@@ -157,6 +157,19 @@ class OutlinkStage:
                 except Exception:
                     pass
             seen = set()
+            if payload[:5] == b"%PDF-":
+                # PDF hyperlinks live in /Annots URI actions, not <a>
+                from ..codecs.pdf_codec import extract_links
+
+                for target in extract_links(payload):
+                    target = urljoin(url, target.strip())
+                    if not target.startswith(("http://", "https://")):
+                        continue
+                    if target not in seen:
+                        seen.add(target)
+                        srcs.append(url)
+                        dsts.append(target)
+                continue
             html = _decode_html_bytes(payload)
             for m in self._href.finditer(html):
                 href = next(g for g in m.groups() if g is not None).strip()

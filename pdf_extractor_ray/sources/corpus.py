@@ -196,13 +196,21 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
     # again with unchanged logical content
     filt = {5: "lzw", 12: "a85+flate", 20: "rle", 26: "ahx"}.get(
         doc_id % 31, "flate")
+    # the same deterministic cross-links the HTML channel plants (PDFs
+    # carry real hyperlinks via /Annots URI actions; the link graph
+    # covers BOTH channels)
+    links = [
+        f"https://example.org/p/{(doc_id * 31 + 7 * k) % 1000}"
+        for k in (1, 2, 3)
+    ]
     if doc_id % 40 == 17 and not giant:
         # modern PDF ≥1.5: xref stream + object stream container
         from ..fixtures.pdf_build import modern_text_pdf
 
         lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 15, 5)]
         return (
-            modern_text_pdf(lines, predictor=doc_id % 80 == 17, info=info),
+            modern_text_pdf(lines, predictor=doc_id % 80 == 17, info=info,
+                            links=links),
             "\n".join(lines),
         )
     variant = (doc_id // 10) % 4
@@ -218,26 +226,26 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
                 k += 6
             page_lines.append(lines)
         payload = simple_text_pdf(page_lines, info=info, encrypt=enc,
-                                  stream_filter=filt)
+                                  stream_filter=filt, links=links)
         golden = "\n\n".join("\n".join(ls) for ls in page_lines)
     elif variant == 1:  # two columns
         left = [" ".join(words[i : i + 4]) or words[0] for i in range(0, 16, 4)]
         right = [" ".join(words[i : i + 4]) or words[0] for i in range(16, 32, 4)]
         right = [r or words[0] for r in right]
         payload = two_column_pdf(left, right, info=info, encrypt=enc,
-                                 stream_filter=filt)
+                                 stream_filter=filt, links=links)
         golden = "\n".join(left + right)
     elif variant == 2:  # ruled construction table + prose
         prefix = ["FIXTURE SCHEDULE " + " ".join(words[:3])]
         rows = [_TABLE_HEADER] + _construction_rows(doc_id)
         payload = table_pdf(rows, prefix_lines=prefix, info=info, encrypt=enc,
-                            stream_filter=filt)
+                            stream_filter=filt, links=links)
         golden = "\n".join(prefix + [" | ".join(r) for r in rows])
     else:  # TJ arrays + leading operators
         lines = [" ".join(words[i : i + 5]) or words[0] for i in range(0, 20, 5)]
         payload = simple_text_pdf(
             [lines], use_tj=doc_id % 2 == 0, use_leading=doc_id % 2 == 1,
-            info=info, encrypt=enc, stream_filter=filt,
+            info=info, encrypt=enc, stream_filter=filt, links=links,
         )
         golden = "\n".join(lines)
     return payload, golden

@@ -281,3 +281,40 @@ def test_rle_encoder_roundtrip():
         d = bytes(rng.randrange(3) for _ in range(n))
         assert _rle_decode(_rle_encode(d)) == d, n
     assert _rle_decode(_rle_encode(b"x" * 1000)) == b"x" * 1000
+
+
+def test_extract_links_annots():
+    """Page /Annots URI actions extract in page order, de-duplicated,
+    across classic/modern containers and both encryption handlers."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_links
+    from pdf_extractor_ray.fixtures.pdf_build import (
+        PdfPage,
+        build_pdf,
+        modern_text_pdf,
+    )
+
+    L = ["https://x/1", "https://x/2"]
+    p = PdfPage(texts=[(72.0, 720.0, 12.0, "t")], links=L + ["https://x/1"])
+    assert extract_links(build_pdf([p])) == L
+    assert extract_links(build_pdf([p], encrypt=True)) == L
+    assert extract_links(build_pdf([p], encrypt="aes")) == L
+    assert extract_links(modern_text_pdf(["t"], info={"Title": "i"}, links=L)) == L
+    assert extract_links(build_pdf([PdfPage(texts=[(72.0, 720.0, 12.0, "t")])])) == []
+    assert extract_links(b"not a pdf") == []
+
+
+def test_outlink_stage_reads_pdf_annots(ray_session):
+    import pyarrow as pa
+
+    from pdf_extractor_ray.fixtures.pdf_build import PdfPage, build_pdf
+    from pdf_extractor_ray.functions.url import OutlinkStage
+
+    pdf = build_pdf([PdfPage(texts=[(72.0, 720.0, 12.0, "t")],
+                             links=["https://t/a", "/rel"])])
+    batch = pa.table({
+        "url": pa.array(["https://src/doc.pdf"], pa.string()),
+        "html": pa.array([pdf], pa.large_binary()),
+    })
+    out = OutlinkStage()(batch)
+    assert out.column("dst_url").to_pylist() == [
+        "https://t/a", "https://src/rel"]  # relative URIs resolve
