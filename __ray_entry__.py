@@ -827,6 +827,34 @@ def _q_hits_scores(sf_dir: str):
     )
 
 
+def _q_pdf_outline(sf_dir: str):
+    """PDF document-outline (bookmark) channel: per multi-page PDF,
+    one row per top-level outline item in /First→/Next order — the
+    table-of-contents extraction section-aware chunking starts from.
+    Oracle reconstructs the synthesizer's per-page bookmark rule."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_outline
+    from pdf_extractor_ray.stages.extract import sniff_doc_kind
+
+    ds = _pages(sf_dir).map_batches(sniff_doc_kind, batch_format="pyarrow")
+    ds = ds.filter(expr="doc_kind == 'pdf'")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls, poss, titles = [], [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("html").to_pylist()):
+            for i, t in enumerate(extract_outline(payload) if payload else []):
+                urls.append(url)
+                poss.append(i + 1)
+                titles.append(t)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "pos": pa.array(poss, pa.int64()),
+            "title": pa.array(titles, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """HTML head-metadata channel: sniff-route the pages corpus, run
     the head parser over HTML payloads, keep pages that declare a
@@ -4371,6 +4399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "page_meta": _q_page_meta,
         "pdf_meta": _q_pdf_meta,
+        "pdf_outline": _q_pdf_outline,
         "noindex_pages": _q_noindex_pages,
         "inverted_index": _q_inverted_index,
         "doc_bigram_cross_entropy": _q_doc_bigram_cross_entropy,
@@ -7268,6 +7297,27 @@ LIMIT 10
             )
             SELECT url, extracted_text, CAST(n_words AS BIGINT) AS n_words
             FROM r WHERE rn = 1
+        """,
+        # per-page bookmark rule of variant-0 / giant classic PDFs
+        "pdf_outline": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 0 THEN 30
+                            ELSE 1 + doc_id % 3 END AS n_pages
+                FROM documents
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+                  AND (doc_id % 10) = 7
+                  AND (doc_id % 97 = 0
+                       OR ((doc_id // 10) % 4 = 0
+                           AND NOT (doc_id % 40 = 17)))
+            )
+            SELECT
+                'https://example.org/'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                    || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url,
+                CAST(p.p AS BIGINT) AS pos,
+                'Section ' || p.p || ' of ' || n_pages AS title
+            FROM d, LATERAL unnest(generate_series(1, n_pages)) AS p(p)
         """,
         # entity-channel parity: the synthesizer plants exactly one
         # email/phone/date/currency sentence on doc_id%7==3 HTML rows

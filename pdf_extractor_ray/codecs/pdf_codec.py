@@ -1518,6 +1518,44 @@ def extract_links(payload: bytes) -> List[str]:
     return out
 
 
+def extract_outline(payload: bytes) -> List[str]:
+    """Document outline (bookmark) titles in /First→/Next order —
+    the table-of-contents channel (section-aware chunking and
+    navigation extraction start here).  Flat traversal of the top
+    level; encrypted titles decrypt with the item object's key.
+    Never raises; missing/broken outlines yield []."""
+    out: List[str] = []
+    try:
+        doc = _PdfDocument(payload)
+        root = doc.resolve(doc.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return out
+        outlines = doc.resolve(root.get("Outlines"))
+        if not isinstance(outlines, dict):
+            return out
+        ref = outlines.get("First")
+        guard = 0
+        while ref is not None and guard < 10000:
+            guard += 1
+            item = doc.resolve(ref)
+            if not isinstance(item, dict):
+                break
+            title = item.get("Title")
+            tv = doc.resolve(title)
+            if isinstance(tv, bytes):
+                if doc.security is not None and isinstance(ref, Ref):
+                    try:
+                        tv = doc.security.decrypt(ref.num, ref.gen, tv)
+                    except Exception:
+                        tv = None
+                if tv is not None:
+                    out.append(_decode_pdf_string(tv))
+            ref = item.get("Next")
+    except Exception:
+        pass
+    return out
+
+
 # --------------------------------------------------------------------------
 # public codec
 # --------------------------------------------------------------------------

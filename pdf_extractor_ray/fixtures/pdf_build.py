@@ -244,6 +244,7 @@ def build_pdf(
     info: dict | None = None,
     encrypt: "bool | str" = False,
     stream_filter: str = "flate",
+    outline: "Sequence[str] | None" = None,
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
 
@@ -271,7 +272,18 @@ def build_pdf(
         annot_nums.append(nums)
         next_annot += len(page.links)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    outline = list(outline or [])
+    # objects: 1 catalog, 2 pages, per-page page+content, font,
+    # annots…, [outlines root + items], [info], [encrypt]
+    if outline:
+        # root obj number = after font + all annotations
+        outlines_root = annot_base + sum(len(p.links) for p in pages)
+        objects.append(
+            f"<< /Type /Catalog /Pages 2 0 R /Outlines {outlines_root} 0 R "
+            f">>".encode()
+        )  # obj 1
+    else:
+        objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )  # obj 2
@@ -305,6 +317,7 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )  # font obj
+    _annots_emitted_marker = True
     for i, page in enumerate(pages):
         for k, uri in enumerate(page.links):
             num = len(objects) + 1
@@ -322,6 +335,30 @@ def build_pdf(
                     f"/Border [0 0 0] /A << /Type /Action /S /URI /URI "
                 ).encode() + uri_lit + b" >> >>"
             )
+    if outline:
+        root_num = len(objects) + 1
+        first_item = root_num + 1
+        last_item = root_num + len(outline)
+        objects.append(
+            (f"<< /Type /Outlines /First {first_item} 0 R "
+             f"/Last {last_item} 0 R /Count {len(outline)} >>").encode()
+        )
+        for j, title in enumerate(outline):
+            num = root_num + 1 + j
+            t_bytes = _esc(title).encode("latin-1")
+            if fkey is not None:
+                ct = _encrypt_obj(fkey, num, t_bytes, aes)
+                t_lit = b"<" + ct.hex().encode() + b">"
+            else:
+                t_lit = b"(" + t_bytes + b")"
+            parts = [f"<< /Title ".encode() + t_lit
+                     + f" /Parent {root_num} 0 R".encode()]
+            if j > 0:
+                parts.append(f" /Prev {num - 1} 0 R".encode())
+            if j < len(outline) - 1:
+                parts.append(f" /Next {num + 1} 0 R".encode())
+            parts.append(b" /Dest [ 3 0 R /Fit ] >>")
+            objects.append(b"".join(parts))
     info_ref = b""
     if info:
         if fkey is not None:
@@ -385,6 +422,7 @@ def simple_text_pdf(
     encrypt: bool = False,
     stream_filter: str = "flate",
     links: "List[str] | None" = None,
+    outline: "Sequence[str] | None" = None,
 ) -> bytes:
     """One text chunk per line, single column, top-down."""
     pages = []
@@ -397,7 +435,7 @@ def simple_text_pdf(
     if pages and links:
         pages[0].links = list(links)
     return build_pdf(pages, info=info, encrypt=encrypt,
-                     stream_filter=stream_filter)
+                     stream_filter=stream_filter, outline=outline)
 
 
 def two_column_pdf(left: Sequence[str], right: Sequence[str], size: float = 10.0,

@@ -225,8 +225,12 @@ def _pdf_doc(doc_id: int, text: str, giant: bool) -> Tuple[bytes, str]:
                 lines.append(" ".join(words[k % len(words) : k % len(words) + 6]) or words[0])
                 k += 6
             page_lines.append(lines)
+        # deterministic document outline: one bookmark per page —
+        # SQL-reconstructible (the table-of-contents channel)
+        outline = [f"Section {p + 1} of {n_pages}" for p in range(n_pages)]
         payload = simple_text_pdf(page_lines, info=info, encrypt=enc,
-                                  stream_filter=filt, links=links)
+                                  stream_filter=filt, links=links,
+                                  outline=outline)
         golden = "\n\n".join("\n".join(ls) for ls in page_lines)
     elif variant == 1:  # two columns
         left = [" ".join(words[i : i + 4]) or words[0] for i in range(0, 16, 4)]

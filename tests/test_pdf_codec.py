@@ -318,3 +318,16 @@ def test_outlink_stage_reads_pdf_annots(ray_session):
     out = OutlinkStage()(batch)
     assert out.column("dst_url").to_pylist() == [
         "https://t/a", "https://src/rel"]  # relative URIs resolve
+
+
+def test_extract_outline_order_and_encryption():
+    from pdf_extractor_ray.codecs.pdf_codec import extract_outline
+    from pdf_extractor_ray.fixtures.pdf_build import PdfPage, build_pdf
+
+    p = [PdfPage(texts=[(72.0, 720.0, 12.0, "x")])]
+    for enc in (False, True, "aes"):
+        pdf = build_pdf(p, outline=["Intro", "Methods", "Results"],
+                        encrypt=enc)
+        assert extract_outline(pdf) == ["Intro", "Methods", "Results"], enc
+    assert extract_outline(build_pdf(p)) == []
+    assert extract_outline(b"junk") == []
