@@ -292,3 +292,30 @@ def test_gzip_payload_rows_decode_transparently(ray_session):
     assert sniffed.column("doc_kind").to_pylist() == ["html", "html"]
     for raw, want in zip(sniffed.column("html").to_pylist(), goldens):
         assert HtmlCodec().extract(raw).text == want
+
+
+def test_gunzip_payloads_edge_cases(ray_session):
+    """Corrupt gzip falls through unchanged; mixed batches only touch
+    flagged rows; empty batch is a no-op."""
+    import gzip
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.extract import gunzip_payloads
+
+    good = gzip.compress(b"<html><body><p>hi</p></body></html>", mtime=0)
+    corrupt = b"\x1f\x8b" + b"\x00" * 10
+    plain = b"<html></html>"
+    b = pa.table({
+        "url": pa.array(["a", "b", "c", "d"]),
+        "html": pa.array([good, corrupt, plain, None], pa.large_binary()),
+    })
+    out = gunzip_payloads(b)
+    vals = out.column("html").to_pylist()
+    assert vals[0] == b"<html><body><p>hi</p></body></html>"
+    assert vals[1] == corrupt          # undecompressable → unchanged
+    assert vals[2] == plain
+    assert vals[3] is None
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "html": pa.array([], pa.large_binary())})
+    assert gunzip_payloads(empty).num_rows == 0

@@ -362,3 +362,21 @@ def test_hits_local_vs_distributed_and_semantics(ray_session):
     assert by[5][1] > by[6][1] > 0      # 5 the stronger authority
     assert by[1][0] > by[2][0] > 0      # 1 links to both → stronger hub
     assert by[5][0] == 0.0              # pure sinks have no hub score
+
+
+def test_band_layout_partitions_exactly():
+    from pdf_extractor_ray.functions.dedup import band_layout
+
+    for n_bits in (64, 61):
+        for n_bands in (1, 4, 11, 64):
+            if n_bands > n_bits:
+                continue
+            layout = band_layout(n_bits, n_bands)
+            assert len(layout) == n_bands
+            covered = sum(w for _s, w in layout)
+            assert covered == n_bits
+            # contiguous, disjoint
+            shift = 0
+            for s, w in layout:
+                assert s == shift and w >= 1
+                shift += w
