@@ -197,3 +197,25 @@ def test_corpus_warc_roundtrip_extraction_byte_identical(ray_session, tmp_path):
     assert len(ok) >= 18  # the range includes pdf rows (27, 37) — all ok
     for _, r in ok.iterrows():
         assert r.extracted_text == goldens[r.url], r.url
+
+
+def test_wet_bytes_member_boundaries_resume_points():
+    """Each conversion record is its own gzip member — any member
+    boundary is a valid split/resume point (the WET convention)."""
+    from pdf_extractor_ray.sources.warc import (
+        _split_gzip_members,
+        parse_warc_bytes,
+        wet_bytes,
+    )
+
+    blob = wet_bytes([
+        ("https://a/1", "2025-01-01T00:00:00Z", "one"),
+        ("https://a/2", "2025-01-01T00:00:01Z", "two"),
+    ])
+    members = list(_split_gzip_members(blob))
+    assert len(members) == 2
+    # the SECOND member alone parses independently of the first
+    rec2 = parse_warc_bytes(members[1], is_gzip=False,
+                            record_type="conversion")
+    assert [r["url"] for r in rec2] == ["https://a/2"]
+    assert rec2[0]["html"] == b"two"
