@@ -319,3 +319,30 @@ def test_gunzip_payloads_edge_cases(ray_session):
     empty = pa.table({"url": pa.array([], pa.string()),
                       "html": pa.array([], pa.large_binary())})
     assert gunzip_payloads(empty).num_rows == 0
+
+
+def test_unified_vs_branched_mode_identical(ray_session):
+    """The two physical plans (unified single-pass dispatch vs
+    sniff→filter branches with a PDF actor pool) must produce
+    identical logical results over a mixed corpus slice."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.extraction import extraction_pipeline
+    from pdf_extractor_ray.sources.corpus import PageSynthesizer
+
+    batch = pa.table({
+        "doc_id": pa.array(list(range(0, 60)), pa.int64()),
+        "text": pa.array([" ".join(f"w{i}" for i in range(30))] * 60),
+        "lang": pa.array(["en"] * 60),
+    })
+    import ray.data
+
+    pages = ray.data.from_arrow(PageSynthesizer()(batch))
+    uni = extraction_pipeline(pages).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    bra = extraction_pipeline(pages, mode="branched").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert uni.url.tolist() == bra.url.tolist()
+    assert uni.extracted_text.tolist() == bra.extracted_text.tolist()
+    assert uni.extract_status.tolist() == bra.extract_status.tolist()
+    assert uni.doc_kind.tolist() == bra.doc_kind.tolist()
