@@ -13,10 +13,12 @@ brittle hard top-k. This engine re-expresses it Ray-Data-first:
   the winnowing fingerprinter uses (no per-token Python, no tokenizer
   dependency, deterministic across processes).
 - **Fitting** is one streaming pass per corpus: each block reduces to a
-  single ``n_buckets``-long count vector (a few KiB), and only those
-  per-block vectors reach the driver — corpus text never moves. At
-  100 TB the fit payload is blocks × n_buckets × 8 B, independent of
-  document count; in practice you fit on a hash-sample of the source.
+  single ``n_buckets``-long count vector (a few KiB), a distributed
+  tree-merge level sums those ``merge_fanin`` at a time, and only the
+  merged vectors reach the driver — corpus text never moves. At
+  100 TB the fit fan-in is blocks / merge_fanin × n_buckets × 8 B,
+  not one row per block; in practice you fit on a hash-sample of the
+  source.
 - **Scoring** broadcasts the log-ratio vector once (``ray.put``) and is
   a zero-copy gather-mean per document inside ``map_batches``.
 - **Resampling** is the associative Gumbel top-n: ``score = logw +
@@ -65,11 +67,13 @@ def _gram_bucket_idx(text: str, k: int, n_buckets: int) -> np.ndarray:
 
 
 def fit_feature_counts(ds, text_col: str = "text", k: int = 4,
-                       n_buckets: int = 4096) -> np.ndarray:
+                       n_buckets: int = 4096, merge_fanin: int = 64) -> np.ndarray:
     """One pass over ``ds`` → total hashed-gram counts, shape
-    ``(n_buckets,)`` float64. Each block contributes exactly ONE row
-    (a fixed-size count vector); only blocks × n_buckets × 8 B reaches
-    the driver."""
+    ``(n_buckets,)`` float64. Each block reduces to ONE fixed-size
+    count vector, then a distributed tree-merge level sums
+    ``merge_fanin`` vectors per task (same shape as the sketch
+    partials), so the driver folds over blocks / merge_fanin rows —
+    not one row per block."""
 
     def block_counts(batch: pa.Table) -> pa.Table:
         acc = np.zeros(n_buckets, dtype=np.int64)
@@ -80,8 +84,20 @@ def fit_feature_counts(ds, text_col: str = "text", k: int = 4,
         return pa.table({"c": pa.array([acc.tolist()],
                                        pa.list_(pa.int64(), n_buckets))})
 
+    def merge_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mat = np.asarray(batch.column("c").to_pylist(), dtype=np.int64)
+        return pa.table({"c": pa.array([mat.sum(axis=0).tolist()],
+                                       pa.list_(pa.int64(), n_buckets))})
+
+    merged = (
+        ds.map_batches(block_counts, batch_format="pyarrow")
+        .map_batches(merge_counts, batch_size=merge_fanin,
+                     batch_format="pyarrow")
+    )
     total = np.zeros(n_buckets, dtype=np.float64)
-    for row in ds.map_batches(block_counts, batch_format="pyarrow").iter_rows():
+    for row in merged.iter_rows():
         total += np.asarray(row["c"], dtype=np.float64)
     return total
 

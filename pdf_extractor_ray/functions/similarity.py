@@ -2,7 +2,9 @@
 
 - ``ann_topk``: brute-force cosine top-k per batch against a BROADCAST
   query matrix (``ray.put`` once, numpy matmul per batch) → per-batch
-  local top-k → tiny global merge.  The baseline that always works.
+  local top-k → distributed grouped top-k merge (driver fan-in is
+  k × n_queries, block-count independent).  The baseline that always
+  works.
 - ``embedding_near_dups``: all-pairs cosine ≥ threshold via the same
   broadcast pattern (small-side fits memory at correctness scale; at
   100 TB swap the broadcast side for an IVF index, same stage shape).
@@ -17,6 +19,44 @@ import numpy as np
 import pyarrow as pa
 
 from .pool import pool_size
+
+
+_TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("sim", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def _finish_topk(local_ds, k: int, query_ids: List[int]) -> pa.Table:
+    """Distributed global merge of per-block local top-k tables.
+
+    Feeds the (query_id, vec_id, sim) partials through the grouped
+    partial top-k fold (``window.topk_per_group``: per-block trim →
+    per-query reduce), so the driver sees EXACTLY k × n_queries rows
+    regardless of block count.  Selection order matches the brute
+    contract: sim desc (unrounded), vec_id asc; sim rounded only in
+    the final output.
+    """
+    from .window import topk_per_group
+
+    top = topk_per_group(
+        local_ds, key="query_id", score_col="sim", tiebreak_col="vec_id", k=k
+    )
+    rows = sorted(top.take_all(), key=lambda r: (r["query_id"], r["rk"]))
+    out_rows = [
+        {
+            "query_id": query_ids[r["query_id"]],
+            "vec_id": r["vec_id"],
+            "sim": round(r["sim"], 4),
+            "rank": r["rk"],
+        }
+        for r in rows
+    ]
+    return pa.Table.from_pylist(out_rows, schema=_TOPK_SCHEMA)
 
 
 def _matrix(batch_col) -> np.ndarray:
@@ -36,8 +76,10 @@ def ann_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, query_ids: Optional[Li
     """Embeddings Dataset → top-k (query_id, vec_id, sim_rounded, rank).
 
     Per-batch brute force against the broadcast query matrix, local
-    top-k per batch, global merge on the driver (k × n_queries rows —
-    tiny).  sim is rounded for stable comparison.  ``query_ids`` maps
+    top-k per batch, then a DISTRIBUTED grouped top-k fold keyed on
+    query_id (per-block trim + per-query reduce) — the driver only
+    ever sees the final k × n_queries rows, independent of block
+    count.  sim is rounded for stable comparison.  ``query_ids`` maps
     matrix row index → reported query_id.
     """
     import ray
@@ -77,36 +119,10 @@ def ann_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, query_ids: Optional[Li
             }
         )
 
-    local = emb_ds.map_batches(local_topk, batch_format="pyarrow").take_all()
-    # global merge: per query, best k by (sim desc, vec_id asc)
-    rows = sorted(local, key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
-    out_rows = []
-    per_q = 0
-    last_q: Optional[int] = None
-    for r in rows:
-        if r["query_id"] != last_q:
-            last_q, per_q = r["query_id"], 0
-        if per_q < k:
-            out_rows.append(
-                {
-                    "query_id": query_ids[r["query_id"]],
-                    "vec_id": r["vec_id"],
-                    "sim": round(r["sim"], 4),
-                    "rank": per_q + 1,
-                }
-            )
-            per_q += 1
-    return pa.Table.from_pylist(
-        out_rows,
-        schema=pa.schema(
-            [
-                ("query_id", pa.int64()),
-                ("vec_id", pa.int64()),
-                ("sim", pa.float64()),
-                ("rank", pa.int64()),
-            ]
-        ),
-    )
+    local = emb_ds.map_batches(local_topk, batch_format="pyarrow")
+    # global merge: distributed grouped top-k fold — driver fan-in is
+    # k × n_queries rows, independent of block count.
+    return _finish_topk(local, k, query_ids)
 
 
 class MultiTableHyperplaneStage:
@@ -946,35 +962,8 @@ def pq_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, m: int = 8,
             }
         )
 
-    local = emb_ds.map_batches(local_topk, batch_format="pyarrow").take_all()
-    rows = sorted(local, key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
-    out_rows = []
-    per_q = 0
-    last_q = None
-    for r in rows:
-        if r["query_id"] != last_q:
-            last_q, per_q = r["query_id"], 0
-        if per_q < k:
-            out_rows.append(
-                {
-                    "query_id": query_ids[r["query_id"]],
-                    "vec_id": r["vec_id"],
-                    "sim": round(r["sim"], 4),
-                    "rank": per_q + 1,
-                }
-            )
-            per_q += 1
-    return pa.Table.from_pylist(
-        out_rows,
-        schema=pa.schema(
-            [
-                ("query_id", pa.int64()),
-                ("vec_id", pa.int64()),
-                ("sim", pa.float64()),
-                ("rank", pa.int64()),
-            ]
-        ),
-    )
+    local = emb_ds.map_batches(local_topk, batch_format="pyarrow")
+    return _finish_topk(local, k, query_ids)
 
 
 # ----------------------------------------------------------------- MMR

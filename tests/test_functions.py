@@ -818,3 +818,60 @@ def test_logreg_train_deterministic_and_learns(ray_session):
         wl = wl - 1.0 * (np.round(g * scale).astype(np.int64).sum(axis=0)
                          / scale) / n
     assert np.array_equal(w5, wl)
+
+
+def test_ann_topk_distributed_merge_parity(ray_session, sf_dir):
+    """The distributed grouped top-k merge must reproduce the driver-sort
+    merge exactly, independent of block count (VERDICT r3 item 1)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import ann_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = np.asarray([mat[0], mat[1], mat[2]])
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # old-merge semantics, reproduced locally: sim desc, vec_id asc, k=7
+    expect = []
+    for qi in range(3):
+        sims = nm @ qn[qi]
+        order = np.lexsort((ids, -sims))[:7]
+        expect.extend(
+            {"query_id": qi + 10, "vec_id": int(ids[i]),
+             "sim": round(float(sims[i]), 4), "rank": rk + 1}
+            for rk, i in enumerate(order)
+        )
+
+    for nblocks in (1, 16):
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).repartition(nblocks)
+        res = ann_topk(emb, queries, k=7, query_ids=[10, 11, 12]).to_pylist()
+        res.sort(key=lambda r: (r["query_id"], r["rank"]))
+        assert res == expect, f"nblocks={nblocks}"
+
+
+def test_dsir_fit_merge_level_parity(ray_session):
+    """fit_feature_counts with a tiny merge fan-in equals fan-in 64 and a
+    direct per-doc count (the tree-merge is a pure re-association)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dsir import (
+        _gram_bucket_idx,
+        fit_feature_counts,
+    )
+
+    texts = [f"doc {i} body words alpha beta gamma {i * 7}" for i in range(40)]
+    expect = np.zeros(64, dtype=np.float64)
+    for t in texts:
+        idx = _gram_bucket_idx(t, 4, 64)
+        expect += np.bincount(idx, minlength=64)
+
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(10)
+    for fanin in (2, 64):
+        got = fit_feature_counts(ds, k=4, n_buckets=64, merge_fanin=fanin)
+        assert np.array_equal(got, expect), f"fanin={fanin}"
