@@ -1463,11 +1463,20 @@ def extract_info(payload: bytes) -> Dict[str, Optional[str]]:
             return out
         num, gen = (ref.num, ref.gen) if isinstance(ref, Ref) else (0, 0)
         for key in _INFO_KEYS:
-            val = doc.resolve(info.get(key))
+            raw = info.get(key)
+            val = doc.resolve(raw)
             if isinstance(val, bytes):
                 if doc.security is not None:
+                    # strings decrypt with their CONTAINING object's
+                    # num/gen (PDF 32000-1 §7.6.2): a value that is an
+                    # indirect reference lives in ITS OWN object, not
+                    # the Info dict's
+                    knum, kgen = (
+                        (raw.num, raw.gen) if isinstance(raw, Ref)
+                        else (num, gen)
+                    )
                     try:
-                        val = doc.security.decrypt(num, gen, val)
+                        val = doc.security.decrypt(knum, kgen, val)
                     except Exception:
                         continue
                 out[key.lower()] = _decode_pdf_string(val)

@@ -245,6 +245,7 @@ def build_pdf(
     encrypt: "bool | str" = False,
     stream_filter: str = "flate",
     outline: "Sequence[str] | None" = None,
+    indirect_info: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF 1.4 file (correct xref).
 
@@ -361,7 +362,24 @@ def build_pdf(
             objects.append(b"".join(parts))
     info_ref = b""
     if info:
-        if fkey is not None:
+        if indirect_info:
+            # each Info VALUE is an indirect ref to a string object of
+            # its own — strings decrypt with the CONTAINING object's
+            # num/gen, so these must use the string object's key, not
+            # the Info dict's (PDF 32000-1 §7.6.2)
+            refs = {}
+            for key, val in info.items():
+                num = len(objects) + 1
+                s = _esc(str(val)).encode("latin-1")
+                if fkey is not None:
+                    ct = _encrypt_obj(fkey, num, s, aes)
+                    objects.append(b"<" + ct.hex().encode() + b">")
+                else:
+                    objects.append(b"(" + s + b")")
+                refs[key] = num
+            body = " ".join(f"/{k} {n} 0 R" for k, n in refs.items())
+            objects.append(f"<< {body} >>".encode())
+        elif fkey is not None:
             num = len(objects) + 1
             objects.append(_info_body(
                 info, cipher=lambda b, n=num: _encrypt_obj(fkey, n, b, aes)

@@ -12,7 +12,8 @@ dimension, the exchange is paid once at write time, not per query.
 - :func:`write_bucketed` needs NO shuffle either: every input block
   splits its own rows by bucket and appends a distinctly-named file
   under each ``bucket=i/`` directory (filename = content hash of the
-  block's keys → idempotent re-runs, same convention as the WET sink).
+  whole block → idempotent re-runs, same convention as the WET sink;
+  stale parts from prior runs are cleared at write start).
 - :func:`bucketed_join` maps over bucket IDS (one row each), so Ray
   schedules B independent co-bucketed joins with no all-to-all stage.
 - Bucketing uses :func:`joins._bucket_of` — the same vectorized
@@ -36,11 +37,20 @@ def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
     """Dataset → ``out_dir/bucket=i/part-<hash>.parquet`` with rows
     hash-bucketed by ``key_col``; NO shuffle (per-block split-append).
     Returns the written manifest Dataset ``(bucket, path, n_rows)`` —
-    consume it to force the write."""
+    consume it to force the write.
+
+    Filenames hash the FULL block contents (every column), so two
+    blocks with identical key sequences but different payloads never
+    collide; pre-existing ``part-*.parquet`` files are cleared at
+    plan-build time so a re-run with different block boundaries can't
+    leave stale parts mixed into the bucket dirs."""
     import pyarrow.parquet as pq
 
     for i in range(num_buckets):
-        os.makedirs(os.path.join(out_dir, f"bucket={i}"), exist_ok=True)
+        d = os.path.join(out_dir, f"bucket={i}")
+        os.makedirs(d, exist_ok=True)
+        for stale in glob.glob(os.path.join(d, "part-*.parquet")):
+            os.remove(stale)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -48,19 +58,17 @@ def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
                              "path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
         b = _bucket_of(batch.column(key_col), num_buckets)
-        batch = batch.append_column("__bkt", b)
-        # content hash of the block's key column via Arrow IPC bytes —
+        # content hash of the WHOLE block via Arrow IPC bytes —
         # C-level serialization, no per-value Python formatting
         import io
 
         import pyarrow.ipc as _ipc
 
         buf = io.BytesIO()
-        with _ipc.new_stream(
-            buf, pa.schema([("k", batch.column(key_col).type)])
-        ) as w:
-            w.write_table(pa.table({"k": batch.column(key_col)}))
+        with _ipc.new_stream(buf, batch.schema) as w:
+            w.write_table(batch)
         digest = hashlib.md5(buf.getvalue()).hexdigest()[:16]
+        batch = batch.append_column("__bkt", b)
         buckets, paths, rows = [], [], []
         bnp = np.asarray(b.to_numpy(zero_copy_only=False))
         for i in np.unique(bnp):
@@ -94,6 +102,25 @@ class _BucketJoiner:
         self.left_cols = list(left_cols)
         self.right_cols = list(right_cols)
         self.how = how
+        # discover side schemas ONCE per actor so null fills and empty
+        # outputs are TYPED — every bucket task must emit an identical
+        # schema or the downstream union of block outputs breaks
+        self.left_types = self._dir_types(left_dir)
+        self.right_types = self._dir_types(right_dir)
+
+    @staticmethod
+    def _dir_types(dirpath: str) -> dict:
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(dirpath, "bucket=*", "*.parquet"))
+        if not files:
+            return {}
+        schema = pq.read_schema(sorted(files)[0])
+        return {name: schema.field(name).type for name in schema.names}
+
+    def _null_col(self, col: str, n: int) -> pa.Array:
+        t = self.right_types.get(col)
+        return pa.nulls(n, t) if t is not None else pa.nulls(n)
 
     @staticmethod
     def _read(dirpath: str, bucket: int, cols: List[str]) -> pa.Table:
@@ -120,7 +147,7 @@ class _BucketJoiner:
                     continue
                 cols = {c: l.column(c) for c in self.left_cols}
                 for c in self.right_cols:
-                    cols[c] = pa.nulls(l.num_rows)
+                    cols[c] = self._null_col(c, l.num_rows)
                 out.append(pa.table(cols))
                 continue
             lk = l.column(self.key).to_numpy(zero_copy_only=False)
@@ -155,7 +182,14 @@ class _BucketJoiner:
             schema = t.schema
             out.append(t)
         if not out:
-            return pa.table({c: [] for c in (*self.left_cols, *self.right_cols)})
+            cols = {}
+            for c in self.left_cols:
+                t = self.left_types.get(c)
+                cols[c] = pa.array([], t) if t is not None else pa.array([])
+            for c in self.right_cols:
+                t = self.right_types.get(c)
+                cols[c] = pa.array([], t) if t is not None else pa.array([])
+            return pa.table(cols)
         return pa.concat_tables(out)
 
 
@@ -208,6 +242,14 @@ class _BucketAggregator:
         self.key = key_col
         self.aggs = list(aggs)
 
+    def _agg(self, t: pa.Table) -> pa.Table:
+        res = t.group_by(self.key).aggregate(
+            [(c, f) for c, f, _o in self.aggs]
+        )
+        return res.rename_columns(
+            [self.key] + [o for _c, _f, o in self.aggs]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc  # noqa: F401 (group_by kernels)
 
@@ -217,14 +259,16 @@ class _BucketAggregator:
             t = _BucketJoiner._read(self.dir, bucket, cols)
             if t is None or not t.num_rows:
                 continue
-            res = t.group_by(self.key).aggregate(
-                [(c, f) for c, f, _o in self.aggs]
-            )
-            res = res.rename_columns(
-                [self.key] + [o for _c, _f, o in self.aggs]
-            )
-            out.append(res)
+            out.append(self._agg(t))
         if not out:
+            # TYPED empty output: run the same aggregate over a typed
+            # zero-row table so every bucket task's schema is identical
+            types = _BucketJoiner._dir_types(self.dir)
+            if types:
+                empty = pa.table(
+                    {c: pa.array([], types[c]) for c in cols if c in types}
+                )
+                return self._agg(empty)
             names = [self.key] + [o for _c, _f, o in self.aggs]
             return pa.table({n: [] for n in names})
         return pa.concat_tables(out)

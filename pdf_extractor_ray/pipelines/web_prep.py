@@ -28,25 +28,38 @@ import pyarrow as pa
 
 
 def _hash_part(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Attach the FULL 128-bit md5 of extracted_text as two int64
+    columns (``__wh`` high half — also the partition key — and
+    ``__wl`` low half).  Partitioning only needs 64 bits, but the
+    exact-dedup contract compares all 128: a 64-bit birthday collision
+    is expected at ~1e9+ docs and must not merge distinct texts."""
     texts = batch.column("extracted_text").to_pylist()
     digs = [hashlib.md5((t or "").encode("utf-8")).digest() for t in texts]
-    h = np.frombuffer(b"".join(d[:8] for d in digs), dtype=np.uint64) if digs \
-        else np.zeros(0, dtype=np.uint64)
+    if digs:
+        both = np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(-1, 2)
+        h, lo = both[:, 0].copy(), both[:, 1].copy()
+    else:
+        h = lo = np.zeros(0, dtype=np.uint64)
     part = (h % np.uint64(num_partitions)).astype(np.int32)
-    return batch.append_column(
-        "__wh", pa.array(h.astype(np.int64), pa.int64())
-    ).append_column("__wpart", pa.array(part, pa.int32()))
+    return (
+        batch.append_column("__wh", pa.array(h.astype(np.int64), pa.int64()))
+        .append_column("__wl", pa.array(lo.astype(np.int64), pa.int64()))
+        .append_column("__wpart", pa.array(part, pa.int32()))
+    )
 
 
 def _survivor_fold(group: pa.Table) -> pa.Table:
     urls = np.asarray(group.column("url").to_pylist())
     h = group.column("__wh").to_numpy(zero_copy_only=False)
-    order = np.lexsort((urls, h))
-    sh = h[order]
-    starts = np.nonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))[0]
-    keep_idx = order[starts]  # min url within each distinct hash
+    lo = group.column("__wl").to_numpy(zero_copy_only=False)
+    order = np.lexsort((urls, lo, h))
+    sh, sl = h[order], lo[order]
+    starts = np.nonzero(
+        np.concatenate([[True], (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+    )[0]
+    keep_idx = order[starts]  # min url within each distinct 128-bit digest
     out = group.take(pa.array(np.sort(keep_idx)))
-    return out.drop_columns(["__wh", "__wpart"])
+    return out.drop_columns(["__wh", "__wl", "__wpart"])
 
 
 def web_prep_pipeline(pages_ds, min_words: int = 30, num_partitions: int = 32):

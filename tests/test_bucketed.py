@@ -117,3 +117,74 @@ def test_bucketed_left_join(ray_session, tmp_path):
         for k, lv, rv in out.itertuples(index=False)
     )
     assert got == [(1, "a", None), (2, "b", "x"), (3, "c", None)]
+
+
+def test_bucketed_write_same_keys_different_payloads(ray_session, tmp_path):
+    """Two blocks with IDENTICAL key sequences but different non-key
+    values must both land on disk (filename hashes the whole block,
+    not just the key column — ADVICE r3)."""
+    import ray.data
+
+    t1 = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "v": pa.array(["a", "b", "c"], pa.string())})
+    t2 = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "v": pa.array(["d", "e", "f"], pa.string())})
+    ds = ray.data.from_arrow([t1, t2])  # two blocks, same hot key
+    out = str(tmp_path / "hot")
+    man = _write(ds, "k", out, 4)
+    assert man["n_rows"].sum() == 6
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_metadata(f).num_rows
+               for f in _g.glob(f"{out}/bucket=*/*.parquet"))
+    assert rows == 6
+
+
+def test_bucketed_write_clears_stale_parts(ray_session, tmp_path):
+    """A re-run with different block boundaries must not leave prior
+    parts duplicating rows."""
+    import glob as _g
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pa.table({"k": pa.array(list(range(12)), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(12)], pa.string())})
+    out = str(tmp_path / "re")
+    _write(ray.data.from_arrow(t).repartition(3), "k", out, 4)
+    _write(ray.data.from_arrow(t).repartition(5), "k", out, 4)
+    rows = sum(pq.read_metadata(f).num_rows
+               for f in _g.glob(f"{out}/bucket=*/*.parquet"))
+    assert rows == 12  # not 24
+
+
+def test_bucketed_left_join_empty_bucket_typed_nulls(ray_session, tmp_path):
+    """Left join where some buckets have NO right-side files must emit
+    properly typed right columns in every task (no null-type columns)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.bucketed import bucketed_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(16)), pa.int64()),
+        "lv": pa.array([f"l{i}" for i in range(16)], pa.string()),
+    }))
+    # right side covers only ONE key → most buckets empty on the right
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([3], pa.int64()),
+        "rv": pa.array([7], pa.int64()),
+    }))
+    nb = 8
+    _write(left, "k", str(tmp_path / "l"), nb)
+    _write(right, "rk", str(tmp_path / "r"), nb)
+    joined = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"), "k",
+                           ["k", "lv"], ["rv"], right_key="rk",
+                           num_buckets=nb, how="left")
+    sch = joined.schema()
+    assert str(sch.base_schema.field("rv").type) == "int64"
+    df = joined.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(df) == 16
+    assert df.loc[df["k"] == 3, "rv"].iloc[0] == 7
+    assert df.loc[df["k"] != 3, "rv"].isna().all()

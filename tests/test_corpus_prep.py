@@ -231,3 +231,63 @@ def test_run_web_prep_job_emit_wet(ray_session, tmp_path):
     assert m["wet_records"] == m["survivors"] == 1
     back = texts_from_wet([m["wet_output"]]).to_pandas()
     assert back.text.tolist() == [long]
+
+
+def test_survivor_fold_distinguishes_prefix_collisions():
+    """Two DIFFERENT texts whose 64-bit md5 prefixes collide must BOTH
+    survive: the fold compares the full 128-bit digest (__wh, __wl),
+    not just the partition prefix (ADVICE r3, medium)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.web_prep import _survivor_fold
+
+    group = pa.table(
+        {
+            "url": ["b.com", "a.com", "c.com"],
+            "extracted_text": ["textA", "textA-dup", "textB"],
+            "n_words": [5, 5, 5],
+            # rows 0 and 1: same 64-bit prefix, DIFFERENT low half →
+            # distinct digests, both must survive. row 2: true dup of
+            # nothing (unique digest).
+            "__wh": pa.array([7, 7, 9], pa.int64()),
+            "__wl": pa.array([100, 200, 300], pa.int64()),
+            "__wpart": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    out = _survivor_fold(group)
+    assert out.num_rows == 3
+    assert "__wl" not in out.column_names
+
+    # and a TRUE duplicate (identical 128-bit digest) still collapses
+    # to the min url
+    group2 = pa.table(
+        {
+            "url": ["b.com", "a.com"],
+            "extracted_text": ["same", "same"],
+            "n_words": [5, 5],
+            "__wh": pa.array([7, 7], pa.int64()),
+            "__wl": pa.array([100, 100], pa.int64()),
+            "__wpart": pa.array([0, 0], pa.int32()),
+        }
+    )
+    out2 = _survivor_fold(group2)
+    assert out2.num_rows == 1
+    assert out2.column("url").to_pylist() == ["a.com"]
+
+
+def test_hash_part_carries_full_digest():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.web_prep import _hash_part
+
+    batch = pa.table({"url": ["u1"], "extracted_text": ["hello world"],
+                      "n_words": [2]})
+    out = _hash_part(batch, 32)
+    dig = hashlib.md5(b"hello world").digest()
+    h, lo = np.frombuffer(dig, dtype=np.uint64)
+    assert out.column("__wh").to_pylist() == [int(h.astype(np.int64))]
+    assert out.column("__wl").to_pylist() == [int(lo.astype(np.int64))]

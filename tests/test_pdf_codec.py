@@ -331,3 +331,20 @@ def test_extract_outline_order_and_encryption():
         assert extract_outline(pdf) == ["Intro", "Methods", "Results"], enc
     assert extract_outline(build_pdf(p)) == []
     assert extract_outline(b"junk") == []
+
+
+def test_extract_info_indirect_string_values_encrypted():
+    """Info values stored as indirect refs to string objects decrypt
+    with the STRING object's num/gen, not the Info dict's (PDF 32000-1
+    §7.6.2; ADVICE r3). Covers plain, RC4 and AESV2."""
+    from pdf_extractor_ray.codecs.pdf_codec import extract_info
+    from pdf_extractor_ray.fixtures.pdf_build import PdfPage, build_pdf
+
+    info = {"Title": "Indirect T", "Author": "Ind A"}
+    pages = [PdfPage(texts=[(72.0, 720.0, 12.0, "x")])]
+    for enc in (False, True, "aes"):
+        payload = build_pdf(pages, info=info, encrypt=enc,
+                            indirect_info=True)
+        got = extract_info(payload)
+        assert got["title"] == "Indirect T", f"encrypt={enc}"
+        assert got["author"] == "Ind A", f"encrypt={enc}"
