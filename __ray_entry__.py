@@ -1192,12 +1192,26 @@ def _q_bpe_token_count(sf_dir: str):
     )
 
 
+_ENTITY_PARSER = None
+
+
+def _entity_parser():
+    """Compile-once-per-worker-process EntityParser (the _STAGES
+    warm-state pattern from pipelines/extraction.py:46 — never
+    construct pattern banks inside a per-batch function)."""
+    global _ENTITY_PARSER
+    if _ENTITY_PARSER is None:
+        from pdf_extractor_ray.parsers.standard import EntityParser
+
+        _ENTITY_PARSER = EntityParser()
+    return _ENTITY_PARSER
+
+
 def _q_structured_parse(sf_dir: str):
     """M10 structured-data parse: word/line counts per document."""
-    from pdf_extractor_ray.parsers.standard import EntityParser
 
     def parse(batch: pa.Table) -> pa.Table:
-        parser = EntityParser()
+        parser = _entity_parser()
         words, lines = [], []
         for t in batch.column("text").to_pylist():
             d = parser.parse_structured_data(t or "")
