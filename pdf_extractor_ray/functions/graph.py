@@ -102,13 +102,18 @@ def _local_components(edges) -> pa.Table:
 
 
 def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
-                         max_iter: int = 50, local_max_edges: int = 2_000_000):
+                         max_iter: int = 50, local_max_edges: int = 2_000_000,
+                         local_max_bytes: int = 256 << 20):
     """Label every node of the pair graph with the minimum node id of
     its connected component. Returns a Dataset ``(node, component)``
     with one row per distinct node appearing in ``pairs_ds``.
 
-    Size-gated plan selection on the EXACT count of the pinned edge
-    table (not a guess): at or below ``local_max_edges`` the edges are
+    Size-gated plan selection on the EXACT count AND EXACT byte size
+    of the pinned edge table (both are metadata of the materialized
+    table — not a guess): at or below ``local_max_edges`` rows and
+    ``local_max_bytes`` (default 256 MiB — the edge table is already
+    canonicalized to pure int64 pairs, but the byte gate makes the
+    driver-memory bound explicit rather than inferred) the edges are
     collected and a driver union-find answers in one pass — the
     "broadcast the small side" rule applied to graphs (a distributed
     round costs seconds of join/task overhead that a 10^6-edge
@@ -146,7 +151,7 @@ def connected_components(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
                 }
             )
         )
-    if n_edges <= local_max_edges:
+    if n_edges <= local_max_edges and edges.size_bytes() <= local_max_bytes:
         import ray.data
 
         return ray.data.from_arrow(_local_components(edges))
@@ -326,7 +331,8 @@ def _local_pagerank(edges_t: pa.Table, damping: float, iters: int):
 
 def pagerank(edges_ds, col_src: str = "src", col_dst: str = "dst",
              damping: float = 0.85, iters: int = 20,
-             local_max_edges: int = 2_000_000):
+             local_max_edges: int = 2_000_000,
+             local_max_bytes: int = 256 << 20):
     """PageRank over an (src, dst) int64 edge list — FIXED ``iters``
     power iterations (deterministic, oracle-free-testable), dangling
     mass redistributed uniformly, ranks always summing to 1.
@@ -369,7 +375,7 @@ def pagerank(edges_ds, col_src: str = "src", col_dst: str = "dst",
             pa.table({"node": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.float64())})
         )
-    if n_edges <= local_max_edges:
+    if n_edges <= local_max_edges and edges.size_bytes() <= local_max_bytes:
         import ray
 
         tabs = [t for t in (ray.get(r) for r in edges.to_arrow_refs())
@@ -522,7 +528,8 @@ def _local_bfs(edges, sources) -> pa.Table:
 
 def bfs_depths(edges_ds, sources, col_src: str = "src",
                col_dst: str = "dst", max_depth: int = 64,
-               local_max_edges: int = 2_000_000):
+               local_max_edges: int = 2_000_000,
+               local_max_bytes: int = 256 << 20):
     """Minimum hop count from a seed set over a DIRECTED edge list —
     crawl-depth analysis (how deep below the seeds every reachable
     page sits), single-source shortest paths on an unweighted graph.
@@ -565,7 +572,7 @@ def bfs_depths(edges_ds, sources, col_src: str = "src",
             "depth": pa.array([0] * len({int(s) for s in sources}), pa.int64()),
         }
     )
-    if n_edges <= local_max_edges:
+    if n_edges <= local_max_edges and edges.size_bytes() <= local_max_bytes:
         return ray.data.from_arrow(_local_bfs(edges, seed_tab.column("node").to_pylist()))
 
     parts = int(min(256, max(8, n_edges // 100_000)))
@@ -627,7 +634,8 @@ def _local_hits(edges_t: pa.Table, iters: int):
 
 
 def hits(edges_ds, col_src: str = "src", col_dst: str = "dst",
-         iters: int = 20, local_max_edges: int = 2_000_000):
+         iters: int = 20, local_max_edges: int = 2_000_000,
+         local_max_bytes: int = 256 << 20):
     """HITS hubs & authorities over an (src, dst) int64 edge list —
     FIXED ``iters`` mutual-reinforcement rounds with L2 normalization
     (Kleinberg 1999), the complement of PageRank for link analysis
@@ -662,7 +670,7 @@ def hits(edges_ds, col_src: str = "src", col_dst: str = "dst",
             "hub": pa.array([], pa.float64()),
             "authority": pa.array([], pa.float64()),
         }))
-    if n_edges <= local_max_edges:
+    if n_edges <= local_max_edges and edges.size_bytes() <= local_max_bytes:
         nodes, hub, auth = _local_hits(
             pa.concat_tables(
                 [t for t in ( __import__("ray").get(r)
