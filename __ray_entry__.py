@@ -4387,6 +4387,257 @@ def _q_containment_dups(sf_dir: str):
     return containment_pairs(_docs(sf_dir), threshold=0.6, k=3)
 
 
+def _q_table_items(sf_dir: str):
+    """M8 table→items parser, FULL-VALUE oracled: the synthetic corpus
+    plants construction tables by pure doc_id formula
+    (sources/corpus.py _construction_rows / _html_doc / _pdf_doc), so
+    the expected item rows are SQL-reconstructible from doc_id alone —
+    the cascade's table path checked end-to-end (transport decode →
+    table extraction → item rows) against an independent oracle."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.pipelines.extraction import items_pipeline
+
+    ds = items_pipeline(_pages(sf_dir))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("table_number")))
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "fixture_type": t.column("fixture_type"),
+                "qty_int": t.column("qty_int").cast(pa.int64()),
+                "model_number": t.column("model_number"),
+                "dimensions": t.column("dimensions"),
+                "mounting_type": t.column("mounting_type"),
+                "spec_reference": t.column("spec_reference"),
+                "page_number": t.column("page_number").cast(pa.int64()),
+                "table_number": t.column("table_number").cast(pa.int64()),
+                "row_num": t.column("row_number").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _table_items_sql() -> str:
+    """Oracle generated from the corpus constants (the _langid_oracles
+    pattern): eligible docs and all six item fields are closed-form in
+    doc_id."""
+    from pdf_extractor_ray.sources.corpus import (
+        _DIMS,
+        _FIXTURES,
+        _MODELS,
+        _MOUNTS,
+        _SPECS,
+    )
+
+    def lst(xs) -> str:
+        return "[" + ", ".join(
+            "'" + x.replace("'", "''") + "'" for x in xs
+        ) + "]"
+
+    return f"""
+        WITH ids AS (
+            SELECT doc_id AS d FROM documents
+            WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+              AND ( (doc_id % 10 <> 7 AND doc_id % 5 = 0)
+                 OR (doc_id % 10 = 7 AND doc_id % 97 <> 0
+                     AND doc_id % 40 <> 17 AND (doc_id // 10) % 4 = 2) )
+        ), rws AS (
+            SELECT d, r, d + r AS k FROM ids
+            CROSS JOIN (VALUES (0), (1), (2)) AS t(r)
+        )
+        SELECT printf('https://example.org/%04d/%09d', d % 1000, d) AS url,
+               {lst(_FIXTURES)}[(k % {len(_FIXTURES)}) + 1] AS fixture_type,
+               CAST((k % 9) + 1 AS BIGINT) AS qty_int,
+               {lst(_MODELS)}[(k % {len(_MODELS)}) + 1] AS model_number,
+               {lst(_DIMS)}[(k % {len(_DIMS)}) + 1] AS dimensions,
+               {lst(_MOUNTS)}[(k % {len(_MOUNTS)}) + 1] AS mounting_type,
+               {lst(_SPECS)}[(k % {len(_SPECS)}) + 1] AS spec_reference,
+               CAST(1 AS BIGINT) AS page_number,
+               CAST(1 AS BIGINT) AS table_number,
+               CAST(r + 1 AS BIGINT) AS row_num
+        FROM rws
+    """
+
+
+def _q_hll_users_bound(sf_dir: str):
+    """HLL estimate vs the distributed EXACT distinct, reduced to a
+    DRIVER-ORACLED row: the oracle asserts the exact count (pure SQL)
+    and ``hll_within_bound = TRUE`` — the hash matches iff the Ray-side
+    exact agrees AND the sketch honors its error bound (p=12 → σ≈1.6%;
+    gated at 5%). The raw estimate stays available as
+    ``approx_distinct_users``."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    n_exact = partition_fold(
+        ds, ["user_id"], "user_id", fn="count", out_val="n"
+    ).count()
+    ok = n_exact > 0 and abs(est - n_exact) / n_exact <= 0.05
+    return pa.table(
+        {
+            "n_exact_users": pa.array([n_exact], pa.int64()),
+            "hll_within_bound": pa.array([bool(ok)], pa.bool_()),
+        }
+    )
+
+
+def _q_hll_by_type_bound(sf_dir: str):
+    """Grouped-HLL bound check, driver-oracled per event_type (same
+    contract as ``_q_hll_users_bound``); the raw grouped estimates
+    stay available as ``approx_users_by_type``."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import exact_distinct_by
+    from pdf_extractor_ray.functions.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    est_t = approx_distinct_by(ds, "event_type", "user_id", p=12)
+    est = dict(zip(est_t.column("event_type").to_pylist(),
+                   est_t.column("approx_distinct").to_pylist()))
+    ex_t = exact_distinct_by(ds, "event_type", "user_id")
+    exact = sorted(zip(ex_t.column("event_type").to_pylist(),
+                       ex_t.column("n_distinct").to_pylist()))
+    return pa.table(
+        {
+            "event_type": pa.array([t for t, _ in exact], pa.string()),
+            "n_exact": pa.array([n for _, n in exact], pa.int64()),
+            "hll_ok": pa.array(
+                [n > 0 and abs(est.get(t, 0) - n) / n <= 0.05
+                 for t, n in exact],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+def _q_cms_counts_bound(sf_dir: str):
+    """Count-Min guarantee as a driver-oracled row: never underestimates
+    (hard), ε·N overcount bound as a RATE over keys (≤5% violators —
+    the per-key bound is probabilistic, P(viol) ≤ e^-depth). The oracle
+    asserts the exact key/event totals and ``cms_ok = TRUE``."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.sketch import cms_build, cms_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cms = cms_build(ds, "user_id", width=1 << 17)
+    exact = partition_fold(
+        ds, ["user_id"], "user_id", fn="count", out_val="n_events"
+    ).to_pandas()
+    est = cms_estimate(cms, exact["user_id"].to_numpy())
+    n_total = int(exact["n_events"].sum())
+    eps_n = max(1, int(np.e / cms.shape[1] * n_total))
+    over = est - exact["n_events"].to_numpy()
+    ok = bool((over >= 0).all() and float((over > eps_n).mean()) <= 0.05)
+    return pa.table(
+        {
+            "n_keys": pa.array([len(exact)], pa.int64()),
+            "n_events": pa.array([n_total], pa.int64()),
+            "cms_ok": pa.array([ok], pa.bool_()),
+        }
+    )
+
+
+def _q_value_quantiles_bound(sf_dir: str):
+    """Histogram-quantile guarantee as driver-oracled rows: for each q,
+    the rank of the returned value must sit within the mass of the bin
+    that contains the true quantile — checked distributedly (one
+    vectorized counting pass; the ±2·width window covers the bin
+    wherever the interpolated value landed in it). The raw estimates
+    stay available as ``approx_value_quantiles``."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.sketch import approx_quantiles
+
+    n_bins = 4096
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qt = approx_quantiles(ds, "value", qs=(0.25, 0.5, 0.75, 0.9),
+                          n_bins=n_bins)
+    qs = qt.column("q").to_pylist()
+    vs = np.asarray(qt.column("value").to_pylist(), dtype=np.float64)
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min("value"), Max("value"))
+    width = (float(mm["max(value)"]) - float(mm["min(value)"])) / n_bins
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
+        le = [int((v <= x).sum()) for x in vs]
+        win = [int(((v > x - 2 * width) & (v <= x + 2 * width)).sum())
+               for x in vs]
+        return pa.table(
+            {
+                "le": pa.array([le], pa.list_(pa.int64(), len(vs))),
+                "win": pa.array([win], pa.list_(pa.int64(), len(vs))),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    le = np.zeros(len(vs), dtype=np.int64)
+    win = np.zeros(len(vs), dtype=np.int64)
+    n = 0
+    for row in ds.map_batches(counts, batch_format="pyarrow").iter_rows():
+        le += np.asarray(row["le"], dtype=np.int64)
+        win += np.asarray(row["win"], dtype=np.int64)
+        n += row["n"]
+    ok = [bool(abs(le[i] - qs[i] * n) <= win[i] + 2) for i in range(len(vs))]
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+def _q_doc_compression_profile(sf_dir: str):
+    """zlib redundancy signal reduced to a driver-oracled row per doc:
+    ``n_bytes`` is exact SQL (octet_length of the UTF-8 text) and
+    ``zlib_ok`` asserts the codec invariants (compressed ≤ raw + 64,
+    published ratio consistent with the pair, empty → (0, 1.0)). The
+    raw (n_compressed, ratio) stay available as
+    ``doc_compression_ratio``."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.text import compression_ratio
+
+    def profile(batch: pa.Table) -> pa.Table:
+        t = compression_ratio(batch)
+        raw = t.column("n_bytes").to_numpy(zero_copy_only=False)
+        comp = t.column("n_compressed").to_numpy(zero_copy_only=False)
+        ratio = t.column("ratio").to_numpy(zero_copy_only=False)
+        expect = np.where(
+            raw > 0,
+            np.floor(comp / np.maximum(raw, 1) * 1e6 + 0.5) / 1e6,
+            1.0,
+        )
+        ok = (
+            (comp <= raw + 64)
+            & (ratio == expect)
+            & ((raw > 0) == (comp > 0))
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bytes": t.column("n_bytes"),
+                "zlib_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(profile, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -4449,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kv_pairs": _q_kv_pairs,
         # construction summary + enrich-merge (G2, J1-J3)
         "items_summary": _q_items_summary,
+        "table_items": _q_table_items,
         "merge_items": _q_merge_items,
         # multimodal (image/audio/video binary columns)
         "media_meta_stats": _q_media_meta_stats,
@@ -4468,6 +4720,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_orders_window": _q_repeat_orders_window,
         "orders_price_bands": _q_orders_price_bands,
         "approx_distinct_users": _q_approx_distinct_users,
+        # sketch guarantees reduced to driver-oracled rows (exact side
+        # computed distributedly in-query; oracle asserts exact + TRUE)
+        "hll_users_bound": _q_hll_users_bound,
+        "hll_by_type_bound": _q_hll_by_type_bound,
+        "cms_counts_bound": _q_cms_counts_bound,
+        "value_quantiles_bound": _q_value_quantiles_bound,
+        "doc_compression_profile": _q_doc_compression_profile,
         # corpus statistics / windows / multimodal dedup (round 2)
         "top_bigrams": _q_top_bigrams,
         "quantiles_chars": _q_quantiles_chars,
@@ -5143,6 +5402,42 @@ def _langid_oracles() -> "dict[str, str]":
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "table_items": _table_items_sql(),
+        "hll_users_bound": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+                   TRUE AS hll_within_bound
+            FROM events
+        """,
+        "hll_by_type_bound": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "cms_counts_bound": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   TRUE AS cms_ok
+            FROM events
+        """,
+        "value_quantiles_bound": """
+            SELECT * FROM (VALUES (0.25, TRUE), (0.5, TRUE),
+                                  (0.75, TRUE), (0.9, TRUE))
+            AS t(q, within_bound)
+        """,
+        "doc_compression_profile": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS n_bytes,
+                   TRUE AS zlib_ok
+            FROM documents
+        """,
+        "top_tokens_approx": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
+        """,
         "train_split": _split_sql(),
         "lang_rebalance": """
             WITH c AS (
