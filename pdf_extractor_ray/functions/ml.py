@@ -27,11 +27,22 @@ import pyarrow as pa
 
 def logreg_train(ds, feature_cols: Sequence[str], label_col: str,
                  lr: float = 0.5, iters: int = 30,
-                 scale: int = 1 << 20) -> "np.ndarray":
+                 scale: int = 1 << 20,
+                 local_max_rows: int = 1_000_000,
+                 local_max_bytes: int = 256 << 20) -> "np.ndarray":
     """Train w (len = n_features + 1, bias last) minimizing logistic
     loss over ``ds`` — deterministic by integer-quantized gradient
     folds.  Features are used as-is; standardize upstream if needed.
-    Returns the final float64 weight vector."""
+    Returns the final float64 weight vector.
+
+    Size-gated like the graph family (exact count AND exact bytes of
+    the materialized feature table): under the gate the feature matrix
+    is collected once and the ``iters`` GD steps run locally with the
+    SAME int64 gradient quantization — bit-identical weights by
+    construction (integer sums are order-independent), without paying
+    ``iters`` full Dataset-execution overheads on a table that fits in
+    one numpy array.  Above the gate each iteration is one distributed
+    quantized-gradient fold over a block-compacted table."""
     from ray.data.aggregate import Count, Sum
 
     feats = list(feature_cols)
@@ -41,6 +52,35 @@ def logreg_train(ds, feature_cols: Sequence[str], label_col: str,
     if n == 0:
         raise ValueError("logreg_train: empty input")
     w = np.zeros(d + 1, dtype=np.float64)
+
+    if n <= local_max_rows and tbl.size_bytes() <= local_max_bytes:
+        import ray
+
+        tabs = [t for t in (ray.get(r) for r in tbl.to_arrow_refs())
+                if t.num_rows]
+        full = pa.concat_tables(tabs)
+        x = np.stack([
+            full.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in feats
+        ], axis=1)
+        y = full.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        for _ in range(iters):
+            z = x @ w[:d] + w[d]
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            g = np.concatenate([x * err[:, None], err[:, None]], axis=1)
+            q = np.round(g * scale).astype(np.int64)
+            gsum = q.sum(axis=0).astype(np.float64) / scale
+            w = w - lr * gsum / n
+        return w
+
+    # distributed path: consolidate reader-inherited tiny blocks ONCE —
+    # the table is re-mapped every iteration, so per-block task
+    # overhead multiplies by iters (same rationale as the graph loops)
+    if tbl.num_blocks() > 32:
+        target = int(max(16, tbl.size_bytes() // (32 << 20)))
+        tbl = tbl.repartition(target).materialize()
 
     for _ in range(iters):
         w_cap = w.copy()

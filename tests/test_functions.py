@@ -875,3 +875,25 @@ def test_dsir_fit_merge_level_parity(ray_session):
     for fanin in (2, 64):
         got = fit_feature_counts(ds, k=4, n_buckets=64, merge_fanin=fanin)
         assert np.array_equal(got, expect), f"fanin={fanin}"
+
+
+def test_logreg_local_gate_bitidentical_to_distributed(ray_session):
+    """The size-gated local GD path must produce BIT-identical weights
+    to the distributed quantized-gradient fold (int64 sums are
+    order-independent, so parity is by construction — pinned here)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.ml import logreg_train
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(400, 2)
+    y = (x[:, 0] + 0.5 * x[:, 1] > 0).astype(np.int64)
+    t = pa.table({"a": pa.array(x[:, 0]), "b": pa.array(x[:, 1]),
+                  "y": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    w_local = logreg_train(ds, ["a", "b"], "y", lr=1.0, iters=12)
+    w_dist = logreg_train(
+        ray.data.from_arrow(t).repartition(7), ["a", "b"], "y",
+        lr=1.0, iters=12, local_max_rows=0,  # force the distributed path
+    )
+    assert np.array_equal(w_local, w_dist)
