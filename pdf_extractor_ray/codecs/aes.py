@@ -164,15 +164,21 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 # test-support: forward cipher (CBC encrypt) so fixtures can author
-# AES-encrypted PDFs without external libraries
+# AES-encrypted PDFs without external libraries. GF multiplies come
+# from 256-entry tables — the bit-loop _mul dominated fixture
+# synthesis (~11 ms per AES document) before.
+_MUL2 = [_mul(x, 2) for x in range(256)]
+_MUL3 = [_mul(x, 3) for x in range(256)]
+
+
 def _mix_columns(s: List[int]) -> List[int]:
     out = [0] * 16
     for c in range(4):
-        col = s[4 * c : 4 * c + 4]
-        out[4 * c + 0] = _mul(col[0], 2) ^ _mul(col[1], 3) ^ col[2] ^ col[3]
-        out[4 * c + 1] = col[0] ^ _mul(col[1], 2) ^ _mul(col[2], 3) ^ col[3]
-        out[4 * c + 2] = col[0] ^ col[1] ^ _mul(col[2], 2) ^ _mul(col[3], 3)
-        out[4 * c + 3] = _mul(col[0], 3) ^ col[1] ^ col[2] ^ _mul(col[3], 2)
+        a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+        out[4 * c + 0] = _MUL2[a0] ^ _MUL3[a1] ^ a2 ^ a3
+        out[4 * c + 1] = a0 ^ _MUL2[a1] ^ _MUL3[a2] ^ a3
+        out[4 * c + 2] = a0 ^ a1 ^ _MUL2[a2] ^ _MUL3[a3]
+        out[4 * c + 3] = _MUL3[a0] ^ a1 ^ a2 ^ _MUL2[a3]
     return out
 
 
