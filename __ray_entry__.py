@@ -4638,6 +4638,53 @@ def _q_doc_compression_profile(sf_dir: str):
     return _docs(sf_dir).map_batches(profile, batch_format="pyarrow")
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-smoothed multilingual mixture (n^0.5 smoothing,
+    mBERT/XLM): the largest language keeps 200 docs, the rest
+    floor(200·sqrt(n/n_max)) — deterministic md5 order, float-parity
+    targets (single division + sqrt, no cross-group float sum)."""
+    from pdf_extractor_ray.functions.mix import temperature_mix
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    return temperature_mix(ds, "lang", "doc_id", alpha=0.5, max_take=200)
+
+
+def _q_winsorize_chars(sf_dir: str):
+    """Per-language winsorization of document length: clip n_chars to
+    each language's own quantile_disc [p5, p95] band — float-exact
+    (thresholds are data values, clipping is min/max)."""
+    from pdf_extractor_ray.functions.agg import winsorize_by
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return winsorize_by(ds, "lang", "n_chars", "doc_id")
+
+
+def _q_nfc_normalize_docs(sf_dir: str):
+    """Unicode NFC normalization: decompose every 'e' into
+    e + COMBINING ACUTE in-query (deterministic), then canonical-compose
+    back — the pre-hash normalization step for multilingual dedup. The
+    oracle composes the same pairs with a plain replace to the
+    precomposed character."""
+    from pdf_extractor_ray.functions.text import nfc_normalize
+
+    def decompose(batch: pa.Table) -> pa.Table:
+        texts = [
+            (t or "").replace("e", "e\u0301")  # decomposed: e + COMBINING ACUTE
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        decompose, batch_format="pyarrow"
+    )
+    return nfc_normalize(ds).select_columns(["doc_id", "text_nfc", "changed"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -4723,6 +4770,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch guarantees reduced to driver-oracled rows (exact side
         # computed distributedly in-query; oracle asserts exact + TRUE)
         "hll_users_bound": _q_hll_users_bound,
+        # corpus-mixture / normalization additions (round 4)
+        "temperature_mix_docs": _q_temperature_mix,
+        "winsorize_chars": _q_winsorize_chars,
+        "nfc_normalize_docs": _q_nfc_normalize_docs,
         "hll_by_type_bound": _q_hll_by_type_bound,
         "cms_counts_bound": _q_cms_counts_bound,
         "value_quantiles_bound": _q_value_quantiles_bound,
@@ -5403,6 +5454,41 @@ def _langid_oracles() -> "dict[str, str]":
 def oracle_sql() -> dict[str, str]:
     return {
         "table_items": _table_items_sql(),
+        "temperature_mix_docs": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+                 m AS (SELECT max(n) AS n_max FROM c),
+                 t AS (SELECT lang,
+                              CAST(floor(200 * round(
+                                  sqrt(CAST(n AS DOUBLE) / n_max), 9
+                              ) + 1e-9) AS BIGINT) AS tgt
+                       FROM c, m),
+                 r AS (SELECT doc_id, lang,
+                              row_number() OVER (
+                                  PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+                       FROM documents)
+            SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+            WHERE r.rn <= t.tgt
+        """,
+        "winsorize_chars": """
+            WITH t AS (
+                SELECT lang,
+                       quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(least(greatest(d.n_chars, t.lo), t.hi) AS BIGINT)
+                       AS n_chars_w
+            FROM documents d JOIN t USING (lang)
+        """,
+        "nfc_normalize_docs": """
+            SELECT doc_id,
+                   replace(text, 'e', chr(233)) AS text_nfc,
+                   contains(text, 'e') AS changed
+            FROM documents
+        """,
         "hll_users_bound": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
                    TRUE AS hll_within_bound

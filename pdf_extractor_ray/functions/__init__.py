@@ -131,3 +131,6 @@ from .joins import broadcast_cross_join  # noqa: F401
 from .window import cohort_retention, transition_counts  # noqa: F401
 from .agg import trimmed_mean_by  # noqa: F401
 from .dedup import containment_pairs  # noqa: F401
+from .mix import temperature_mix  # noqa: F401
+from .agg import winsorize_by  # noqa: F401
+from .text import nfc_normalize  # noqa: F401

@@ -1401,3 +1401,55 @@ def trimmed_mean_by(ds, key: str, col: str,
         "n_kept": folded.column("n_kept"),
         "trimmed_mean": pa.array(mean, pa.float64()),
     })
+
+
+def winsorize_by(ds, key: str, col: str, id_col: str,
+                 lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-group WINSORIZATION: clip ``col`` to the group's own
+    ``quantile_disc`` [lo_q, hi_q] band — the outlier-taming transform
+    quality pipelines apply before averaging/z-scoring per source.
+    Unlike :func:`trimmed_mean_by` (which drops and aggregates), this
+    keeps every row and returns the clipped value.
+
+    Float-exact by construction: quantile_disc thresholds are ACTUAL
+    data values (no interpolation) and clipping is min/max — no
+    arithmetic at all, so the SQL twin (least/greatest against
+    quantile_disc CTE thresholds) matches bit-for-bit.
+
+    Plan: the grouped (key, value, count) histogram pass reads the
+    thresholds (low-cardinality contract underneath), the tiny
+    threshold map broadcasts (``ray.put``), and the clip is one
+    vectorized dictionary-encoded pass. No row shuffles. Output:
+    (id_col, key, <col>_w) — one row per input row.
+    """
+    import numpy as np
+    import ray
+
+    qt = exact_quantiles_by(ds, key, col, qs=(lo_q, hi_q))
+    bounds: dict = {}
+    for r in qt.to_pylist():
+        lo, hi = bounds.get(r[key], (None, None))
+        if r["q"] == lo_q:
+            lo = r["value"]
+        else:
+            hi = r["value"]
+        bounds[r[key]] = (lo, hi)
+    bounds_ref = ray.put(bounds)
+    out_col = f"{col}_w"
+
+    def clip(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        enc = batch.column(key).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = enc.dictionary.to_pylist()
+        los = np.array([b[g][0] for g in dict_vals])
+        his = np.array([b[g][1] for g in dict_vals])
+        w = np.minimum(np.maximum(x, los[codes]), his[codes])
+        return pa.table({
+            id_col: batch.column(id_col),
+            key: batch.column(key),
+            out_col: pa.array(w).cast(batch.schema.field(col).type),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")

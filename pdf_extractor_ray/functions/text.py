@@ -1233,3 +1233,24 @@ def doc_bigram_cross_entropy(docs_ds, text_col: str = "text",
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def nfc_normalize(ds, text_col: str = "text", out_col: str = "text_nfc",
+                  form: str = "NFC"):
+    """Unicode normalization of a text column (``unicodedata`` —
+    stdlib, C-speed per string): the canonical-composition step every
+    multilingual corpus pipeline runs before hashing/dedup, so that
+    ``e + COMBINING ACUTE`` and the precomposed ``é`` hash identically.
+    Adds ``out_col`` plus a ``changed`` flag. SQL twin: DuckDB
+    ``nfc_normalize`` (NFC only)."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = [unicodedata.normalize(form, t or "") for t in texts]
+        changed = [o != (t or "") for o, t in zip(out, texts)]
+        return batch.append_column(
+            out_col, pa.array(out, pa.string())
+        ).append_column("changed", pa.array(changed, pa.bool_()))
+
+    return ds.map_batches(norm, batch_format="pyarrow")

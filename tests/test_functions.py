@@ -897,3 +897,62 @@ def test_logreg_local_gate_bitidentical_to_distributed(ray_session):
         lr=1.0, iters=12, local_max_rows=0,  # force the distributed path
     )
     assert np.array_equal(w_local, w_dist)
+
+
+def test_temperature_mix_targets_and_determinism(ray_session):
+    """Largest group keeps max_take; others floor(max_take*sqrt(n/max));
+    selection is the deterministic md5 order (stable across runs)."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.mix import temperature_mix
+
+    rows = []
+    for g, n in (("a", 100), ("b", 25), ("c", 4)):
+        rows += [{"g": g, "k": f"{g}{i}"} for i in range(n)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = temperature_mix(ds, "g", "k", alpha=0.5, max_take=40).to_pandas()
+    got = out.groupby("g").size().to_dict()
+    # c's target floor(40*sqrt(0.04)) = 8 exceeds its 4 rows -> keeps 4
+    assert got == {"a": 40, "b": int(40 * math.sqrt(0.25)), "c": 4}
+    out2 = temperature_mix(
+        ray.data.from_items(rows).repartition(11), "g", "k",
+        alpha=0.5, max_take=40,
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["g", "k"]].itertuples(index=False)))
+    assert key(out) == key(out2)
+
+
+def test_winsorize_by_clips_to_group_band(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import winsorize_by
+
+    vals = list(range(1, 101))  # p5=5, p95=95 under quantile_disc
+    t = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "g": pa.array(["x"] * 100, pa.string()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    out = winsorize_by(
+        ray.data.from_arrow(t).repartition(4), "g", "v", "id"
+    ).to_pandas().sort_values("id")
+    assert out["v_w"].min() == 5 and out["v_w"].max() == 95
+    assert (out["v_w"][(out["v_w"] > 5) & (out["v_w"] < 95)]
+            == out.loc[(out["v_w"] > 5) & (out["v_w"] < 95), "v_w"]).all()
+    assert len(out) == 100
+
+
+def test_nfc_normalize_composes(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import nfc_normalize
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "café olé"},
+        {"doc_id": 1, "text": "plain ascii"},
+    ])
+    out = {r["doc_id"]: r for r in nfc_normalize(ds).take_all()}
+    assert out[0]["text_nfc"] == "café olé" and out[0]["changed"]
+    assert out[1]["text_nfc"] == "plain ascii" and not out[1]["changed"]
