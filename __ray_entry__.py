@@ -4638,6 +4638,70 @@ def _q_doc_compression_profile(sf_dir: str):
     return _docs(sf_dir).map_batches(profile, batch_format="pyarrow")
 
 
+# MMR oracle: the greedy is UNROLLED into m chained MATERIALIZED CTEs
+# (selection step k = argmax over unselected candidates of
+# lam*rel - (1-lam)*max_sim_to_selected; ties by vec_id), generated
+# here because the step count is a constant of the query. Cosines are
+# computed over CAST(embedding AS DOUBLE[]) so DuckDB matches numpy's
+# float64 arithmetic; MATERIALIZED stops the CTE chain re-expanding
+# exponentially. Verified value-identical (ids exact, relevance equal
+# at the compare's %.6g granularity) at sf0.01 and sf0.1.
+def _mmr_sql(m=10, k=50, lam="0.7"):
+    steps = []
+    sel = "sel1"
+    steps.append(f"""
+sel1 AS MATERIALIZED (
+  SELECT qid, vec_id, rel, 1 AS rank, {lam} * rel AS mmr FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1),
+selall1 AS MATERIALIZED (SELECT qid, vec_id, rel, rank FROM sel1)""")
+    for s in range(2, m + 1):
+        prev = f"selall{s-1}"
+        steps.append(f"""
+step{s} AS MATERIALIZED (
+  SELECT qid, vec_id, rel, {s} AS rank FROM (
+    SELECT c.qid, c.vec_id, c.rel,
+           row_number() OVER (
+             PARTITION BY c.qid
+             ORDER BY {lam} * c.rel - (1.0 - {lam}) * ms.m DESC, c.vec_id
+           ) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.va AS vec_id, max(p.sim) AS m
+          FROM pair p JOIN {prev} s ON p.qid = s.qid AND p.vb = s.vec_id
+          GROUP BY p.qid, p.va) ms
+      ON ms.qid = c.qid AND ms.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.qid = c.qid AND s.vec_id = c.vec_id)
+  ) WHERE rn = 1),
+selall{s} AS MATERIALIZED (SELECT * FROM selall{s-1}
+              UNION ALL SELECT qid, vec_id, rel, rank FROM step{s})""")
+    chain = ",".join(steps)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, rel FROM (
+    SELECT q.qid, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS rel,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e, q) WHERE rn <= {k}),
+pair AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM cand a
+  JOIN cand b ON a.qid = b.qid
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),{chain}
+SELECT qid AS query_id, rank, vec_id, round(rel, 6) AS relevance
+FROM selall{m}
+"""
+
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-smoothed multilingual mixture (n^0.5 smoothing,
     mBERT/XLM): the largest language keeps 200 docs, the rest
@@ -5454,6 +5518,7 @@ def _langid_oracles() -> "dict[str, str]":
 def oracle_sql() -> dict[str, str]:
     return {
         "table_items": _table_items_sql(),
+        "mmr_topk": _mmr_sql(),
         "temperature_mix_docs": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
                  m AS (SELECT max(n) AS n_max FROM c),
