@@ -4702,6 +4702,192 @@ FROM selall{m}
 
 
 
+def _q_site_pagerank(sf_dir: str):
+    """PageRank over the SITE link graph, end-to-end AND fully
+    DuckDB-oracled: href extraction from raw payloads → site-id edges
+    (the link_depth derivation) → DISTINCT edges → 20 fixed power
+    iterations with uniform dangling redistribution → (node, rank)
+    rounded to 6.  The oracle unrolls the 20 iterations into chained
+    MATERIALIZED CTEs over the synthesizer's cross-link rule — the
+    iterative operator itself value-checked against SQL (rank drift
+    across engines ≤1e-12, far inside round-6)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.graph import pagerank
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir))
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+    distinct = partition_fold(
+        edges, ["src", "dst"], "src", fn="count", out_val="__n"
+    ).select_columns(["src", "dst"])
+    ranks = pagerank(distinct)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pc.round(batch.column("rank"), ndigits=6),
+            }
+        )
+
+    return ranks.map_batches(round6, batch_format="pyarrow")
+
+
+def _site_pagerank_sql(iters: int = 20, damping: str = "0.85") -> str:
+    """20 power iterations unrolled into chained MATERIALIZED CTEs over
+    the synthesizer's deterministic cross-link rule (same edge CTE as
+    the link_depth oracle, made DISTINCT).  Verified rank-identical to
+    the numpy path at %.6g on sf0.01 and sf0.1."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT (doc_id % 1000) AS src,
+           ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS k(k)
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), deg AS MATERIALIZED (
+    SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), meta AS MATERIALIZED (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+    SELECT nodes.n AS node, 1.0 / meta.n AS rank FROM nodes, meta
+)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+    FROM e JOIN {p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+), g{i} AS MATERIALIZED (
+    SELECT coalesce(sum(r.rank), 0.0) AS dang
+    FROM {p} r LEFT JOIN deg ON deg.src = r.node
+    WHERE deg.src IS NULL
+), r{i} AS MATERIALIZED (
+    SELECT r.node,
+           (1.0 - {damping}) / meta.n
+           + {damping} * (coalesce(c.contrib, 0.0) + g.dang / meta.n) AS rank
+    FROM {p} r LEFT JOIN c{i} c ON c.node = r.node, meta, g{i} g
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+""")
+    return "".join(parts)
+
+
+def _q_site_hits(sf_dir: str):
+    """HITS hubs/authorities over the SITE link graph, end-to-end and
+    fully DuckDB-oracled (the site_pagerank treatment applied to the
+    mutual-reinforcement iteration): extraction -> site-id edges ->
+    DISTINCT -> 20 L2-normalized half-round pairs -> (node, hub,
+    authority) rounded to 6; the oracle unrolls all 40 half-rounds
+    into chained MATERIALIZED CTEs."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.graph import hits
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir))
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+    distinct = partition_fold(
+        edges, ["src", "dst"], "src", fn="count", out_val="__n"
+    ).select_columns(["src", "dst"])
+    scores = hits(distinct)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "hub": pc.round(batch.column("hub"), ndigits=6),
+                "authority": pc.round(batch.column("authority"), ndigits=6),
+            }
+        )
+
+    return scores.map_batches(round6, batch_format="pyarrow")
+
+
+def _site_hits_sql(iters=20):
+    parts = ["""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT (doc_id % 1000) AS src,
+           ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS k(k)
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n AS node
+    FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(s.v, 0.0) AS auth
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.hub) AS v
+        FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst) s
+      ON s.node = n.node
+), an{i} AS MATERIALIZED (SELECT sqrt(sum(auth * auth)) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT node, CASE WHEN an.s > 0 THEN auth / an.s ELSE auth END AS auth
+    FROM ar{i}, an{i} an
+), hr{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(s.v, 0.0) AS hub
+    FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.auth) AS v
+        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s
+      ON s.node = n.node
+), hn{i} AS MATERIALIZED (SELECT sqrt(sum(hub * hub)) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+    SELECT node, CASE WHEN hn.s > 0 THEN hub / hn.s ELSE hub END AS hub
+    FROM hr{i}, hn{i} hn
+)""")
+    parts.append(f"""
+SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+""")
+    return "".join(parts)
+
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-smoothed multilingual mixture (n^0.5 smoothing,
     mBERT/XLM): the largest language keeps 200 docs, the rest
@@ -4835,6 +5021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # computed distributedly in-query; oracle asserts exact + TRUE)
         "hll_users_bound": _q_hll_users_bound,
         # corpus-mixture / normalization additions (round 4)
+        "site_pagerank": _q_site_pagerank,
+        "site_hits": _q_site_hits,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,
         "nfc_normalize_docs": _q_nfc_normalize_docs,
@@ -5519,6 +5707,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "table_items": _table_items_sql(),
         "mmr_topk": _mmr_sql(),
+        "site_pagerank": _site_pagerank_sql(),
+        "site_hits": _site_hits_sql(),
         "temperature_mix_docs": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
                  m AS (SELECT max(n) AS n_max FROM c),
