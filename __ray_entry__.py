@@ -3468,9 +3468,10 @@ def _q_url_pagerank(sf_dir: str):
     20 fixed power iterations, dangling mass redistributed) → top 20
     urls by rank. Node ids are md5-64 of the url; only (src, dst) id
     pairs enter the iteration — payload bytes and url strings never
-    re-shuffle. Rows-only (iterative; not SQL-expressible); the
-    operator itself is pinned against a local numpy power iteration
-    and the distributed path against the local one in tests."""
+    re-shuffle. Rows-only HERE (url-level node ids are md5-64 hashes),
+    but the ITERATION ITSELF is full-value DuckDB-oracled by the
+    ``site_pagerank`` twin (20 iterations unrolled into MATERIALIZED
+    CTEs); local-vs-distributed parity additionally test-pinned."""
     import hashlib
 
     import ray.data
@@ -4888,6 +4889,63 @@ FROM h{iters} h JOIN a{iters} a ON a.node = h.node
 
 
 
+def _q_salted_revenue_join(sf_dir: str):
+    """Skew-defused m:n join: lineitem (hot-keyed fact side, salted
+    across 8 buckets) ⋈ orders on orderkey → revenue per order
+    priority.  Result is EXACTLY the plain join's (the oracle is the
+    unsalted SQL join); the salt only changes the partition layout, so
+    a hot orderkey fans over 8 tasks instead of pinning one."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import salted_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = salted_join(
+        lineitem, orders, "l_orderkey", "o_orderkey",
+        ["l_extendedprice", "l_discount"], ["o_orderpriority"],
+        n_salt=8,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        # fixed-point cents·10^4 so the fold is exact int64 (the
+        # grouped-revenue float-parity recipe)
+        rev = np.round(p * (1.0 - d) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "__rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    folded = lowcard_groupby_agg(
+        joined.map_batches(widen, batch_format="pyarrow"),
+        ["o_orderpriority"], [("__rev", "sum", "rev_fp")],
+    )
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "o_orderpriority": folded.column("o_orderpriority"),
+            "revenue": pc.round(
+                pc.divide(pc.cast(folded.column("rev_fp"), pa.float64()),
+                          10000.0),
+                ndigits=2,
+            ),
+        }
+    )
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-smoothed multilingual mixture (n^0.5 smoothing,
     mBERT/XLM): the largest language keeps 200 docs, the rest
@@ -5023,6 +5081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-mixture / normalization additions (round 4)
         "site_pagerank": _q_site_pagerank,
         "site_hits": _q_site_hits,
+        "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,
         "nfc_normalize_docs": _q_nfc_normalize_docs,
@@ -5709,6 +5768,14 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),
         "site_hits": _site_hits_sql(),
+        "salted_revenue_join": """
+            SELECT o.o_orderpriority,
+                   round(CAST(sum(CAST(round(
+                       l.l_extendedprice * (1.0 - l.l_discount) * 10000.0
+                   ) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "temperature_mix_docs": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
                  m AS (SELECT max(n) AS n_max FROM c),

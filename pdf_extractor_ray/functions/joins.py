@@ -1130,3 +1130,76 @@ def broadcast_cross_join(left_ds, right_table: pa.Table,
         return pa.table(cols)
 
     return left_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def salted_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+    n_salt: int = 8,
+    num_partitions: int = 32,
+):
+    """Skew-defusing equi-join: SALT the hot-keyed (left) side so one
+    dominant key spreads over ``n_salt`` buckets instead of landing its
+    whole cross-product in a single task.
+
+    The big/skewed side gains a deterministic per-row salt (splitmix64
+    of the key mixed with the row's block offset — stable across
+    retries, uniform within a key); the small side REPLICATES each row
+    ``n_salt`` times, once per salt value.  Joining on the composite
+    ``(key, salt)`` then yields exactly the plain join's result — every
+    (left, right) key pair still meets exactly once — while a key that
+    used to pin one partition now fans over ``n_salt``.  Shuffle cost:
+    the small side's payload grows ×n_salt (keep it the dimension
+    side); the big side is unchanged.
+
+    Result-equality with ``hash_join(validate='many')`` is pinned by
+    tests and the ``salted_revenue_join`` DuckDB oracle.  Keys must be
+    integers (the composite key is ``key·n_salt + salt`` in int64).
+    ``how`` ∈ {inner, left}: left-outer semantics follow the salted
+    left side naturally (each left row carries exactly one salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        if batch.column(left_key).null_count:
+            raise ValueError(
+                "salted_join: null join keys are not supported "
+                "(filter them out or use hash_join)"
+            )
+        k = np.asarray(batch.column(left_key).to_pylist(), dtype=np.int64)
+        # mix block-local position into the salt so equal keys spread
+        pos = np.arange(len(k), dtype=np.uint64)
+        salt = (mix64(k.astype(np.uint64) + (pos * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(n_salt)).astype(np.int64)
+        ck = k * np.int64(n_salt) + salt
+        return batch.append_column("__ck", pa.array(ck, pa.int64()))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        if batch.column(right_key).null_count:
+            raise ValueError(
+                "salted_join: null join keys are not supported "
+                "(filter them out or use hash_join)"
+            )
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_salt)
+        rep = batch.take(pa.array(idx, pa.int64()))
+        k = np.asarray(rep.column(right_key).to_pylist(), dtype=np.int64)
+        salt = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        ck = k * np.int64(n_salt) + salt
+        return rep.append_column("__ck", pa.array(ck, pa.int64()))
+
+    salted_l = left_ds.map_batches(salt_left, batch_format="pyarrow")
+    salted_r = right_ds.map_batches(replicate_right, batch_format="pyarrow")
+    return hash_join(
+        salted_l, salted_r, "__ck", "__ck",
+        left_cols, right_cols, how=how,
+        num_partitions=num_partitions, validate="many",
+    )
