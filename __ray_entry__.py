@@ -20,10 +20,55 @@ import pyarrow as pa
 import pyarrow.compute as _pc
 
 
-def _pages(sf_dir: str):
-    from pdf_extractor_ray.sources.corpus import pages_dataset
+_PAGES_CACHE_ROOT = "/tmp/graft_pages_cache"
 
-    return pages_dataset(sf_dir)
+
+def _pages(sf_dir: str):
+    """Pages corpus via a /tmp parquet read-through cache.
+
+    Synthesis is a PURE function of documents.parquet and the
+    synthesizer source, so the ~28 page-family queries in one gate run
+    re-READ the materialized corpus instead of re-synthesizing it
+    query after query (PDF building dominates synthesis cost).  Cache
+    key = (sf dir, documents.parquet size+mtime, corpus.py source
+    hash) — any change to inputs or synthesizer rules misses cleanly.
+    Writes are atomic (tmp dir + rename); any failure falls back to
+    the lazy synthesizer, so correctness never depends on the cache."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.sources import corpus as corpus_mod
+
+    try:
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        with open(corpus_mod.__file__, "rb") as f:
+            src = f.read()
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:".encode()
+            + src
+        ).hexdigest()[:16]
+        out = os.path.join(_PAGES_CACHE_ROOT, key)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            if os.path.isdir(tmp):
+                import shutil
+
+                shutil.rmtree(tmp)
+            corpus_mod.pages_dataset(sf_dir).write_parquet(tmp)
+            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                f.write("ok\n")
+            try:
+                os.rename(tmp, out)
+            except OSError:  # concurrent writer won the rename
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return ray.data.read_parquet(out)
+    except Exception:
+        return corpus_mod.pages_dataset(sf_dir)
 
 
 def _docs(sf_dir: str):

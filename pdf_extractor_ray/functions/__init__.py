@@ -134,3 +134,4 @@ from .dedup import containment_pairs  # noqa: F401
 from .mix import temperature_mix  # noqa: F401
 from .agg import winsorize_by  # noqa: F401
 from .text import nfc_normalize  # noqa: F401
+from .joins import salted_join  # noqa: F401
