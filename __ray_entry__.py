@@ -4631,10 +4631,31 @@ def _q_value_quantiles_bound(sf_dir: str):
             }
         )
 
+    def merge_counts(batch: pa.Table) -> pa.Table:
+        # one distributed merge level: driver fan-in is blocks/64 rows,
+        # not one row per block (the DSIR fit-pass treatment)
+        if batch.num_rows == 0:
+            return batch
+        le_m = np.asarray(batch.column("le").to_pylist(), np.int64).sum(axis=0)
+        win_m = np.asarray(batch.column("win").to_pylist(), np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "le": pa.array([le_m.tolist()], pa.list_(pa.int64(), len(vs))),
+                "win": pa.array([win_m.tolist()],
+                                pa.list_(pa.int64(), len(vs))),
+                "n": pa.array([int(batch.column("n").to_pandas().sum())],
+                              pa.int64()),
+            }
+        )
+
     le = np.zeros(len(vs), dtype=np.int64)
     win = np.zeros(len(vs), dtype=np.int64)
     n = 0
-    for row in ds.map_batches(counts, batch_format="pyarrow").iter_rows():
+    merged = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .map_batches(merge_counts, batch_size=64, batch_format="pyarrow")
+    )
+    for row in merged.iter_rows():
         le += np.asarray(row["le"], dtype=np.int64)
         win += np.asarray(row["win"], dtype=np.int64)
         n += row["n"]
