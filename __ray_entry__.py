@@ -5059,6 +5059,78 @@ def _q_nfc_normalize_docs(sf_dir: str):
     return nfc_normalize(ds).select_columns(["doc_id", "text_nfc", "changed"])
 
 
+def _site_edges_ds(sf_dir: str):
+    """Site-id edge list from BOTH link channels (HTML ``<a>`` hrefs and
+    PDF /Annots URI actions) — the link_depth derivation, shared by the
+    triangle / whole-graph-stats queries."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.url import extract_outlinks
+
+    links = extract_outlinks(_pages(sf_dir))
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    return links.map_batches(to_site_edges, batch_format="pyarrow")
+
+
+def _q_site_triangles(sf_dir: str):
+    """Triangle counting over the SITE link graph: href extraction →
+    site-id edges → :func:`graph.triangle_count` (degree-oriented
+    node-iterator: canonical distinct edge set, orientation toward the
+    (deg, id)-larger endpoint, vectorized wedge enumeration, wedge-vs-
+    edge co-partitioned match — Suri & Vassilvitskii WWW'11).  Oracle:
+    3-way self-join over the canonical undirected edge set derived from
+    the synthesizer's deterministic cross-link rule, corners unpivoted
+    and group-counted."""
+    from pdf_extractor_ray.functions.graph import triangle_count
+
+    return triangle_count(_site_edges_ds(sf_dir)).sort("node")
+
+
+def _q_site_graph_stats(sf_dir: str):
+    """Whole-graph profile of the directed site link graph — node and
+    distinct-edge counts, self-loops, undirected pair count, edge
+    reciprocity, out-degree max/mean — via :func:`graph.graph_stats`
+    (partition-fold distincts; only final scalars reach the driver)."""
+    from pdf_extractor_ray.functions.graph import graph_stats
+
+    return graph_stats(_site_edges_ds(sf_dir))
+
+
+def _q_event_type_lift(sf_dir: str):
+    """Association-rule mining over user event baskets: for every
+    unordered event-type pair, the number of users doing BOTH plus
+    support / confidence / lift (:func:`assoc.pair_lift` — distinct
+    fold → per-basket vectorized pair enumeration → pair-count fold;
+    scores are single divisions of exact int64 counts, round-6)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.assoc import pair_lift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pair_lift(ds, "user_id", "event_type").sort(
+        ["event_type_a", "event_type_b"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (reference-semantics pipelines)
@@ -5147,6 +5219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-mixture / normalization additions (round 4)
         "site_pagerank": _q_site_pagerank,
         "site_hits": _q_site_hits,
+        "site_triangles": _q_site_triangles,
+        "site_graph_stats": _q_site_graph_stats,
+        "event_type_lift": _q_event_type_lift,
         "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,
@@ -5834,6 +5909,91 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),
         "site_hits": _site_hits_sql(),
+        # triangle counting: 3-way self-join over the canonical
+        # undirected edge set of the deterministic cross-link rule
+        "site_triangles": """
+            WITH de AS (
+                SELECT DISTINCT (doc_id % 1000) AS src,
+                       ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+                FROM documents, (VALUES (1), (2), (3)) AS k(k)
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+            ), ue AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM de WHERE src <> dst
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ue e1
+                JOIN ue e2 ON e2.a = e1.b
+                JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_tri
+            FROM corners GROUP BY node ORDER BY node
+        """,
+        "site_graph_stats": """
+            WITH de AS (
+                SELECT DISTINCT (doc_id % 1000) AS src,
+                       ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+                FROM documents, (VALUES (1), (2), (3)) AS k(k)
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+            ), ns AS (SELECT src, dst FROM de WHERE src <> dst),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ns
+            ),
+            deg AS (SELECT src, count(*) AS d FROM ns GROUP BY src),
+            c AS (
+                SELECT
+                    (SELECT count(*) FROM
+                        (SELECT src AS n FROM de UNION SELECT dst FROM de))
+                        AS n_nodes,
+                    (SELECT count(*) FROM de) AS n_edges,
+                    (SELECT count(*) FROM de WHERE src = dst) AS n_self_loops,
+                    (SELECT count(*) FROM und) AS n_undirected,
+                    (SELECT count(*) FROM ns) AS n_nonself,
+                    (SELECT max(d) FROM deg) AS max_out_deg,
+                    (SELECT count(*) FROM deg) AS n_src
+            )
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_self_loops AS BIGINT) AS n_self_loops,
+                   CAST(n_undirected AS BIGINT) AS n_undirected,
+                   CAST(2 * (n_nonself - n_undirected) AS BIGINT)
+                       AS n_reciprocal,
+                   round(CAST(2 * (n_nonself - n_undirected) AS DOUBLE)
+                         / n_nonself, 6) AS reciprocity,
+                   CAST(max_out_deg AS BIGINT) AS max_out_deg,
+                   round(CAST(n_nonself AS DOUBLE) / n_src, 6) AS avg_out_deg
+            FROM c
+        """,
+        "event_type_lift": """
+            WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+            n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            c AS (SELECT event_type, count(*) AS cnt FROM b
+                  GROUP BY event_type),
+            p AS (
+                SELECT b1.event_type AS event_type_a,
+                       b2.event_type AS event_type_b,
+                       count(*) AS n_both
+                FROM b b1 JOIN b b2 ON b1.user_id = b2.user_id
+                                   AND b1.event_type < b2.event_type
+                GROUP BY 1, 2
+            )
+            SELECT event_type_a, event_type_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   round(CAST(n_both AS DOUBLE) / nu, 6) AS support,
+                   round(CAST(n_both AS DOUBLE) / ca.cnt, 6) AS conf_a_b,
+                   round(CAST(n_both * nu AS DOUBLE) / (ca.cnt * cb.cnt), 6)
+                       AS lift
+            FROM p, n
+            JOIN c ca ON ca.event_type = p.event_type_a
+            JOIN c cb ON cb.event_type = p.event_type_b
+            ORDER BY event_type_a, event_type_b
+        """,
         "salted_revenue_join": """
             SELECT o.o_orderpriority,
                    round(CAST(sum(CAST(round(

@@ -14,7 +14,16 @@ from .text import (  # noqa: F401
     top_tokens_approx,
 )
 from .bucketed import bucketed_groupby, bucketed_join, write_bucketed  # noqa: F401
-from .graph import bfs_depths, connected_components, hits, keyed_chain_edges, pagerank  # noqa: F401
+from .assoc import pair_lift  # noqa: F401
+from .graph import (  # noqa: F401
+    bfs_depths,
+    connected_components,
+    graph_stats,
+    hits,
+    keyed_chain_edges,
+    pagerank,
+    triangle_count,
+)
 from .ml import logreg_predict, logreg_train  # noqa: F401
 from .window import (  # noqa: F401
     dense_rank_in_group,

@@ -762,3 +762,351 @@ def hits(edges_ds, col_src: str = "src", col_dst: str = "dst",
                 .astype(np.float64)), 9), pa.float64()),
         }), batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented node-iterator) and whole-graph stats
+# ---------------------------------------------------------------------------
+
+_PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])
+
+
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a, b) int64 columns as a sortable/searchsorted-able struct array."""
+    out = np.empty(len(a), dtype=_PAIR_DT)
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
+def _distinct_pairs(ds, col_a: str, col_b: str, num_partitions: int):
+    """EXACT distinct (a, b) int64 pairs: per-block Arrow distinct, then
+    one hash(a, b) partition exchange + in-partition distinct.  Each pair
+    value lands wholly in one partition, so partition distincts ARE the
+    global distinct — the same single-exchange plan as
+    ``agg.partition_fold``."""
+    import pyarrow.compute as pc
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": batch.column(col_a).cast(pa.int64()),
+                "b": batch.column(col_b).cast(pa.int64()),
+            }
+        ).group_by(["a", "b"]).aggregate([])
+        h = (
+            t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            * _MIX
+            + t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__p", pa.array(part, pa.int32()))
+
+    def part_distinct(group: pa.Table) -> pa.Table:
+        return group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    return (
+        ds.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(part_distinct, batch_format="pyarrow")
+    )
+
+
+def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
+                   num_partitions: int = 64):
+    """Per-node triangle counts over the UNDIRECTED simple graph of an
+    (src, dst) edge list — the classic degree-oriented node-iterator
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11), expressed as Dataset folds:
+
+      1. canonical undirected edge set E: (a=min, b=max), self-loops
+         dropped, EXACT distinct via one hash(a,b) partition exchange
+      2. degrees: endpoint explode → per-node count fold
+      3. orient every edge toward its (deg, id)-larger endpoint — the
+         out-degree of any node is then O(sqrt(|E|)), which bounds the
+         wedge blow-up of step 4 (the "last reducer" fix; no hot node
+         ever enumerates a giant neighbor-pair cross product)
+      4. wedges: hash(apex) partition exchange → per-apex all pairs of
+         out-neighbors (vectorized run-detect + repeat/arange pair
+         enumeration, no per-node Python loop)
+      5. wedge-vs-edge match: wedge candidates and E co-partitioned by
+         hash(a,b), in-partition sorted-struct searchsorted — every hit
+         is one triangle {apex, a, b}, found exactly once
+      6. corner explode → per-node count fold.
+
+    Nothing iterates and nothing lands on the driver: the largest
+    intermediate (the wedge set, ≤ Σ_v outdeg(v)² ≤ |E|^1.5 rows of
+    three int64s) streams through one exchange.  Returns a Dataset
+    ``(node, n_tri)`` with one row per node in ≥1 triangle.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import partition_fold
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(col_src).cast(pa.int64())
+        d = batch.column(col_dst).cast(pa.int64())
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        return pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+
+    edges = _pin(
+        _distinct_pairs(
+            edges_ds.map_batches(canon, batch_format="pyarrow"),
+            "a", "b", num_partitions,
+        )
+    )
+
+    # 2. degrees over the distinct undirected edge set
+    def explode_ends(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    deg = partition_fold(
+        edges.map_batches(explode_ends, batch_format="pyarrow"),
+        ["node"], "node", fn="count", out_val="deg",
+        num_partitions=num_partitions,
+    )
+
+    # 3. orient: u → v iff (deg_u, u) < (deg_v, v)
+    from .joins import hash_join
+
+    deg_a = deg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "da": t.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg_b = deg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "db": t.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    e1 = hash_join(edges, deg_a, "a", "node", ["a", "b"], ["da"],
+                   num_partitions=num_partitions)
+    e2 = hash_join(e1, deg_b, "b", "node", ["a", "b", "da"], ["db"],
+                   num_partitions=num_partitions)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = batch.column("da").to_numpy(zero_copy_only=False)
+        db = batch.column("db").to_numpy(zero_copy_only=False)
+        # canonical a < b, so the tie (da == db) orients a → b
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "u": pa.array(np.where(fwd, a, b), pa.int64()),
+                "v": pa.array(np.where(fwd, b, a), pa.int64()),
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    # 4. wedge enumeration, co-partitioned by apex
+    def add_apart(batch: pa.Table) -> pa.Table:
+        h = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (h * np.uint64(0x9E3779B97F4A7C15)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__p", pa.array(part, pa.int32()))
+
+    def gen_wedges(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "apex": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        change = np.nonzero(u[1:] != u[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        run_end = np.repeat(ends, ends - starts)
+        reps = run_end - 1 - np.arange(n)          # pairs led by each pos
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(n), reps)
+        off = np.cumsum(reps) - reps
+        right = np.arange(total) - np.repeat(off, reps) + left + 1
+        x, y = v[left], v[right]                    # x < y (v sorted in run)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(x, y), pa.int64()),
+                "b": pa.array(np.maximum(x, y), pa.int64()),
+                "apex": pa.array(u[left], pa.int64()),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(add_apart, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(gen_wedges, batch_format="pyarrow")
+    )
+
+    # 5. wedge-vs-edge co-partitioned match on the (a, b) pair value
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(apex_col: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            h = (a.astype(np.uint64) * _MIX + b.astype(np.uint64))
+            part = (h % np.uint64(num_partitions)).astype(np.int32)
+            apex = (batch.column("apex")
+                    if apex_col else pa.nulls(batch.num_rows, pa.int64()))
+            return pa.table(
+                {
+                    "a": batch.column("a").cast(pa.int64()),
+                    "b": batch.column("b").cast(pa.int64()),
+                    "apex": apex,
+                    "__p": pa.array(part, pa.int32()),
+                }
+            )
+
+        return fn
+
+    tagged = wedges.map_batches(tag(True), batch_format="pyarrow").union(
+        edges.map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        is_edge = pa.compute.is_null(group.column("apex")).to_numpy(
+            zero_copy_only=False)
+        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ekeys = np.sort(_pair_struct(a[is_edge], b[is_edge]))
+        wsel = ~is_edge
+        wkeys = _pair_struct(a[wsel], b[wsel])
+        if len(ekeys) == 0 or len(wkeys) == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64())})
+        pos = np.searchsorted(ekeys, wkeys)
+        posc = np.clip(pos, 0, len(ekeys) - 1)
+        hit = (pos < len(ekeys)) & (ekeys[posc] == wkeys)
+        return pa.table(
+            {
+                "x": pa.array(apex[wsel][hit].astype(np.int64), pa.int64()),
+                "y": pa.array(a[wsel][hit], pa.int64()),
+                "z": pa.array(b[wsel][hit], pa.int64()),
+            }
+        )
+
+    tris = tagged.groupby("__p").map_groups(match, batch_format="pyarrow")
+
+    # 6. per-node counts
+    def corners(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_numpy(zero_copy_only=False)
+                for c in ("x", "y", "z")]
+        return pa.table(
+            {"node": pa.array(np.concatenate(cols), pa.int64())}
+        )
+
+    return partition_fold(
+        tris.map_batches(corners, batch_format="pyarrow"),
+        ["node"], "node", fn="count", out_val="n_tri",
+        num_partitions=num_partitions,
+    )
+
+
+def graph_stats(edges_ds, col_src: str = "src", col_dst: str = "dst",
+                num_partitions: int = 64):
+    """One-row whole-graph profile of a directed (src, dst) edge list:
+
+    ``n_nodes`` (distinct endpoints), ``n_edges`` (distinct directed,
+    self-loops included), ``n_self_loops``, ``n_undirected`` (distinct
+    canonical non-self pairs), ``n_reciprocal`` (distinct non-self
+    directed edges whose reverse also exists), ``reciprocity``
+    (= n_reciprocal / (distinct non-self directed), round-6),
+    ``max_out_deg`` / ``avg_out_deg`` (over distinct non-self edges,
+    round-6).  Everything reduces through partition folds / Aggregates;
+    only the final scalars reach the driver.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from .agg import partition_fold
+    from .text import _round6_half_up
+
+    de = _pin(_distinct_pairs(edges_ds, col_src, col_dst, num_partitions))
+    n_edges = de.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "n_self_loops": pa.array([0], pa.int64()),
+            "n_undirected": pa.array([0], pa.int64()),
+            "n_reciprocal": pa.array([0], pa.int64()),
+            "reciprocity": pa.array([0.0], pa.float64()),
+            "max_out_deg": pa.array([0], pa.int64()),
+            "avg_out_deg": pa.array([0.0], pa.float64()),
+        }))
+    nonself = _pin(de.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("a"), t.column("b"))),
+        batch_format="pyarrow",
+    ))
+    n_nonself = nonself.count()
+    n_self = n_edges - n_nonself
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        b = batch.column("b")
+        return pa.table({"a": pc.min_element_wise(a, b),
+                         "b": pc.max_element_wise(a, b)})
+
+    n_und = _distinct_pairs(
+        nonself.map_batches(canon, batch_format="pyarrow"),
+        "a", "b", num_partitions,
+    ).count()
+    # n_nonself = once + 2·both and n_und = once + both, where "both" is
+    # the number of undirected pairs present in BOTH directions — so the
+    # reciprocal directed-edge count is 2·both = 2·(n_nonself − n_und).
+    n_recip = 2 * (n_nonself - n_und)
+
+    def explode_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("a").cast(pa.int64())})
+
+    outdeg = partition_fold(
+        nonself.map_batches(explode_src, batch_format="pyarrow"),
+        ["node"], "node", fn="count", out_val="deg",
+        num_partitions=num_partitions,
+    )
+    row_max = outdeg.aggregate(Max("deg", alias_name="m"))
+    max_deg = int(row_max["m"] or 0)
+    n_src = outdeg.count()
+
+    def explode_all(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    n_nodes = partition_fold(
+        de.map_batches(explode_all, batch_format="pyarrow"),
+        ["node"], "node", fn="count", out_val="c",
+        num_partitions=num_partitions,
+    ).count()
+
+    recipro = _round6_half_up(n_recip / n_nonself)[()] if n_nonself else 0.0
+    avg_out = _round6_half_up(n_nonself / n_src)[()] if n_src else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_self_loops": pa.array([n_self], pa.int64()),
+        "n_undirected": pa.array([n_und], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array([float(recipro)], pa.float64()),
+        "max_out_deg": pa.array([max_deg], pa.int64()),
+        "avg_out_deg": pa.array([float(avg_out)], pa.float64()),
+    }))
