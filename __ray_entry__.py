@@ -5059,6 +5059,44 @@ def _q_nfc_normalize_docs(sf_dir: str):
     return nfc_normalize(ds).select_columns(["doc_id", "text_nfc", "changed"])
 
 
+def _kcore_sql(base_cte: str, k: int, rounds: int = 12) -> str:
+    """Fixed-round k-core peel unrolled into chained MATERIALIZED CTEs.
+    ``base_cte`` must select the canonical undirected distinct edge set
+    as columns (a, b); ``k`` is a literal (same constant as the Ray
+    side, so the two engines run the identical fixed-round peel)."""
+    parts = [f"""
+WITH e0 AS MATERIALIZED ({base_cte})"""]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+    GROUP BY node
+),
+keep{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{r} e
+    JOIN keep{r} ka ON ka.node = e.a
+    JOIN keep{r} kb ON kb.node = e.b
+)""")
+    parts.append(f""",
+dfin AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS core_deg
+FROM dfin WHERE d >= {k} ORDER BY node""")
+    return "".join(parts)
+
+
+_PART_SUPP_EDGE_CTE = """
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           CAST(10000000 + l_suppkey AS BIGINT) AS b
+    FROM lineitem
+"""
+
+
 def _site_edges_ds(sf_dir: str):
     """Site-id edge list from BOTH link channels (HTML ``<a>`` hrefs and
     PDF /Annots URI actions) — the link_depth derivation, shared by the
@@ -5111,6 +5149,53 @@ def _q_site_graph_stats(sf_dir: str):
     from pdf_extractor_ray.functions.graph import graph_stats
 
     return graph_stats(_site_edges_ds(sf_dir))
+
+
+def _q_site_mirror_pairs(sf_dir: str):
+    """Mirror/template-farm detection WITHOUT content: pairs of sites
+    whose out-link sets overlap (co-citation Jaccard ≥ 0.25, ≥ 2 shared
+    targets) via :func:`graph.neighbor_jaccard_pairs` — per-destination
+    pair enumeration (fan-in capped like the LSH buckets), pair-count
+    fold, degree joins, single-division round-6 Jaccard."""
+    from pdf_extractor_ray.functions.graph import neighbor_jaccard_pairs
+
+    return neighbor_jaccard_pairs(
+        _site_edges_ds(sf_dir), min_shared=2, min_jaccard=0.25
+    ).sort(["site_a", "site_b"])
+
+
+def _q_part_supplier_kcore(sf_dir: str):
+    """k-core (k=30, fixed 12 peel rounds) of the bipartite
+    part–supplier graph from lineitem: which parts keep ≥30 distinct
+    suppliers and which suppliers keep ≥30 such parts after the mutual
+    peel — :func:`graph.kcore` (size-gated; distributed path =
+    per-round degree fold + two keys-only semi-joins over the shrinking
+    edge set, lineage severed per round).  Oracle: the 12 peel rounds
+    unrolled into chained MATERIALIZED CTEs — like the pagerank/HITS
+    twins, the ITERATIVE operator itself is value-checked end-to-end
+    against SQL.  Supplier node ids offset by 10M to disjoin the key
+    spaces."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import kcore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": batch.column("l_partkey").cast(pa.int64()),
+            "dst": pc.add(
+                batch.column("l_suppkey").cast(pa.int64()),
+                pa.scalar(10_000_000, pa.int64()),
+            ),
+        })
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    return kcore(edges, k=30).sort("node")
 
 
 def _q_event_type_lift(sf_dir: str):
@@ -5221,6 +5306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_hits": _q_site_hits,
         "site_triangles": _q_site_triangles,
         "site_graph_stats": _q_site_graph_stats,
+        "site_mirror_pairs": _q_site_mirror_pairs,
+        "part_supplier_kcore": _q_part_supplier_kcore,
         "event_type_lift": _q_event_type_lift,
         "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
@@ -5969,6 +6056,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max_out_deg AS BIGINT) AS max_out_deg,
                    round(CAST(n_nonself AS DOUBLE) / n_src, 6) AS avg_out_deg
             FROM c
+        """,
+        "part_supplier_kcore": _kcore_sql(_PART_SUPP_EDGE_CTE, k=30),
+        # co-citation mirror detection: self-join on shared out-link
+        # targets, Jaccard from exact degree/intersection counts
+        "site_mirror_pairs": """
+            WITH de AS (
+                SELECT DISTINCT (doc_id % 1000) AS src,
+                       ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+                FROM documents, (VALUES (1), (2), (3)) AS k(k)
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+            ),
+            deg AS (SELECT src, count(*) AS d FROM de GROUP BY src),
+            p AS (
+                SELECT e1.src AS a, e2.src AS b, count(*) AS inter
+                FROM de e1
+                JOIN de e2 ON e1.dst = e2.dst AND e1.src < e2.src
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            s AS (
+                SELECT a AS site_a, b AS site_b,
+                       CAST(inter AS BIGINT) AS n_shared,
+                       round(CAST(inter AS DOUBLE)
+                             / (da.d + db.d - inter), 6) AS jaccard
+                FROM p
+                JOIN deg da ON da.src = p.a
+                JOIN deg db ON db.src = p.b
+            )
+            SELECT CAST(site_a AS BIGINT) AS site_a,
+                   CAST(site_b AS BIGINT) AS site_b, n_shared, jaccard
+            FROM s WHERE jaccard >= 0.25
+            ORDER BY site_a, site_b
         """,
         "event_type_lift": """
             WITH b AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -20,7 +20,9 @@ from .graph import (  # noqa: F401
     connected_components,
     graph_stats,
     hits,
+    kcore,
     keyed_chain_edges,
+    neighbor_jaccard_pairs,
     pagerank,
     triangle_count,
 )

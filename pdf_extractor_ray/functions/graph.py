@@ -765,7 +765,16 @@ def hits(edges_ds, col_src: str = "src", col_dst: str = "dst",
 
 
 # ---------------------------------------------------------------------------
-# Triangle counting (degree-oriented node-iterator) and whole-graph stats
+# Triangle counting, whole-graph stats, co-citation similarity, k-core.
+#
+# All four follow the family's size-gate pattern (connected_components,
+# pagerank, hits): at or below local_max_edges/local_max_bytes — exact
+# metadata of the pinned canonical edge table, not a guess — the edges
+# are collected and a vectorized numpy kernel answers directly (a
+# distributed exchange costs seconds of task overhead that a 10^6-edge
+# numpy pass resolves in milliseconds); above the gate the same kernels
+# run inside partition exchanges. Local-vs-distributed agreement is
+# pinned by tests (local_max_edges=0 forces the distributed path).
 # ---------------------------------------------------------------------------
 
 _PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])
@@ -779,14 +788,56 @@ def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _np_distinct_pairs(a: np.ndarray, b: np.ndarray):
+    s = np.unique(_pair_struct(np.asarray(a, np.int64),
+                               np.asarray(b, np.int64)))
+    return s["a"].copy(), s["b"].copy()
+
+
+def _run_pairs(keys: np.ndarray):
+    """All within-run ordered index pairs of an array SORTED by key.
+
+    Returns (left, right) global index arrays with left < right and
+    keys[left] == keys[right] — the shared enumeration kernel of the
+    triangle wedges, the co-citation pairs and assoc.pair_lift:
+    repeat/arange arithmetic only, no per-run Python loop."""
+    n = len(keys)
+    empty = np.array([], np.int64)
+    if n < 2:
+        return empty, empty
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    run_end = np.repeat(ends, ends - starts)
+    reps = run_end - 1 - np.arange(n)
+    total = int(reps.sum())
+    if total == 0:
+        return empty, empty
+    left = np.repeat(np.arange(n), reps)
+    off = np.cumsum(reps) - reps
+    right = np.arange(total) - np.repeat(off, reps) + left + 1
+    return left, right
+
+
+def _member_mask(ea: np.ndarray, eb: np.ndarray,
+                 qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Boolean mask: is query pair (qa, qb) present in the (ea, eb) set?
+    Sorted-struct searchsorted — exact on both columns, no hashing."""
+    if len(ea) == 0 or len(qa) == 0:
+        return np.zeros(len(qa), dtype=bool)
+    ekeys = np.sort(_pair_struct(ea, eb))
+    q = _pair_struct(np.asarray(qa, np.int64), np.asarray(qb, np.int64))
+    pos = np.searchsorted(ekeys, q)
+    posc = np.clip(pos, 0, len(ekeys) - 1)
+    return (pos < len(ekeys)) & (ekeys[posc] == q)
+
+
 def _distinct_pairs(ds, col_a: str, col_b: str, num_partitions: int):
     """EXACT distinct (a, b) int64 pairs: per-block Arrow distinct, then
     one hash(a, b) partition exchange + in-partition distinct.  Each pair
     value lands wholly in one partition, so partition distincts ARE the
     global distinct — the same single-exchange plan as
     ``agg.partition_fold``."""
-    import pyarrow.compute as pc
-
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def block_distinct(batch: pa.Table) -> pa.Table:
@@ -814,12 +865,48 @@ def _distinct_pairs(ds, col_a: str, col_b: str, num_partitions: int):
     )
 
 
+def _collect_pairs(ds, col_a: str = "a", col_b: str = "b"):
+    """Driver-collect a small (already gated) pair Dataset to numpy."""
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+            if t.num_rows > 0]
+    if not tabs:
+        e = np.array([], np.int64)
+        return e, e
+    t = pa.concat_tables(tabs)
+    return (t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def _local_triangles(a: np.ndarray, b: np.ndarray):
+    """Numpy triangle kernel over a distinct canonical (a < b) edge set."""
+    nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    da = counts[np.searchsorted(nodes, a)]
+    db = counts[np.searchsorted(nodes, b)]
+    fwd = (da < db) | ((da == db) & (a < b))
+    u = np.where(fwd, a, b)
+    v = np.where(fwd, b, a)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    left, right = _run_pairs(u)
+    x, y = v[left], v[right]
+    wa, wb, apex = np.minimum(x, y), np.maximum(x, y), u[left]
+    hit = _member_mask(a, b, wa, wb)
+    corners = np.concatenate([apex[hit], wa[hit], wb[hit]])
+    return np.unique(corners, return_counts=True)
+
+
 def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
-                   num_partitions: int = 64):
+                   num_partitions: int = 64,
+                   local_max_edges: int = 2_000_000,
+                   local_max_bytes: int = 256 << 20):
     """Per-node triangle counts over the UNDIRECTED simple graph of an
     (src, dst) edge list — the classic degree-oriented node-iterator
     (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
-    Last Reducer", WWW'11), expressed as Dataset folds:
+    Last Reducer", WWW'11).
+
+    Distributed plan (above the size gate):
 
       1. canonical undirected edge set E: (a=min, b=max), self-loops
          dropped, EXACT distinct via one hash(a,b) partition exchange
@@ -829,19 +916,20 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
          wedge blow-up of step 4 (the "last reducer" fix; no hot node
          ever enumerates a giant neighbor-pair cross product)
       4. wedges: hash(apex) partition exchange → per-apex all pairs of
-         out-neighbors (vectorized run-detect + repeat/arange pair
-         enumeration, no per-node Python loop)
+         out-neighbors (the shared ``_run_pairs`` kernel)
       5. wedge-vs-edge match: wedge candidates and E co-partitioned by
-         hash(a,b), in-partition sorted-struct searchsorted — every hit
-         is one triangle {apex, a, b}, found exactly once
+         hash(a,b), in-partition ``_member_mask`` — every hit is one
+         triangle {apex, a, b}, found exactly once
       6. corner explode → per-node count fold.
 
     Nothing iterates and nothing lands on the driver: the largest
     intermediate (the wedge set, ≤ Σ_v outdeg(v)² ≤ |E|^1.5 rows of
-    three int64s) streams through one exchange.  Returns a Dataset
+    three int64s) streams through one exchange.  At or below the gate
+    the identical kernels run locally in one pass.  Returns a Dataset
     ``(node, n_tri)`` with one row per node in ≥1 triangle.
     """
     import pyarrow.compute as pc
+    import ray.data
 
     from .agg import partition_fold
 
@@ -852,12 +940,18 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
         b = pc.max_element_wise(s, d)
         return pa.table({"a": a, "b": b}).filter(pc.less(a, b))
 
-    edges = _pin(
-        _distinct_pairs(
-            edges_ds.map_batches(canon, batch_format="pyarrow"),
-            "a", "b", num_partitions,
-        )
-    )
+    canon_ds = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    n_raw = canon_ds.count()
+    if n_raw <= local_max_edges and canon_ds.size_bytes() <= local_max_bytes:
+        ra, rb = _collect_pairs(canon_ds)
+        a, b = _np_distinct_pairs(ra, rb)
+        nodes, ntri = _local_triangles(a, b)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "n_tri": pa.array(ntri.astype(np.int64), pa.int64()),
+        }))
+
+    edges = _pin(_distinct_pairs(canon_ds, "a", "b", num_partitions))
 
     # 2. degrees over the distinct undirected edge set
     def explode_ends(batch: pa.Table) -> pa.Table:
@@ -908,35 +1002,20 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
     oriented = e2.map_batches(orient, batch_format="pyarrow")
 
     # 4. wedge enumeration, co-partitioned by apex
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def add_apart(batch: pa.Table) -> pa.Table:
         h = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (h * np.uint64(0x9E3779B97F4A7C15)
-                % np.uint64(num_partitions)).astype(np.int32)
+        part = (h * _MIX % np.uint64(num_partitions)).astype(np.int32)
         return batch.append_column("__p", pa.array(part, pa.int32()))
 
     def gen_wedges(group: pa.Table) -> pa.Table:
         u = group.column("u").to_numpy(zero_copy_only=False)
         v = group.column("v").to_numpy(zero_copy_only=False)
-        n = len(u)
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64()),
-                          "apex": pa.array([], pa.int64())})
-        if n < 2:
-            return empty
         order = np.lexsort((v, u))
         u, v = u[order], v[order]
-        change = np.nonzero(u[1:] != u[:-1])[0] + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [n]])
-        run_end = np.repeat(ends, ends - starts)
-        reps = run_end - 1 - np.arange(n)          # pairs led by each pos
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        left = np.repeat(np.arange(n), reps)
-        off = np.cumsum(reps) - reps
-        right = np.arange(total) - np.repeat(off, reps) + left + 1
-        x, y = v[left], v[right]                    # x < y (v sorted in run)
+        left, right = _run_pairs(u)
+        x, y = v[left], v[right]            # x < y (v sorted within run)
         return pa.table(
             {
                 "a": pa.array(np.minimum(x, y), pa.int64()),
@@ -952,8 +1031,6 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
     )
 
     # 5. wedge-vs-edge co-partitioned match on the (a, b) pair value
-    _MIX = np.uint64(0x9E3779B97F4A7C15)
-
     def tag(apex_col: bool):
         def fn(batch: pa.Table) -> pa.Table:
             a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -983,16 +1060,8 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
             zero_copy_only=False)
         a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        ekeys = np.sort(_pair_struct(a[is_edge], b[is_edge]))
         wsel = ~is_edge
-        wkeys = _pair_struct(a[wsel], b[wsel])
-        if len(ekeys) == 0 or len(wkeys) == 0:
-            return pa.table({"x": pa.array([], pa.int64()),
-                             "y": pa.array([], pa.int64()),
-                             "z": pa.array([], pa.int64())})
-        pos = np.searchsorted(ekeys, wkeys)
-        posc = np.clip(pos, 0, len(ekeys) - 1)
-        hit = (pos < len(ekeys)) & (ekeys[posc] == wkeys)
+        hit = _member_mask(a[is_edge], b[is_edge], a[wsel], b[wsel])
         return pa.table(
             {
                 "x": pa.array(apex[wsel][hit].astype(np.int64), pa.int64()),
@@ -1018,39 +1087,81 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
     )
 
 
+def _graph_stats_table(n_nodes, n_edges, n_self, n_und, n_nonself,
+                       max_deg, n_src):
+    from .text import _round6_half_up
+
+    n_recip = 2 * (n_nonself - n_und)
+    recipro = float(_round6_half_up(n_recip / n_nonself)[()]) \
+        if n_nonself else 0.0
+    avg_out = float(_round6_half_up(n_nonself / n_src)[()]) if n_src else 0.0
+    return pa.table({
+        "n_nodes": pa.array([int(n_nodes)], pa.int64()),
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "n_self_loops": pa.array([int(n_self)], pa.int64()),
+        "n_undirected": pa.array([int(n_und)], pa.int64()),
+        "n_reciprocal": pa.array([int(n_recip)], pa.int64()),
+        "reciprocity": pa.array([recipro], pa.float64()),
+        "max_out_deg": pa.array([int(max_deg)], pa.int64()),
+        "avg_out_deg": pa.array([avg_out], pa.float64()),
+    })
+
+
 def graph_stats(edges_ds, col_src: str = "src", col_dst: str = "dst",
-                num_partitions: int = 64):
+                num_partitions: int = 64,
+                local_max_edges: int = 2_000_000,
+                local_max_bytes: int = 256 << 20):
     """One-row whole-graph profile of a directed (src, dst) edge list:
 
     ``n_nodes`` (distinct endpoints), ``n_edges`` (distinct directed,
     self-loops included), ``n_self_loops``, ``n_undirected`` (distinct
     canonical non-self pairs), ``n_reciprocal`` (distinct non-self
-    directed edges whose reverse also exists), ``reciprocity``
-    (= n_reciprocal / (distinct non-self directed), round-6),
-    ``max_out_deg`` / ``avg_out_deg`` (over distinct non-self edges,
-    round-6).  Everything reduces through partition folds / Aggregates;
-    only the final scalars reach the driver.
+    directed edges whose reverse also exists, derived from the identity
+    n_reciprocal = 2·(n_nonself − n_undirected)), ``reciprocity``
+    (= n_reciprocal / n_nonself, round-6), ``max_out_deg`` /
+    ``avg_out_deg`` (over distinct non-self edges, round-6).  Above the
+    size gate everything reduces through partition folds / Aggregates
+    and only final scalars reach the driver; at or below it one numpy
+    pass over the collected edge table computes the same counts.
     """
     import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Max
 
     from .agg import partition_fold
-    from .text import _round6_half_up
 
-    de = _pin(_distinct_pairs(edges_ds, col_src, col_dst, num_partitions))
+    def cast2(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(col_src).cast(pa.int64()),
+            "b": batch.column(col_dst).cast(pa.int64()),
+        })
+
+    raw = _pin(edges_ds.map_batches(cast2, batch_format="pyarrow"))
+    n_raw = raw.count()
+    if n_raw == 0:
+        return ray.data.from_arrow(
+            _graph_stats_table(0, 0, 0, 0, 0, 0, 0))
+    if n_raw <= local_max_edges and raw.size_bytes() <= local_max_bytes:
+        ra, rb = _collect_pairs(raw)
+        a, b = _np_distinct_pairs(ra, rb)
+        n_edges = len(a)
+        self_m = a == b
+        n_self = int(self_m.sum())
+        na, nb = a[~self_m], b[~self_m]
+        n_nonself = len(na)
+        ua, ub = _np_distinct_pairs(np.minimum(na, nb), np.maximum(na, nb))
+        n_und = len(ua)
+        n_nodes = len(np.unique(np.concatenate([a, b])))
+        if n_nonself:
+            _, deg = np.unique(na, return_counts=True)
+            max_deg, n_src = int(deg.max()), len(deg)
+        else:
+            max_deg, n_src = 0, 0
+        return ray.data.from_arrow(_graph_stats_table(
+            n_nodes, n_edges, n_self, n_und, n_nonself, max_deg, n_src))
+
+    de = _pin(_distinct_pairs(raw, "a", "b", num_partitions))
     n_edges = de.count()
-    if n_edges == 0:
-        return ray.data.from_arrow(pa.table({
-            "n_nodes": pa.array([0], pa.int64()),
-            "n_edges": pa.array([0], pa.int64()),
-            "n_self_loops": pa.array([0], pa.int64()),
-            "n_undirected": pa.array([0], pa.int64()),
-            "n_reciprocal": pa.array([0], pa.int64()),
-            "reciprocity": pa.array([0.0], pa.float64()),
-            "max_out_deg": pa.array([0], pa.int64()),
-            "avg_out_deg": pa.array([0.0], pa.float64()),
-        }))
     nonself = _pin(de.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("a"), t.column("b"))),
         batch_format="pyarrow",
@@ -1068,10 +1179,6 @@ def graph_stats(edges_ds, col_src: str = "src", col_dst: str = "dst",
         nonself.map_batches(canon, batch_format="pyarrow"),
         "a", "b", num_partitions,
     ).count()
-    # n_nonself = once + 2·both and n_und = once + both, where "both" is
-    # the number of undirected pairs present in BOTH directions — so the
-    # reciprocal directed-edge count is 2·both = 2·(n_nonself − n_und).
-    n_recip = 2 * (n_nonself - n_und)
 
     def explode_src(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("a").cast(pa.int64())})
@@ -1098,15 +1205,292 @@ def graph_stats(edges_ds, col_src: str = "src", col_dst: str = "dst",
         num_partitions=num_partitions,
     ).count()
 
-    recipro = _round6_half_up(n_recip / n_nonself)[()] if n_nonself else 0.0
-    avg_out = _round6_half_up(n_nonself / n_src)[()] if n_src else 0.0
-    return ray.data.from_arrow(pa.table({
-        "n_nodes": pa.array([n_nodes], pa.int64()),
-        "n_edges": pa.array([n_edges], pa.int64()),
-        "n_self_loops": pa.array([n_self], pa.int64()),
-        "n_undirected": pa.array([n_und], pa.int64()),
-        "n_reciprocal": pa.array([n_recip], pa.int64()),
-        "reciprocity": pa.array([float(recipro)], pa.float64()),
-        "max_out_deg": pa.array([max_deg], pa.int64()),
-        "avg_out_deg": pa.array([float(avg_out)], pa.float64()),
-    }))
+    return ray.data.from_arrow(_graph_stats_table(
+        n_nodes, n_edges, n_self, n_und, n_nonself, max_deg, n_src))
+
+
+def _local_neighbor_jaccard(a, b, min_shared, min_jaccard, max_fanin):
+    from .text import _round6_half_up
+
+    # out-degrees over the distinct directed edge set
+    srcs, deg = np.unique(a, return_counts=True)
+    order = np.lexsort((a, b))
+    aa, bb = a[order], b[order]
+    _, fanin = np.unique(bb, return_counts=True)
+    if len(fanin) and int(fanin.max()) > max_fanin:
+        raise ValueError(
+            f"destination fan-in {int(fanin.max())} exceeds max_fanin="
+            f"{max_fanin}; pre-filter hub destinations or raise the cap"
+        )
+    left, right = _run_pairs(bb)
+    x, y = aa[left], aa[right]              # x < y (sources sorted in run)
+    if len(x) == 0:
+        e = np.array([], np.int64)
+        return e, e, e, np.array([], np.float64)
+    s = np.sort(_pair_struct(x, y))
+    uniq, inter = np.unique(s, return_counts=True)
+    keep = inter >= min_shared
+    uniq, inter = uniq[keep], inter[keep]
+    da = deg[np.searchsorted(srcs, uniq["a"])]
+    db = deg[np.searchsorted(srcs, uniq["b"])]
+    jac = _round6_half_up(inter.astype(np.float64) / (da + db - inter))
+    keep = jac >= min_jaccard
+    return (uniq["a"][keep].copy(), uniq["b"][keep].copy(),
+            inter[keep].astype(np.int64), jac[keep])
+
+
+def neighbor_jaccard_pairs(edges_ds, col_src: str = "src",
+                           col_dst: str = "dst", min_shared: int = 2,
+                           min_jaccard: float = 0.0,
+                           num_partitions: int = 64,
+                           max_fanin: int = 65536,
+                           local_max_edges: int = 2_000_000,
+                           local_max_bytes: int = 256 << 20):
+    """Structural similarity by shared out-neighborhood (co-citation):
+    pairs of source nodes whose out-link sets overlap — the
+    mirror-site / template-farm detector that needs no content at all.
+
+    Distributed plan: distinct (src, dst) → co-partition by dst →
+    per-dst source pair enumeration (the shared ``_run_pairs`` kernel;
+    a destination with fan-in f emits C(f, 2) pairs, guarded by
+    ``max_fanin`` exactly like the LSH bucket caps) → pair-count fold
+    (= |A ∩ B|) → out-degrees joined on both sides → Jaccard =
+    inter / (deg_a + deg_b − inter), one division of exact int64
+    counts, round-6.  Filters: ``n_shared ≥ min_shared`` and rounded
+    ``jaccard ≥ min_jaccard``.  At or below the size gate the same
+    kernels run locally.  Output: (site_a, site_b, n_shared, jaccard),
+    site_a < site_b.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .agg import partition_fold
+    from .joins import hash_join
+    from .text import _round6_half_up
+
+    def cast2(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(col_src).cast(pa.int64()),
+            "b": batch.column(col_dst).cast(pa.int64()),
+        })
+
+    raw = _pin(edges_ds.map_batches(cast2, batch_format="pyarrow"))
+    n_raw = raw.count()
+    if n_raw <= local_max_edges and raw.size_bytes() <= local_max_bytes:
+        ra, rb = _collect_pairs(raw)
+        a, b = _np_distinct_pairs(ra, rb)
+        sa, sb, inter, jac = _local_neighbor_jaccard(
+            a, b, min_shared, min_jaccard, max_fanin)
+        return ray.data.from_arrow(pa.table({
+            "site_a": pa.array(sa, pa.int64()),
+            "site_b": pa.array(sb, pa.int64()),
+            "n_shared": pa.array(inter, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }))
+
+    edges = _pin(_distinct_pairs(raw, "a", "b", num_partitions))
+
+    outdeg = partition_fold(
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("a").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["node"], "node", fn="count", out_val="deg",
+        num_partitions=num_partitions,
+    )
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_dpart(batch: pa.Table) -> pa.Table:
+        h = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (h * _MIX % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__p", pa.array(part, pa.int32()))
+
+    def gen_pairs(group: pa.Table) -> pa.Table:
+        # per-dst pairs of citing sources (sources sorted ⇒ x < y)
+        src = group.column("a").to_numpy(zero_copy_only=False)
+        dst = group.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, dst))
+        dst, src = dst[order], src[order]
+        _, fanin = np.unique(dst, return_counts=True)
+        if len(fanin) and int(fanin.max()) > max_fanin:
+            raise ValueError(
+                f"destination fan-in {int(fanin.max())} exceeds max_fanin="
+                f"{max_fanin}; pre-filter hub destinations or raise the cap"
+            )
+        left, right = _run_pairs(dst)
+        return pa.table({
+            "x": pa.array(src[left], pa.int64()),
+            "y": pa.array(src[right], pa.int64()),
+        })
+
+    inter = partition_fold(
+        edges.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(gen_pairs, batch_format="pyarrow"),
+        ["x", "y"], "x", fn="count", out_val="n_shared",
+        num_partitions=num_partitions,
+    )
+    inter = inter.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("n_shared"), pa.scalar(min_shared))),
+        batch_format="pyarrow",
+    )
+
+    deg_a = outdeg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "da": t.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow")
+    deg_b = outdeg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "db": t.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow")
+    j1 = hash_join(inter, deg_a, "x", "node", ["x", "y", "n_shared"], ["da"],
+                   num_partitions=num_partitions)
+    j2 = hash_join(j1, deg_b, "y", "node",
+                   ["x", "y", "n_shared", "da"], ["db"],
+                   num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        inter_n = batch.column("n_shared").to_numpy(zero_copy_only=False)
+        da = batch.column("da").to_numpy(zero_copy_only=False)
+        db = batch.column("db").to_numpy(zero_copy_only=False)
+        jac = _round6_half_up(
+            inter_n.astype(np.float64) / (da + db - inter_n))
+        keep = jac >= min_jaccard
+        return pa.table({
+            "site_a": batch.column("x").filter(pa.array(keep)),
+            "site_b": batch.column("y").filter(pa.array(keep)),
+            "n_shared": pa.array(inter_n[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def _local_kcore(a: np.ndarray, b: np.ndarray, k: int, rounds: int):
+    """Fixed-round k-core peel over a distinct canonical edge set."""
+    for _ in range(rounds):
+        if len(a) == 0:
+            break
+        nodes, counts = np.unique(np.concatenate([a, b]),
+                                  return_counts=True)
+        keepn = nodes[counts >= k]
+        if len(keepn) == len(nodes):
+            break
+        pos_a = np.searchsorted(keepn, a)
+        pos_b = np.searchsorted(keepn, b)
+        pos_a = np.clip(pos_a, 0, max(len(keepn) - 1, 0))
+        pos_b = np.clip(pos_b, 0, max(len(keepn) - 1, 0))
+        m = (np.zeros(len(a), bool) if len(keepn) == 0 else
+             (keepn[pos_a] == a) & (keepn[pos_b] == b))
+        if m.all():
+            break
+        a, b = a[m], b[m]
+    if len(a) == 0:
+        e = np.array([], np.int64)
+        return e, e
+    nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    sel = counts >= k
+    return nodes[sel], counts[sel].astype(np.int64)
+
+
+def kcore(edges_ds, k: int, col_src: str = "src", col_dst: str = "dst",
+          rounds: int = 12, num_partitions: int = 64,
+          local_max_edges: int = 2_000_000,
+          local_max_bytes: int = 256 << 20):
+    """Fixed-``rounds`` k-core peel of the UNDIRECTED simple graph:
+    repeatedly drop nodes of degree < k (with their edges), ``rounds``
+    times, then report the surviving nodes and their in-core degrees.
+
+    FIXED iteration count (not run-to-convergence) for the same reason
+    as :func:`pagerank`: a deterministic round count makes the operator
+    value-checkable against unrolled SQL — and once the peel converges,
+    further rounds are no-ops, so any ``rounds`` ≥ the true peel depth
+    yields the converged k-core exactly.
+
+    Size-gated like the other iterative operators: at or below the gate
+    (exact count of the pinned canonical edge table) a local numpy peel
+    answers directly; above it each round is one degree fold + two
+    keys-only semi-joins over the shrinking edge set, lineage severed
+    per round.  Early exit when a round drops nothing (node sets only
+    shrink, so an unchanged count IS convergence).  Output: Dataset
+    ``(node, core_deg)``.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .agg import partition_fold
+    from .joins import semi_anti_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(col_src).cast(pa.int64())
+        d = batch.column(col_dst).cast(pa.int64())
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        return pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+
+    canon_ds = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "core_deg": pa.array([], pa.int64())})
+    n_raw = canon_ds.count()
+    if n_raw == 0:
+        return ray.data.from_arrow(empty)
+    if n_raw <= local_max_edges and canon_ds.size_bytes() <= local_max_bytes:
+        ra, rb = _collect_pairs(canon_ds)
+        a, b = _np_distinct_pairs(ra, rb)
+        nodes, deg = _local_kcore(a, b, k, rounds)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "core_deg": pa.array(deg, pa.int64()),
+        }))
+
+    edges = _pin(_distinct_pairs(canon_ds, "a", "b", num_partitions))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    def degrees(eds):
+        return partition_fold(
+            eds.map_batches(explode, batch_format="pyarrow"),
+            ["node"], "node", fn="count", out_val="deg",
+            num_partitions=num_partitions,
+        )
+
+    prev_nodes = None
+    for _ in range(rounds):
+        deg = degrees(edges)
+        keep = _pin(deg.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("deg"), pa.scalar(k))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ))
+        n_keep = keep.count()
+        if n_keep == 0:
+            return ray.data.from_arrow(empty)
+        if n_keep == prev_nodes:
+            break  # nothing dropped ⇒ converged
+        prev_nodes = n_keep
+        edges = semi_anti_join(edges, keep, "a", "node", ["a", "b"],
+                               how="semi", num_partitions=num_partitions)
+        edges = _pin(semi_anti_join(edges, keep, "b", "node", ["a", "b"],
+                                    how="semi",
+                                    num_partitions=num_partitions))
+        if edges.count() == 0:
+            return ray.data.from_arrow(empty)
+
+    out = degrees(edges)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("deg"), pa.scalar(k))
+        t = t.filter(keep)
+        return pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "core_deg": t.column("deg").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

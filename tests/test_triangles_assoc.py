@@ -106,3 +106,94 @@ def test_pair_lift_min_both(ray_session):
     }))
     out = pair_lift(ds, "u", "it", min_both=2).take_all()
     assert [(r["it_a"], r["it_b"]) for r in out] == [("a", "b")]
+
+
+def test_triangle_count_distributed_parity(ray_session):
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    local = sorted(
+        (r["node"], r["n_tri"])
+        for r in triangle_count(ds).take_all()
+    )
+    dist = sorted(
+        (r["node"], r["n_tri"])
+        for r in triangle_count(ds, local_max_edges=0).take_all()
+    )
+    assert local == dist and len(local) > 0
+
+
+def test_graph_stats_distributed_parity(ray_session):
+    row_l = graph_stats(_edges_ds()).take_all()[0]
+    row_d = graph_stats(_edges_ds(), local_max_edges=0).take_all()[0]
+    assert row_l == row_d
+
+
+def test_kcore_peel_cascades(ray_session):
+    from pdf_extractor_ray.functions.graph import kcore
+
+    # path 0-1-2-3-4 attached to a K4 on {10,11,12,13}: 2-core peels the
+    # path one node per round (a real multi-round cascade), K4 survives
+    edges = {"src": [0, 1, 2, 3, 4, 10, 10, 10, 11, 11, 12],
+             "dst": [1, 2, 3, 4, 10, 11, 12, 13, 12, 13, 13]}
+    ds = ray.data.from_arrow(pa.table(edges))
+    out = sorted(
+        (r["node"], r["core_deg"]) for r in kcore(ds, k=2).take_all()
+    )
+    assert out == [(10, 3), (11, 3), (12, 3), (13, 3)]
+    dist = sorted(
+        (r["node"], r["core_deg"])
+        for r in kcore(ds, k=2, local_max_edges=0).take_all()
+    )
+    assert dist == out
+    # too few rounds ⇒ the fixed-round contract leaves the tail un-peeled
+    shallow = sorted(
+        r["node"] for r in kcore(ds, k=2, rounds=2).take_all()
+    )
+    assert 3 in shallow or 4 in shallow
+
+
+def test_kcore_empty_and_everything(ray_session):
+    from pdf_extractor_ray.functions.graph import kcore
+
+    ds = _edges_ds()
+    assert kcore(ds, k=100).count() == 0
+    # k=1 keeps every non-self edge's endpoints
+    out = kcore(ds, k=1).take_all()
+    assert {r["node"] for r in out} == {1, 2, 3, 4, 5}
+
+
+def test_neighbor_jaccard_hand_checked(ray_session):
+    from pdf_extractor_ray.functions.graph import neighbor_jaccard_pairs
+
+    # out-sets: 1→{7,8,9}, 2→{7,8}, 3→{9}
+    ds = ray.data.from_arrow(pa.table({
+        "src": [1, 1, 1, 2, 2, 3, 1],     # (1,7) duplicated
+        "dst": [7, 8, 9, 7, 8, 9, 7],
+    }))
+    out = {
+        (r["site_a"], r["site_b"]): r
+        for r in neighbor_jaccard_pairs(ds, min_shared=1).take_all()
+    }
+    assert set(out) == {(1, 2), (1, 3)}
+    assert out[(1, 2)]["n_shared"] == 2
+    assert out[(1, 2)]["jaccard"] == pytest.approx(round(2 / 3, 6))
+    assert out[(1, 3)]["n_shared"] == 1
+    assert out[(1, 3)]["jaccard"] == pytest.approx(round(1 / 3, 6))
+    dist = {
+        (r["site_a"], r["site_b"]): (r["n_shared"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(
+            ds, min_shared=1, local_max_edges=0).take_all()
+    }
+    assert dist == {k: (v["n_shared"], v["jaccard"]) for k, v in out.items()}
+
+
+def test_neighbor_jaccard_fanin_cap(ray_session):
+    from pdf_extractor_ray.functions.graph import neighbor_jaccard_pairs
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": list(range(10)), "dst": [99] * 10,
+    }))
+    with pytest.raises(Exception, match="max_fanin"):
+        neighbor_jaccard_pairs(ds, max_fanin=4).take_all()
