@@ -71,6 +71,59 @@ def _pages(sf_dir: str):
         return corpus_mod.pages_dataset(sf_dir)
 
 
+def _outlinks(sf_dir: str):
+    """(src_url, dst_url) edge list via a /tmp parquet read-through
+    cache layered on the pages cache: outlink extraction is a PURE
+    function of the pages corpus and ``functions/url.py``, and seven
+    link-graph queries in one gate run (anchor aggregation, BFS depth,
+    url/site PageRank, HITS, triangles, whole-graph stats, mirror
+    pairs) consume the identical edge list — re-extracting it per query
+    re-regexes the full raw corpus seven times.  Same contract as
+    :func:`_pages`: key misses cleanly on any input/source change,
+    atomic tmp-then-rename writes, and any failure falls back to the
+    live extraction pipeline, so correctness never depends on the
+    cache."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.functions import url as url_mod
+    from pdf_extractor_ray.functions.url import extract_outlinks
+    from pdf_extractor_ray.sources import corpus as corpus_mod
+
+    try:
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        srcs = b""
+        for m in (corpus_mod, url_mod):
+            with open(m.__file__, "rb") as f:
+                srcs += f.read()
+        key = hashlib.md5(
+            f"outlinks:{os.path.abspath(sf_dir)}:{st.st_size}:"
+            f"{st.st_mtime_ns}:".encode() + srcs
+        ).hexdigest()[:16]
+        out = os.path.join(_PAGES_CACHE_ROOT, key)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            if os.path.isdir(tmp):
+                import shutil
+
+                shutil.rmtree(tmp)
+            extract_outlinks(_pages(sf_dir)).write_parquet(tmp)
+            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                f.write("ok\n")
+            try:
+                os.rename(tmp, out)
+            except OSError:  # concurrent writer won the rename
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return ray.data.read_parquet(out)
+    except Exception:
+        return extract_outlinks(_pages(sf_dir))
+
+
 def _docs(sf_dir: str):
     import ray.data
 
@@ -843,9 +896,8 @@ def _q_hits_scores(sf_dir: str):
     import pyarrow.compute as pc
 
     from pdf_extractor_ray.functions.graph import hits
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir))
+    links = _outlinks(sf_dir)
 
     def to_site_edges(batch: pa.Table) -> pa.Table:
         dst_m = pc.extract_regex(
@@ -3481,9 +3533,8 @@ def _q_link_depth(sf_dir: str):
     import pyarrow.compute as pc
 
     from pdf_extractor_ray.functions.graph import bfs_depths
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir))
+    links = _outlinks(sf_dir)
 
     def to_site_edges(batch: pa.Table) -> pa.Table:
         dst_m = pc.extract_regex(
@@ -3523,9 +3574,8 @@ def _q_url_pagerank(sf_dir: str):
 
     from pdf_extractor_ray.functions.graph import pagerank
     from pdf_extractor_ray.functions.joins import hash_join
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir)).materialize()
+    links = _outlinks(sf_dir).materialize()
 
     def _h(u: str) -> int:
         return int.from_bytes(
@@ -4782,9 +4832,8 @@ def _q_site_pagerank(sf_dir: str):
 
     from pdf_extractor_ray.functions.agg import partition_fold
     from pdf_extractor_ray.functions.graph import pagerank
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir))
+    links = _outlinks(sf_dir)
 
     def to_site_edges(batch: pa.Table) -> pa.Table:
         dst_m = pc.extract_regex(
@@ -4874,9 +4923,8 @@ def _q_site_hits(sf_dir: str):
 
     from pdf_extractor_ray.functions.agg import partition_fold
     from pdf_extractor_ray.functions.graph import hits
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir))
+    links = _outlinks(sf_dir)
 
     def to_site_edges(batch: pa.Table) -> pa.Table:
         dst_m = pc.extract_regex(
@@ -5103,9 +5151,8 @@ def _site_edges_ds(sf_dir: str):
     triangle / whole-graph-stats queries."""
     import pyarrow.compute as pc
 
-    from pdf_extractor_ray.functions.url import extract_outlinks
 
-    links = extract_outlinks(_pages(sf_dir))
+    links = _outlinks(sf_dir)
 
     def to_site_edges(batch: pa.Table) -> pa.Table:
         dst_m = pc.extract_regex(
