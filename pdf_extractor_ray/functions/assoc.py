@@ -9,19 +9,19 @@ Reference scope note: the reference engine (a per-document extractor,
 see `extractor/` in /root/reference) has no cross-record analytics at
 all — this is part of the engine's §2-beyond surface, not a port.
 
-Scale plan (no driver-side data-set-sized state anywhere):
-  1. distinct (basket, item) via ONE hash(basket,item) partition
-     exchange (`agg.partition_fold` count, keys kept)
-  2. per-item basket counts + total basket count: small folds
-  3. per-basket pair enumeration: hash(basket) exchange, in-partition
-     vectorized run-detect + repeat/arange pair generation (the same
-     enumeration kernel as `graph.triangle_count` wedges) — a basket
-     with k distinct items emits C(k, 2) pairs, so the blow-up is
-     bounded by the per-basket distinct-item count, never by data size
-  4. pair counts: one more partition fold
-  5. scores: the per-item count table is LOW-CARDINALITY by contract
-     (item is a category column — event types, languages, source tags);
-     it broadcasts into the finishing map as a plain dict.
+Scale plan — TWO partition exchanges total, no driver-side
+data-set-sized state anywhere:
+  1. hash(basket) co-partition → per-basket numpy kernel that in ONE
+     pass dedups (basket, item), enumerates item pairs (the shared
+     ``graph._run_pairs`` kernel — a basket with k distinct items
+     emits C(k, 2) pairs, bounded by per-basket distinct-item count,
+     never by data size) and emits three row kinds: co-occurrence
+     pairs, per-item membership marks, one basket mark per basket
+  2. one (kind, x, y) count fold — pair counts, per-item basket
+     counts and the basket total all fall out of the same exchange.
+  Finishing: the kind≠pair slice is LOW-CARDINALITY by contract
+  (item is a category column — event types, languages, source tags);
+  it collects as a dict into the score map.
 
 Float-parity contract (DuckDB oracle twins): every score is ONE
 division of exact int64 counts, rounded half-away-from-zero to 6
@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+_K_PAIR, _K_ITEM, _K_BASKET = 0, 1, 2
 
 
 def pair_lift(ds, basket: str, item: str, num_partitions: int = 64,
@@ -45,92 +47,83 @@ def pair_lift(ds, basket: str, item: str, num_partitions: int = 64,
     Pairs with ``n_both < min_both`` are dropped.
     """
     from .agg import partition_fold
+    from .graph import _pair_struct, _run_pairs
+    from .joins import _bucket_of
 
     col_a, col_b = f"{item}_a", f"{item}_b"
 
-    # 1. distinct (basket, item) — one exchange, keys kept
-    pairs = partition_fold(
-        ds.select_columns([basket, item]), [basket, item], basket,
-        fn="count", out_val="__n", num_partitions=num_partitions,
-    ).select_columns([basket, item])
-
-    # 2. small folds: per-item basket counts; total distinct baskets
-    item_counts = partition_fold(
-        pairs, [item], basket, fn="count", out_val="n_item",
-        num_partitions=num_partitions,
-    )
-    n_baskets = partition_fold(
-        pairs, [basket], item, fn="count", out_val="__n",
-        num_partitions=num_partitions,
-    ).count()
-
-    # 3. per-basket pair enumeration, co-partitioned by basket
-    from .joins import _bucket_of
-
     def add_part(batch: pa.Table) -> pa.Table:
         b = _bucket_of(batch.column(basket), num_partitions)
-        return batch.append_column(
+        return batch.select([basket, item]).append_column(
             "__p", pa.array(np.asarray(
                 b.to_numpy(zero_copy_only=False), dtype=np.int32))
         )
 
-    def gen_pairs(group: pa.Table) -> pa.Table:
+    def emit(group: pa.Table) -> pa.Table:
         items = group.column(item).to_numpy(zero_copy_only=False)
         keys = group.column(basket).to_numpy(zero_copy_only=False)
-        empty = pa.table({col_a: pa.array([], pa.string()),
-                          col_b: pa.array([], pa.string())})
-        n = len(items)
-        if n < 2:
-            return empty
-        # factorize items so the sort/pair kernel runs on int codes;
-        # np.unique returns SORTED uniques, so code order == string order
-        uniq, codes = np.unique(items, return_inverse=True)
-        kuniq, kcodes = np.unique(keys, return_inverse=True)
-        order = np.lexsort((codes, kcodes))
-        kc, ic = kcodes[order], codes[order]
-        change = np.nonzero(kc[1:] != kc[:-1])[0] + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [n]])
-        run_end = np.repeat(ends, ends - starts)
-        reps = run_end - 1 - np.arange(n)
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        left = np.repeat(np.arange(n), reps)
-        off = np.cumsum(reps) - reps
-        right = np.arange(total) - np.repeat(off, reps) + left + 1
-        # items sorted ascending within a basket run ⇒ code_a < code_b
+        # factorize so the dedup/sort/pair kernel runs on int codes;
+        # np.unique returns SORTED uniques, so code order == value order
+        iuniq, icodes = np.unique(items, return_inverse=True)
+        _, kcodes = np.unique(keys, return_inverse=True)
+        s = np.unique(_pair_struct(kcodes, icodes))   # distinct + sorted
+        kc, ic = s["a"], s["b"]
+        left, right = _run_pairs(kc)                  # ic[l] < ic[r] in-run
+        n_b = int(kc[-1]) + 1 if len(kc) else 0
+        x = np.concatenate([iuniq[ic[left]], iuniq[ic],
+                            np.full(n_b, "", dtype=iuniq.dtype)])
+        y = np.concatenate([iuniq[ic[right]], iuniq[ic],
+                            np.full(n_b, "", dtype=iuniq.dtype)])
+        kind = np.concatenate([
+            np.full(len(left), _K_PAIR, np.int32),
+            np.full(len(ic), _K_ITEM, np.int32),
+            np.full(n_b, _K_BASKET, np.int32),
+        ])
         return pa.table({
-            col_a: pa.array(uniq[ic[left]]),
-            col_b: pa.array(uniq[ic[right]]),
+            "kind": pa.array(kind, pa.int32()),
+            "x": pa.array(x), "y": pa.array(y),
         })
 
-    basket_pairs = (
-        pairs.map_batches(add_part, batch_format="pyarrow")
+    from .graph import _pin
+
+    # pinned: consumed twice (meta collect + pair scoring) — without the
+    # pin the second consumer re-executes the whole two-exchange plan
+    folded = _pin(partition_fold(
+        ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(gen_pairs, batch_format="pyarrow")
-    )
-
-    # 4. pair counts
-    both = partition_fold(
-        basket_pairs, [col_a, col_b], col_a, fn="count", out_val="n_both",
+        .map_groups(emit, batch_format="pyarrow"),
+        ["kind", "x", "y"], "kind", fn="count", out_val="n",
         num_partitions=num_partitions,
-    )
+    ))
 
-    # 5. scores — item-count table is low-cardinality by contract
-    counts = {
-        r[item]: int(r["n_item"]) for r in item_counts.take_all()
-    }
+    import pyarrow.compute as pc
+
+    # item-count/basket-count slice is low-cardinality by contract
+    meta = folded.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"),
+                                        pa.scalar(_K_PAIR))),
+        batch_format="pyarrow",
+    )
+    counts: dict[str, int] = {}
+    n_baskets = 0
+    for r in meta.take_all():
+        if r["kind"] == _K_ITEM:
+            counts[r["x"]] = int(r["n"])
+        else:
+            n_baskets += int(r["n"])
+
     from .text import _round6_half_up
 
     def score(batch: pa.Table) -> pa.Table:
-        a = batch.column(col_a).to_numpy(zero_copy_only=False)
-        b = batch.column(col_b).to_numpy(zero_copy_only=False)
-        nb = batch.column("n_both").to_numpy(zero_copy_only=False)
+        batch = batch.filter(
+            pc.equal(batch.column("kind"), pa.scalar(_K_PAIR)))
+        a = batch.column("x").to_numpy(zero_copy_only=False)
+        b = batch.column("y").to_numpy(zero_copy_only=False)
+        nb = batch.column("n").to_numpy(zero_copy_only=False)
         keep = nb >= min_both
         a, b, nb = a[keep], b[keep], nb[keep]
-        na = np.array([counts[x] for x in a], dtype=np.int64)
-        nbb = np.array([counts[x] for x in b], dtype=np.int64)
+        na = np.array([counts[v] for v in a], dtype=np.int64)
+        nbb = np.array([counts[v] for v in b], dtype=np.int64)
         support = _round6_half_up(nb.astype(np.float64) / n_baskets)
         conf = _round6_half_up(nb.astype(np.float64) / na)
         lift = _round6_half_up(
@@ -145,4 +138,4 @@ def pair_lift(ds, basket: str, item: str, num_partitions: int = 64,
             "lift": pa.array(lift, pa.float64()),
         })
 
-    return both.map_batches(score, batch_format="pyarrow")
+    return folded.map_batches(score, batch_format="pyarrow")
