@@ -5245,6 +5245,53 @@ def _q_part_supplier_kcore(sf_dir: str):
     return kcore(edges, k=30).sort("node")
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed multivariate statistics: the exact covariance matrix
+    of the first 16 embedding components via
+    :func:`similarity.embedding_covariance` — int64 sufficient-
+    statistic partials (one per block) through a tree-merge level, cov
+    derived on the driver in float64 from identical integers
+    (the grouped_corr float-parity recipe extended to a matrix).
+    Oracle: the same quantized sums written out as generated SQL."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import embedding_covariance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_covariance(ds, dims=16, scale=10_000)
+
+
+def _embedding_cov_sql(dims: int = 16, scale: int = 10_000) -> str:
+    """Generated oracle for embedding_covariance: per-row quantization
+    (SQL round = half away from zero, same as the Ray side), exact
+    int sums, cov in float64 with the IDENTICAL operation order."""
+    qcols = ", ".join(
+        f"CAST(round(embedding[{i}] * {scale}.0) AS BIGINT) AS q{i}"
+        for i in range(1, dims + 1)
+    )
+    scols = ", ".join(
+        f"CAST(sum(q{i}) AS BIGINT) AS s{i}" for i in range(1, dims + 1)
+    )
+    pcols = ", ".join(
+        f"CAST(sum(q{i} * q{j}) AS BIGINT) AS p{i}_{j}"
+        for i in range(1, dims + 1) for j in range(i, dims + 1)
+    )
+    sq = scale * scale
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+        f"round((CAST(p{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * "
+        f"CAST(s{j} AS DOUBLE) / n) / n / {sq}.0, 6) AS cov FROM s"
+        for i in range(1, dims + 1) for j in range(i, dims + 1)
+    )
+    return f"""
+        WITH q AS (SELECT {qcols} FROM embeddings),
+        s AS (SELECT count(*) AS n, {scols}, {pcols} FROM q)
+        SELECT i, j, cov FROM ({rows}) ORDER BY i, j
+    """
+
+
 def _q_event_type_lift(sf_dir: str):
     """Association-rule mining over user event baskets: for every
     unordered event-type pair, the number of users doing BOTH plus
@@ -5356,6 +5403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_mirror_pairs": _q_site_mirror_pairs,
         "part_supplier_kcore": _q_part_supplier_kcore,
         "event_type_lift": _q_event_type_lift,
+        "embedding_covariance": _q_embedding_covariance,
         "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,
@@ -6105,6 +6153,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "part_supplier_kcore": _kcore_sql(_PART_SUPP_EDGE_CTE, k=30),
+        "embedding_covariance": _embedding_cov_sql(),
         # co-citation mirror detection: self-join on shared out-link
         # targets, Jaccard from exact degree/intersection counts
         "site_mirror_pairs": """

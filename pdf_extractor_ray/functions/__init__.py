@@ -129,7 +129,13 @@ from .bpe import (  # noqa: F401
 )
 from .agg import grouping_sets_agg  # noqa: F401
 from .url import host_blocklist_filter, anchor_text_index  # noqa: F401
-from .similarity import tfidf_cosine_pairs, pq_fit, pq_encode, pq_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    embedding_covariance,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+    tfidf_cosine_pairs,
+)
 from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401

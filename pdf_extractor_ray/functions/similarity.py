@@ -1007,3 +1007,88 @@ def mmr_rerank(cand_ids: "np.ndarray", cand_vecs: "np.ndarray",
         max_sim = np.maximum(max_sim, pair[:, best])
     sel = np.asarray(selected)
     return cand_ids[sel], rel[sel], np.asarray(scores)
+
+
+def embedding_covariance(ds, col: str = "embedding", dims: int = 16,
+                         scale: int = 10_000, merge_fanin: int = 64):
+    """EXACT covariance matrix of the first ``dims`` embedding
+    components — distributed multivariate sufficient statistics with
+    the family's float-parity recipe (``agg.grouped_corr`` extended to
+    a matrix): each value is quantized to int64 at ``scale`` with SQL
+    round semantics (half away from zero), each block reduces to ONE
+    fixed-size partial (n, S ∈ ℤ^d, P = QᵀQ ∈ ℤ^{d×d}), a distributed
+    tree-merge level sums ``merge_fanin`` partials per task (the DSIR /
+    sketch fan-in shape), and the driver folds blocks/merge_fanin rows
+    — embeddings never move.  cov_pop(i,j) = (P_ij − S_i·S_j/n)/n in
+    float64 from identical integers, descaled and rounded
+    half-away-from-zero to 6 digits.
+
+    int64 headroom: |q| ≤ scale for unit-ish embeddings ⇒ P_ij ≤
+    n·scale² — at scale 10⁴ safe to ~9·10¹⁰ rows per block-tree; size
+    ``scale`` down for bigger corpora (parity is unaffected: both
+    engines compare covariances OF THE QUANTIZED variable).
+
+    Output: pyarrow Table (i, j, cov), 1-indexed, i ≤ j — one row per
+    upper-triangle entry.
+    """
+    d = int(dims)
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64(), d)),
+                "p": pa.array([], pa.list_(pa.int64(), d * d)),
+            })
+        m = np.asarray(vals, dtype=np.float64)[:, :d]
+        q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(np.int64)
+        s = q.sum(axis=0)
+        p = q.T @ q
+        return pa.table({
+            "n": pa.array([len(vals)], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64(), d)),
+            "p": pa.array([p.reshape(-1).tolist()], pa.list_(pa.int64(), d * d)),
+        })
+
+    def merge_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        n = int(batch.column("n").to_numpy(zero_copy_only=False).sum())
+        s = np.asarray(batch.column("s").to_pylist(),
+                       dtype=np.int64).sum(axis=0)
+        p = np.asarray(batch.column("p").to_pylist(),
+                       dtype=np.int64).sum(axis=0)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64(), d)),
+            "p": pa.array([p.tolist()], pa.list_(pa.int64(), d * d)),
+        })
+
+    merged = (
+        ds.map_batches(block_stats, batch_format="pyarrow")
+        .map_batches(merge_stats, batch_size=merge_fanin,
+                     batch_format="pyarrow")
+    )
+    n_tot = 0
+    s_tot = np.zeros(d, dtype=np.int64)
+    p_tot = np.zeros(d * d, dtype=np.int64)
+    for row in merged.iter_rows():
+        n_tot += int(row["n"])
+        s_tot += np.asarray(row["s"], dtype=np.int64)
+        p_tot += np.asarray(row["p"], dtype=np.int64)
+    if n_tot == 0:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    P = p_tot.reshape(d, d).astype(np.float64)
+    S = s_tot.astype(np.float64)
+    cov = (P - np.outer(S, S) / n_tot) / n_tot / float(scale) ** 2
+    iu, ju = np.triu_indices(d)
+    c = cov[iu, ju]
+    c = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5) / 1e6, c)
+    return pa.table({
+        "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+        "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+        "cov": pa.array(c, pa.float64()),
+    })

@@ -197,3 +197,30 @@ def test_neighbor_jaccard_fanin_cap(ray_session):
     }))
     with pytest.raises(Exception, match="max_fanin"):
         neighbor_jaccard_pairs(ds, max_fanin=4).take_all()
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    from pdf_extractor_ray.functions.similarity import embedding_covariance
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(0, 0.3, (200, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), 8)),
+    }))
+    out = embedding_covariance(ds, dims=4, scale=10_000)
+    got = {(r["i"], r["j"]): r["cov"] for r in out.to_pylist()}
+    q = np.copysign(np.floor(np.abs(m[:, :4].astype(np.float64))
+                             * 1e4 + 0.5), m[:, :4]) / 1e4
+    want = np.cov(q, rowvar=False, bias=True)
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i - 1][j - 1], abs=2e-6)
+    assert len(got) == 10  # upper triangle of 4x4
+
+
+def test_embedding_covariance_empty(ray_session):
+    from pdf_extractor_ray.functions.similarity import embedding_covariance
+
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([], pa.list_(pa.float32(), 8)),
+    }))
+    assert embedding_covariance(ds, dims=4).num_rows == 0
