@@ -5292,6 +5292,34 @@ def _embedding_cov_sql(dims: int = 16, scale: int = 10_000) -> str:
     """
 
 
+def _q_embedding_pca(sf_dir: str):
+    """PCA reduction of the embedding table to its top-2 principal
+    components (:func:`similarity.pca_project`): covariance fit is the
+    DuckDB-oracled sufficient-statistics pass (``embedding_covariance``),
+    the 16×16 eigendecomposition runs on the driver with deterministic
+    sign fixing, and the projection matrix broadcasts once.  Rows-only
+    (eigendecomposition has no SQL twin); numpy-PCA parity is
+    test-pinned."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import pca_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = pca_project(ds, dims=16, n_components=2)
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "pc1": pc.list_element(batch.column("pc"), 0),
+            "pc2": pc.list_element(batch.column("pc"), 1),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow").sort("vec_id")
+
+
 def _q_event_type_lift(sf_dir: str):
     """Association-rule mining over user event baskets: for every
     unordered event-type pair, the number of users doing BOTH plus
@@ -5404,6 +5432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_kcore": _q_part_supplier_kcore,
         "event_type_lift": _q_event_type_lift,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca": _q_embedding_pca,
         "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,

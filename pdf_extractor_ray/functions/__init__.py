@@ -131,6 +131,7 @@ from .agg import grouping_sets_agg  # noqa: F401
 from .url import host_blocklist_filter, anchor_text_index  # noqa: F401
 from .similarity import (  # noqa: F401
     embedding_covariance,
+    pca_project,
     pq_encode,
     pq_fit,
     pq_topk,

@@ -1092,3 +1092,83 @@ def embedding_covariance(ds, col: str = "embedding", dims: int = 16,
         "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
         "cov": pa.array(c, pa.float64()),
     })
+
+
+def pca_project(ds, col: str = "embedding", dims: int = 16,
+                n_components: int = 2, scale: int = 10_000,
+                out_col: str = "pc", id_col: str | None = None):
+    """PCA dimensionality reduction of an embedding column: project the
+    first ``dims`` components onto the top ``n_components`` principal
+    axes of :func:`embedding_covariance` (the exact distributed
+    covariance — so the fit is one sufficient-statistics pass; only the
+    d×d matrix reaches the eigensolver).
+
+    Determinism: eigensystem of a symmetric matrix via ``np.linalg.eigh``
+    on the EXACT int-derived covariance, components ordered by
+    descending eigenvalue, each eigenvector's sign fixed so its
+    largest-|·| coordinate is positive (eigenvectors are only defined up
+    to sign — without the fix two runs could flip a component).  The
+    mean vector and projection matrix broadcast once (``ray.put``);
+    projection is one centered matmul per batch.
+
+    Output: the input Dataset with ``out_col`` (fixed-size list<double>
+    of length n_components, round-6 for reproducible comparison).
+    Iterative/eigendecomposition step keeps this rows-only (no SQL
+    twin); correctness is pinned against numpy PCA in tests and the
+    covariance fit itself is the DuckDB-oracled ``embedding_covariance``.
+    """
+    import ray
+
+    cov_t = embedding_covariance(ds, col=col, dims=dims, scale=scale)
+    d = int(dims)
+    cov = np.zeros((d, d), dtype=np.float64)
+    ii = cov_t.column("i").to_numpy(zero_copy_only=False) - 1
+    jj = cov_t.column("j").to_numpy(zero_copy_only=False) - 1
+    cc = cov_t.column("cov").to_numpy(zero_copy_only=False)
+    cov[ii, jj] = cc
+    cov[jj, ii] = cc
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order]                         # d × k
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+
+    # mean of the quantized variable — identical to the covariance fit
+    def block_mean(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64(), d))})
+        m = np.asarray(vals, dtype=np.float64)[:, :d]
+        q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(vals)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64(), d)),
+        })
+
+    n_tot, s_tot = 0, np.zeros(d, dtype=np.int64)
+    for row in ds.map_batches(block_mean, batch_format="pyarrow").iter_rows():
+        n_tot += int(row["n"])
+        s_tot += np.asarray(row["s"], dtype=np.int64)
+    mean = (s_tot.astype(np.float64) / max(n_tot, 1)) / scale
+    proj_ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean_v, comps_v = ray.get(proj_ref)
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            out = np.zeros((0, comps_v.shape[1]))
+        else:
+            m = np.asarray(vals, dtype=np.float64)[:, :d]
+            q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m) / scale
+            out = (q - mean_v) @ comps_v
+        out = np.copysign(np.floor(np.abs(out) * 1e6 + 0.5) / 1e6, out)
+        res = batch.drop_columns([out_col]) if out_col in batch.column_names \
+            else batch
+        return res.append_column(
+            out_col,
+            pa.array(out.tolist(), pa.list_(pa.float64(), comps_v.shape[1])),
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

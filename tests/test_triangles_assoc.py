@@ -224,3 +224,48 @@ def test_embedding_covariance_empty(ray_session):
         "embedding": pa.array([], pa.list_(pa.float32(), 8)),
     }))
     assert embedding_covariance(ds, dims=4).num_rows == 0
+
+
+def test_pca_project_matches_numpy(ray_session):
+    from pdf_extractor_ray.functions.similarity import pca_project
+
+    rng = np.random.default_rng(9)
+    # anisotropic cloud so the principal axes are unambiguous
+    base = rng.normal(0, 1.0, (300, 2))
+    m = np.zeros((300, 6), dtype=np.float64)
+    m[:, 0] = 3.0 * base[:, 0]
+    m[:, 1] = 1.0 * base[:, 1]
+    m[:, 2:] = rng.normal(0, 0.05, (300, 4))
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(m.astype(np.float32).tolist(),
+                              pa.list_(pa.float32(), 6)),
+    }))
+    out = pca_project(ds, dims=6, n_components=2)
+    got = np.asarray([r["pc"] for r in out.take_all()])
+    # numpy reference over the same quantized variable
+    q = np.copysign(np.floor(np.abs(m.astype(np.float32).astype(np.float64))
+                             * 1e4 + 0.5), m) / 1e4
+    centered = q - q.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(q, rowvar=False, bias=True))
+    order = np.argsort(w)[::-1][:2]
+    comps = v[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(2)])
+    want = centered @ (comps * flip)
+    assert got.shape == want.shape
+    # sign-fixed components: same orientation, tolerance for the
+    # round-6 quantization of the covariance entries
+    assert np.max(np.abs(np.abs(got) - np.abs(want))) < 1e-3
+    # variance along pc1 ~ 9, pc2 ~ 1 (the planted anisotropy)
+    assert got[:, 0].var() > 5 * got[:, 1].var()
+
+
+def test_pca_project_deterministic(ray_session):
+    from pdf_extractor_ray.functions.similarity import pca_project
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    a = pca_project(ds, dims=8, n_components=2).sort("vec_id").take_all()
+    b = pca_project(ds, dims=8, n_components=2).sort("vec_id").take_all()
+    assert [r["pc"] for r in a] == [r["pc"] for r in b]
