@@ -5222,6 +5222,7 @@ def _q_part_supplier_kcore(sf_dir: str):
     twins, the ITERATIVE operator itself is value-checked end-to-end
     against SQL.  Supplier node ids offset by 10M to disjoin the key
     spaces."""
+    import pyarrow.compute as pc
     import ray.data
 
     from pdf_extractor_ray.functions.graph import kcore
@@ -5231,8 +5232,6 @@ def _q_part_supplier_kcore(sf_dir: str):
     )
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table({
             "src": batch.column("l_partkey").cast(pa.int64()),
             "dst": pc.add(
