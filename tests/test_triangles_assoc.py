@@ -269,3 +269,101 @@ def test_pca_project_deterministic(ray_session):
     a = pca_project(ds, dims=8, n_components=2).sort("vec_id").take_all()
     b = pca_project(ds, dims=8, n_components=2).sort("vec_id").take_all()
     assert [r["pc"] for r in a] == [r["pc"] for r in b]
+
+
+def test_pair_lift_random_vs_reference(ray_session):
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 200))
+        users = [f"u{int(x)}" for x in rng.integers(0, 30, n)]
+        items = [f"i{int(x)}" for x in rng.integers(0, 6, n)]
+        ds = ray.data.from_arrow(pa.table({"u": users, "it": items}))
+        got = {
+            (r["it_a"], r["it_b"]): (r["n_both"], r["support"],
+                                     r["conf_a_b"], r["lift"])
+            for r in pair_lift(ds, "u", "it").take_all()
+        }
+        # pure-python reference
+        baskets: dict[str, set] = {}
+        for u, i in zip(users, items):
+            baskets.setdefault(u, set()).add(i)
+        nb = len(baskets)
+        cnt: dict[str, int] = {}
+        both: dict[tuple, int] = {}
+        for s in baskets.values():
+            for i in s:
+                cnt[i] = cnt.get(i, 0) + 1
+            ss = sorted(s)
+            for x in range(len(ss)):
+                for y in range(x + 1, len(ss)):
+                    both[(ss[x], ss[y])] = both.get((ss[x], ss[y]), 0) + 1
+
+        def r6(v):
+            return float(np.floor(v * 1e6 + 0.5) / 1e6)
+
+        want = {
+            k: (v, r6(v / nb), r6(v / cnt[k[0]]),
+                r6(v * nb / (cnt[k[0]] * cnt[k[1]])))
+            for k, v in both.items()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_kcore_random_vs_naive(ray_session):
+    from pdf_extractor_ray.functions.graph import kcore
+
+    for seed in (4, 5):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, 30, 150)
+        dst = rng.integers(0, 30, 150)
+        ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+        k = 4
+        got = sorted(
+            (r["node"], r["core_deg"])
+            for r in kcore(ds, k=k, local_max_edges=0).take_all()
+        )
+        # naive fixed-round reference over the canonical simple graph
+        edges = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+        for _ in range(12):
+            deg: dict[int, int] = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            new = {(a, b) for a, b in edges if a in keep and b in keep}
+            if new == edges:
+                break
+            edges = new
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        want = sorted((n, d) for n, d in deg.items() if d >= k)
+        assert got == want, f"seed {seed}"
+
+
+def test_neighbor_jaccard_random_vs_reference(ray_session):
+    from pdf_extractor_ray.functions.graph import neighbor_jaccard_pairs
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 15, 200)
+    dst = rng.integers(100, 140, 200)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = {
+        (r["site_a"], r["site_b"]): (r["n_shared"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(
+            ds, min_shared=1, local_max_edges=0).take_all()
+    }
+    outs: dict[int, set] = {}
+    for a, b in zip(src, dst):
+        outs.setdefault(int(a), set()).add(int(b))
+    want = {}
+    ks = sorted(outs)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            inter = len(outs[a] & outs[b])
+            if inter >= 1:
+                j = inter / len(outs[a] | outs[b])
+                want[(a, b)] = (inter,
+                                float(np.floor(j * 1e6 + 0.5) / 1e6))
+    assert got == want
