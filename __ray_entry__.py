@@ -1567,6 +1567,32 @@ def _q_pack_chunks(sf_dir: str):
     )
 
 
+def _q_pack_chunks_per_doc(sf_dir: str):
+    """Document-local greedy sequence packing (sequences never mix
+    documents — the packing mode for contamination-averse training
+    setups): 32-token chunks of each doc packed first-fit into
+    256-token packs in chunk order via
+    :func:`chunk.pack_sequences_grouped`.  Fully deterministic, so
+    unlike the hash-bucket-packed ``pack_chunks`` this one is
+    value-oracled: the greedy walk is unrolled as a lockstep recursive
+    CTE (one recursion step advances EVERY doc by one chunk)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.chunk import (
+        chunk_text,
+        pack_sequences_grouped,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_text(ds, max_tokens=32, overlap=8).drop_columns(["text"])
+    return pack_sequences_grouped(
+        chunks, group_col="doc_id", ntok_col="n_tokens", budget=256,
+        order_cols=("chunk_id",),
+    ).sort(["doc_id", "pack_seq"])
+
+
 def _q_customer_order_full(sf_dir: str):
     """FULL OUTER equi-join (orders ⟗ customer): every order keeps its
     customer, customers with no orders appear null-extended — the
@@ -5513,6 +5539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-sequence prep (chunk + pack)
         "chunk_docs": _q_chunk_docs,
         "pack_chunks": _q_pack_chunks,
+        "pack_chunks_per_doc": _q_pack_chunks_per_doc,
         # window / aggregate / reshape tail (round 3, late)
         "events_lead_value": _q_events_lead_value,
         "user_first_last_event": _q_user_first_last_event,
@@ -7773,6 +7800,47 @@ def oracle_sql() -> dict[str, str]:
                    ) AS text,
                    CAST(least(g*24 + 32, n) - g*24 AS BIGINT) AS n_tokens
             FROM e
+        """,
+        # document-local greedy packing: the sequential first-fit walk
+        # unrolled as a lockstep recursive CTE (step r advances every
+        # doc's r-th chunk; iterations = max chunks per doc)
+        "pack_chunks_per_doc": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ), s AS (
+                SELECT doc_id, len(toks) AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, n, unnest(range(0, n_chunks)) AS g FROM s
+            ), ch AS (
+                SELECT doc_id,
+                       CAST(g + 1 AS BIGINT) AS rn,
+                       CAST(least(g*24 + 32, n) - g*24 AS BIGINT) AS n_tokens
+                FROM e
+            ), r AS (
+                SELECT doc_id, rn, n_tokens,
+                       CAST(0 AS BIGINT) AS pack_seq,
+                       CAST(n_tokens AS BIGINT) AS cur_tot
+                FROM ch WHERE rn = 1
+                UNION ALL
+                SELECT c.doc_id, c.rn, c.n_tokens,
+                       CASE WHEN r.cur_tot + c.n_tokens > 256
+                            THEN r.pack_seq + 1 ELSE r.pack_seq END,
+                       CASE WHEN r.cur_tot + c.n_tokens > 256
+                            THEN CAST(c.n_tokens AS BIGINT)
+                            ELSE r.cur_tot + c.n_tokens END
+                FROM r JOIN ch c
+                  ON c.doc_id = r.doc_id AND c.rn = r.rn + 1
+            )
+            SELECT doc_id, pack_seq,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM r GROUP BY doc_id, pack_seq
+            ORDER BY doc_id, pack_seq
         """,
         "events_lead_value": """
             SELECT user_id, event_id,

@@ -113,7 +113,7 @@ from .multimodal import (  # noqa: F401
     media_meta_stats,
     video_frames,
 )
-from .chunk import chunk_text, pack_sequences  # noqa: F401
+from .chunk import chunk_text, pack_sequences, pack_sequences_grouped  # noqa: F401
 from .mix import (  # noqa: F401
     percentile_keep,
     rebalance_equal,
