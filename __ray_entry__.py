@@ -891,8 +891,12 @@ def _q_hits_scores(sf_dir: str):
     """HITS hubs & authorities over the site link graph (same edge
     extraction as link_depth): top-15 authorities with hub scores —
     link analysis beyond PageRank (a page can be a great directory
-    without being a great target).  Rows-only (iterative normalized
-    floats); local-vs-distributed agreement is test-pinned."""
+    without being a great target).  Fully DuckDB-oracled: the raw
+    per-page edge feed makes this a WEIGHTED multigraph (two pages of
+    one site linking the same target count twice), and the oracle
+    carries that multiplicity as an edge weight through 20 unrolled
+    L2-normalized half-rounds; local-vs-distributed agreement is
+    additionally test-pinned."""
     import pyarrow.compute as pc
 
     from pdf_extractor_ray.functions.graph import hits
@@ -917,8 +921,19 @@ def _q_hits_scores(sf_dir: str):
         return t.filter(keep)
 
     edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "hub": pc.round(batch.column("hub"), ndigits=6),
+                "authority": pc.round(batch.column("authority"), ndigits=6),
+            }
+        )
+
     return (
         hits(edges, iters=20)
+        .map_batches(round6, batch_format="pyarrow")
         .sort(["authority", "node"], descending=[True, False])
         .limit(15)
     )
@@ -3590,10 +3605,12 @@ def _q_url_pagerank(sf_dir: str):
     20 fixed power iterations, dangling mass redistributed) → top 20
     urls by rank. Node ids are md5-64 of the url; only (src, dst) id
     pairs enter the iteration — payload bytes and url strings never
-    re-shuffle. Rows-only HERE (url-level node ids are md5-64 hashes),
-    but the ITERATION ITSELF is full-value DuckDB-oracled by the
-    ``site_pagerank`` twin (20 iterations unrolled into MATERIALIZED
-    CTEs); local-vs-distributed parity additionally test-pinned."""
+    re-shuffle. Fully DuckDB-oracled at URL level: the oracle runs the
+    20 unrolled power iterations keyed on the url STRINGS themselves
+    (reconstructed from the synthesizer's full link rules — statics +
+    related + nav-only pages, both channels), so the md5 ids are an
+    internal detail the compare never sees; local-vs-distributed
+    parity additionally test-pinned."""
     import hashlib
 
     import ray.data
@@ -4938,6 +4955,74 @@ SELECT node, round(rank, 6) AS rank FROM r{iters}
     return "".join(parts)
 
 
+_PAGE_URL_SQL = (
+    "'https://example.org/' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')"
+    " || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+)
+
+
+def _url_pagerank_sql(iters: int = 20, damping: str = "0.85") -> str:
+    """URL-level PageRank oracle: the site_pagerank unrolled-CTE
+    structure with VARCHAR url node keys and the synthesizer's full
+    URL link rules — full HTML pages emit 6 static + 3 related links,
+    BOTH channels emit the /p/N cross-links, nav-only (%101 == 61)
+    pages emit '/' and '/a'; per-page DISTINCT.  Output = the query's
+    top-20 contract: round-8 ranks, (rank DESC, url) order."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT {_PAGE_URL_SQL} AS src,
+               'https://example.org' || s.path AS dst
+        FROM documents
+        CROSS JOIN (VALUES ('/'), ('/about'), ('/contact'), ('/login'),
+                           ('/ad1'), ('/ad2')) s(path)
+        WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+          AND (doc_id % 10) <> 7
+        UNION ALL
+        SELECT {_PAGE_URL_SQL} AS src,
+               'https://example.org/p/'
+               || CAST((doc_id * 31 + 7 * ks.k) % 1000 AS VARCHAR) AS dst
+        FROM documents CROSS JOIN (VALUES (1), (2), (3)) ks(k)
+        WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+        UNION ALL
+        SELECT {_PAGE_URL_SQL} AS src,
+               'https://example.org' || s.path AS dst
+        FROM documents CROSS JOIN (VALUES ('/'), ('/a')) s(path)
+        WHERE (doc_id % 101) = 61
+    )
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), deg AS MATERIALIZED (
+    SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), meta AS MATERIALIZED (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+    SELECT nodes.n AS node, 1.0 / meta.n AS rank FROM nodes, meta
+)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+    FROM e JOIN {p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+), g{i} AS MATERIALIZED (
+    SELECT coalesce(sum(r.rank), 0.0) AS dang
+    FROM {p} r LEFT JOIN deg ON deg.src = r.node
+    WHERE deg.src IS NULL
+), r{i} AS MATERIALIZED (
+    SELECT r.node,
+           (1.0 - {damping}) / meta.n
+           + {damping} * (coalesce(c.contrib, 0.0) + g.dang / meta.n) AS rank
+    FROM {p} r LEFT JOIN c{i} c ON c.node = r.node, meta, g{i} g
+)""")
+    parts.append(f"""
+SELECT node AS url, round(rank, 8) AS rank FROM r{iters}
+ORDER BY 2 DESC, 1 LIMIT 20
+""")
+    return "".join(parts)
+
+
 def _q_site_hits(sf_dir: str):
     """HITS hubs/authorities over the SITE link graph, end-to-end and
     fully DuckDB-oracled (the site_pagerank treatment applied to the
@@ -5027,6 +5112,56 @@ FROM h{iters} h JOIN a{iters} a ON a.node = h.node
 """)
     return "".join(parts)
 
+
+
+def _hits_scores_sql(iters=20):
+    """Weighted-multigraph HITS oracle for ``hits_scores``: unlike
+    ``site_hits`` (DISTINCT site edges), the hits_scores query feeds
+    the raw per-page edge list, so two pages of one site linking the
+    same target count twice — the SQL carries that multiplicity as an
+    edge weight m = pages per (site, target)."""
+    parts = ["""
+WITH pe AS MATERIALIZED (
+    SELECT DISTINCT doc_id, (doc_id % 1000) AS src,
+           ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS k(k)
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+), e AS MATERIALIZED (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS m FROM pe GROUP BY src, dst
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n AS node
+    FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(s.v, 0.0) AS auth
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.hub * e.m) AS v
+        FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst) s
+      ON s.node = n.node
+), an{i} AS MATERIALIZED (SELECT sqrt(sum(auth * auth)) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT node, CASE WHEN an.s > 0 THEN auth / an.s ELSE auth END AS auth
+    FROM ar{i}, an{i} an
+), hr{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(s.v, 0.0) AS hub
+    FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.auth * e.m) AS v
+        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s
+      ON s.node = n.node
+), hn{i} AS MATERIALIZED (SELECT sqrt(sum(hub * hub)) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+    SELECT node, CASE WHEN hn.s > 0 THEN hub / hn.s ELSE hub END AS hub
+    FROM hr{i}, hn{i} hn
+)""")
+    parts.append(f"""
+SELECT node, hub, authority FROM (
+    SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+) ORDER BY authority DESC, node LIMIT 15
+""")
+    return "".join(parts)
 
 
 def _q_salted_revenue_join(sf_dir: str):
@@ -6146,6 +6281,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),
         "site_hits": _site_hits_sql(),
+        "url_pagerank": _url_pagerank_sql(),
+        "hits_scores": _hits_scores_sql(),
         # triangle counting: 3-way self-join over the canonical
         # undirected edge set of the deterministic cross-link rule
         "site_triangles": """
