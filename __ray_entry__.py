@@ -5023,6 +5023,98 @@ ORDER BY 2 DESC, 1 LIMIT 20
     return "".join(parts)
 
 
+def _q_site_trustrank(sf_dir: str):
+    """TrustRank spam-demotion signal over the site graph
+    (:func:`graph.trustrank`): PageRank personalized to the trusted
+    seed set (sites 0–49, a deterministic stand-in for a curated seed
+    list) — teleport and dangling mass return only to seeds, so trust
+    flows outward and unreachable link neighborhoods score 0.  Fully
+    DuckDB-oracled: 20 personalized power iterations unrolled into
+    MATERIALIZED CTEs, like the site_pagerank twin."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.graph import trustrank
+
+    links = _outlinks(sf_dir)
+
+    def to_site_edges(batch: pa.Table) -> pa.Table:
+        dst_m = pc.extract_regex(
+            batch.column("dst_url"), r"^https://example\.org/p/(?P<n>[0-9]+)$"
+        )
+        src_m = pc.extract_regex(
+            batch.column("src_url"),
+            r"^https://example\.org/(?P<s>[0-9]{4})/",
+        )
+        keep = pc.and_(dst_m.is_valid(), src_m.is_valid())
+        t = pa.table(
+            {
+                "src": pc.cast(pc.struct_field(src_m, "s"), pa.int64()),
+                "dst": pc.cast(pc.struct_field(dst_m, "n"), pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    edges = links.map_batches(to_site_edges, batch_format="pyarrow")
+    distinct = partition_fold(
+        edges, ["src", "dst"], "src", fn="count", out_val="__n"
+    ).select_columns(["src", "dst"])
+    ranks = trustrank(distinct, seeds=range(50))
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pc.round(batch.column("rank"), ndigits=6),
+            }
+        )
+
+    return ranks.map_batches(round6, batch_format="pyarrow")
+
+
+def _site_trustrank_sql(iters: int = 20, damping: str = "0.85") -> str:
+    """TrustRank oracle: the site_pagerank unroll with seed-personalized
+    teleport (seeds = sites < 50 present in the graph)."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT (doc_id % 1000) AS src,
+           ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS k(k)
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), deg AS MATERIALIZED (
+    SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), sm AS MATERIALIZED (
+    SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE n < 50
+), t AS MATERIALIZED (
+    SELECT nodes.n AS node,
+           CASE WHEN nodes.n < 50 THEN 1.0 / sm.ns ELSE 0.0 END AS tele
+    FROM nodes, sm
+), r0 AS MATERIALIZED (SELECT node, tele AS rank FROM t)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+    FROM e JOIN {p} r ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+), g{i} AS MATERIALIZED (
+    SELECT coalesce(sum(r.rank), 0.0) AS dang
+    FROM {p} r LEFT JOIN deg ON deg.src = r.node
+    WHERE deg.src IS NULL
+), r{i} AS MATERIALIZED (
+    SELECT t.node,
+           (1.0 - {damping}) * t.tele
+           + {damping} * (coalesce(c.contrib, 0.0) + g.dang * t.tele) AS rank
+    FROM t LEFT JOIN c{i} c ON c.node = t.node, g{i} g
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+""")
+    return "".join(parts)
+
+
 def _q_site_hits(sf_dir: str):
     """HITS hubs/authorities over the SITE link graph, end-to-end and
     fully DuckDB-oracled (the site_pagerank treatment applied to the
@@ -5585,6 +5677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_bound": _q_hll_users_bound,
         # corpus-mixture / normalization additions (round 4)
         "site_pagerank": _q_site_pagerank,
+        "site_trustrank": _q_site_trustrank,
         "site_hits": _q_site_hits,
         "site_triangles": _q_site_triangles,
         "site_graph_stats": _q_site_graph_stats,
@@ -6283,6 +6376,7 @@ def oracle_sql() -> dict[str, str]:
         "site_hits": _site_hits_sql(),
         "url_pagerank": _url_pagerank_sql(),
         "hits_scores": _hits_scores_sql(),
+        "site_trustrank": _site_trustrank_sql(),
         # triangle counting: 3-way self-join over the canonical
         # undirected edge set of the deterministic cross-link rule
         "site_triangles": """

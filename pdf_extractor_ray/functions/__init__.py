@@ -25,6 +25,7 @@ from .graph import (  # noqa: F401
     neighbor_jaccard_pairs,
     pagerank,
     triangle_count,
+    trustrank,
 )
 from .ml import logreg_predict, logreg_train  # noqa: F401
 from .window import (  # noqa: F401

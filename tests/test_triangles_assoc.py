@@ -367,3 +367,36 @@ def test_neighbor_jaccard_random_vs_reference(ray_session):
                 want[(a, b)] = (inter,
                                 float(np.floor(j * 1e6 + 0.5) / 1e6))
     assert got == want
+
+
+def test_trustrank_parity_and_semantics(ray_session):
+    from pdf_extractor_ray.functions.graph import trustrank
+
+    # trusted component {1,2,3} + an unreachable spam pair {10,11}
+    ds = ray.data.from_arrow(pa.table({
+        "src": [1, 2, 3, 10, 11],
+        "dst": [2, 3, 1, 11, 10],
+    }))
+    local = {
+        r["node"]: r["rank"]
+        for r in trustrank(ds, seeds=[1], iters=6).take_all()
+    }
+    assert local[10] == 0.0 and local[11] == 0.0   # no trust reaches spam
+    assert local[1] > local[2] > 0                 # seed holds the most trust
+    assert abs(sum(local.values()) - 1.0) < 1e-9   # mass conserved
+    dist = {
+        r["node"]: r["rank"]
+        for r in trustrank(ds, seeds=[1], iters=6,
+                           local_max_edges=0).take_all()
+    }
+    assert set(dist) == set(local)
+    for n in local:
+        assert dist[n] == pytest.approx(local[n], abs=1e-12)
+
+
+def test_trustrank_no_seeds_in_graph(ray_session):
+    from pdf_extractor_ray.functions.graph import trustrank
+
+    ds = ray.data.from_arrow(pa.table({"src": [1, 2], "dst": [2, 1]}))
+    out = {r["node"]: r["rank"] for r in trustrank(ds, seeds=[99]).take_all()}
+    assert out == {1: 0.0, 2: 0.0}
