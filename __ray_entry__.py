@@ -5572,6 +5572,27 @@ def _q_embedding_pca(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow").sort("vec_id")
 
 
+def _q_mirror_site_clusters(sf_dir: str):
+    """Template-farm CLUSTERS: the co-citation mirror pairs
+    (:func:`graph.neighbor_jaccard_pairs`, same thresholds as
+    ``site_mirror_pairs``) fed into :func:`graph.connected_components`
+    — the mirror-detection → cluster-labeling composition a dedup
+    pipeline runs before picking one representative per farm.  Oracle:
+    the pair derivation in SQL + recursive-CTE transitive closure with
+    min-label components."""
+    from pdf_extractor_ray.functions.graph import (
+        connected_components,
+        neighbor_jaccard_pairs,
+    )
+
+    pairs = neighbor_jaccard_pairs(
+        _site_edges_ds(sf_dir), min_shared=2, min_jaccard=0.25
+    )
+    return connected_components(
+        pairs, col_a="site_a", col_b="site_b"
+    ).sort("node")
+
+
 def _q_event_type_lift(sf_dir: str):
     """Association-rule mining over user event baskets: for every
     unordered event-type pair, the number of users doing BOTH plus
@@ -5682,6 +5703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_triangles": _q_site_triangles,
         "site_graph_stats": _q_site_graph_stats,
         "site_mirror_pairs": _q_site_mirror_pairs,
+        "mirror_site_clusters": _q_mirror_site_clusters,
         "part_supplier_kcore": _q_part_supplier_kcore,
         "event_type_lift": _q_event_type_lift,
         "embedding_covariance": _q_embedding_covariance,
@@ -6470,6 +6492,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(site_b AS BIGINT) AS site_b, n_shared, jaccard
             FROM s WHERE jaccard >= 0.25
             ORDER BY site_a, site_b
+        """,
+        # mirror pairs → connected components: recursive transitive
+        # closure, component label = min reachable node
+        "mirror_site_clusters": """
+            WITH RECURSIVE de AS (
+                SELECT DISTINCT (doc_id % 1000) AS src,
+                       ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+                FROM documents, (VALUES (1), (2), (3)) AS k(k)
+                WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+            ),
+            deg AS (SELECT src, count(*) AS d FROM de GROUP BY src),
+            p AS (
+                SELECT e1.src AS a, e2.src AS b, count(*) AS inter
+                FROM de e1
+                JOIN de e2 ON e1.dst = e2.dst AND e1.src < e2.src
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            mp AS (
+                SELECT a, b FROM p
+                JOIN deg da ON da.src = p.a
+                JOIN deg db ON db.src = p.b
+                WHERE round(CAST(inter AS DOUBLE)
+                            / (da.d + db.d - inter), 6) >= 0.25
+            ),
+            sym AS (
+                SELECT a AS u, b AS v FROM mp
+                UNION SELECT b, a FROM mp
+                UNION SELECT a, a FROM mp
+                UNION SELECT b, b FROM mp
+            ),
+            reach AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+            )
+            SELECT CAST(u AS BIGINT) AS node,
+                   CAST(min(v) AS BIGINT) AS component
+            FROM reach GROUP BY u ORDER BY node
         """,
         "event_type_lift": """
             WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
