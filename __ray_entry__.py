@@ -5593,6 +5593,16 @@ def _q_mirror_site_clusters(sf_dir: str):
     ).sort("node")
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading-ease curation gate over the documents table
+    (:func:`text.readability_scores`): deterministic word / sentence /
+    vowel-group-syllable counts, single fixed-order float formula,
+    round-6 — fully DuckDB-oracled."""
+    from pdf_extractor_ray.functions.text import readability_scores
+
+    return readability_scores(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_event_type_lift(sf_dir: str):
     """Association-rule mining over user event baskets: for every
     unordered event-type pair, the number of users doing BOTH plus
@@ -5706,6 +5716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_site_clusters": _q_mirror_site_clusters,
         "part_supplier_kcore": _q_part_supplier_kcore,
         "event_type_lift": _q_event_type_lift,
+        "readability_scores": _q_readability,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
         "salted_revenue_join": _q_salted_revenue_join,
@@ -6492,6 +6503,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(site_b AS BIGINT) AS site_b, n_shared, jaccard
             FROM s WHERE jaccard >= 0.25
             ORDER BY site_a, site_b
+        """,
+        "readability_scores": r"""
+            WITH d AS (
+                SELECT doc_id, trim(text) AS t FROM documents
+                WHERE trim(text) <> ''
+            ), w AS (
+                SELECT doc_id, t,
+                       string_split_regex(t, '\s+') AS words
+                FROM d
+            ), syl AS (
+                SELECT doc_id,
+                       CAST(sum(greatest(1, len(regexp_extract_all(
+                           lower(word), '[aeiouy]+')))) AS BIGINT) AS y
+                FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                GROUP BY doc_id
+            ), base AS (
+                SELECT w.doc_id,
+                       CAST(len(w.words) AS BIGINT) AS n_words,
+                       CAST(greatest(1, len(regexp_extract_all(
+                           w.t, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                       syl.y AS n_syllables
+                FROM w JOIN syl ON syl.doc_id = w.doc_id
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                         6) AS flesch
+            FROM base ORDER BY doc_id
         """,
         # mirror pairs → connected components: recursive transitive
         # closure, component label = min reachable node

@@ -121,7 +121,7 @@ from .mix import (  # noqa: F401
     snapshot_diff,
     split_assign,
 )
-from .text import char_entropy  # noqa: F401
+from .text import char_entropy, readability_scores  # noqa: F401
 from .bpe import (  # noqa: F401
     BpeEncodeStage,
     bpe_pipeline,

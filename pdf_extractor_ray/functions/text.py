@@ -1254,3 +1254,57 @@ def nfc_normalize(ds, text_col: str = "text", out_col: str = "text_nfc",
         ).append_column("changed", pa.array(changed, pa.bool_()))
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch reading-ease per document — the classic readability
+    quality filter (Flesch 1948; used as a curation gate alongside the
+    Gopher rules).  Deterministic heuristic counts so the whole score
+    is DuckDB-oracle-able:
+
+      words      = whitespace tokens of the trimmed text
+      sentences  = max(1, runs of [.!?])
+      syllables  = Σ_word max(1, runs of [aeiouy] in the lowercased word)
+      flesch     = 206.835 − 1.015·(W/S) − 84.6·(SYL/W), round-6
+                   half-away-from-zero (SQL round semantics; the score
+                   goes negative for dense technical text)
+
+    Documents with empty trimmed text are dropped (same contract as the
+    chunker).  Output: (id_col, n_words, n_sentences, n_syllables,
+    flesch).
+    """
+    import math
+    import re
+
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+    ws_re = re.compile(r"\s+")
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_w, out_s, out_y, out_f = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            t = (t or "").strip()
+            if not t:
+                continue
+            words = ws_re.split(t)
+            w = len(words)
+            s = max(1, len(sent_re.findall(t)))
+            y = sum(max(1, len(syl_re.findall(wd.lower()))) for wd in words)
+            f = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+            out_id.append(i)
+            out_w.append(w)
+            out_s.append(s)
+            out_y.append(y)
+            out_f.append(math.copysign(
+                math.floor(abs(f) * 1e6 + 0.5) / 1e6, f))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "n_words": pa.array(out_w, pa.int64()),
+            "n_sentences": pa.array(out_s, pa.int64()),
+            "n_syllables": pa.array(out_y, pa.int64()),
+            "flesch": pa.array(out_f, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

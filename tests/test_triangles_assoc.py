@@ -400,3 +400,25 @@ def test_trustrank_no_seeds_in_graph(ray_session):
     ds = ray.data.from_arrow(pa.table({"src": [1, 2], "dst": [2, 1]}))
     out = {r["node"]: r["rank"] for r in trustrank(ds, seeds=[99]).take_all()}
     assert out == {1: 0.0, 2: 0.0}
+
+
+def test_readability_hand_checked(ray_session):
+    from pdf_extractor_ray.functions.text import readability_scores
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat. It purred!", "", "xyzzy qrst"],
+    }))
+    rows = {r["doc_id"]: r for r in readability_scores(ds).take_all()}
+    assert set(rows) == {1, 3}            # empty text dropped
+    r1 = rows[1]
+    # words: The cat sat. It purred! -> 5; sentences: 2 ('.', '!')
+    # syllables: e/a/a/i/u+e -> 1+1+1+1+2 = 6
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 6)
+    w, s, y = 5, 2, 6
+    want = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert r1["flesch"] == pytest.approx(round(want, 6))
+    r3 = rows[3]
+    # no vowels in xyzzy? y counts: 'xyzzy' has y groups -> ['y','y'] = 2;
+    # 'qrst' has none -> max(1, 0) = 1; no sentence marks -> s = 1
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (2, 1, 3)
