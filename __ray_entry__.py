@@ -5115,6 +5115,65 @@ SELECT node, round(rank, 6) AS rank FROM r{iters}
     return "".join(parts)
 
 
+def _q_site_katz(sf_dir: str):
+    """Katz centrality over the site graph (:func:`graph.katz_centrality`,
+    α = 0.01, 20 fixed iterations): walk-count prestige that — unlike
+    PageRank — does not normalize away high out-degree, the complementary
+    link signal.  Oracle: the recursion unrolled into MATERIALIZED CTEs
+    (x ← 1 + α·Aᵀx over the deterministic cross-link rule)."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.agg import partition_fold
+    from pdf_extractor_ray.functions.graph import katz_centrality
+
+    edges = _site_edges_ds(sf_dir)
+    distinct = partition_fold(
+        edges, ["src", "dst"], "src", fn="count", out_val="__n"
+    ).select_columns(["src", "dst"])
+    scores = katz_centrality(distinct, alpha=0.01, iters=20)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "score": pc.round(batch.column("score"), ndigits=6),
+            }
+        )
+
+    return scores.map_batches(round6, batch_format="pyarrow")
+
+
+def _site_katz_sql(iters: int = 20,
+                   alpha: str = "CAST(0.01 AS DOUBLE)") -> str:
+    """Katz oracle: x ← 1 + α·Aᵀx unrolled, same edge CTE as the
+    pagerank/HITS twins.  α must be a DOUBLE expression — a bare
+    decimal literal is DECIMAL in DuckDB and 20 chained multiplications
+    overflow its max scale."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT (doc_id % 1000) AS src,
+           ((doc_id * 31 + 7 * k.k) % 1000) AS dst
+    FROM documents, (VALUES (1), (2), (3)) AS k(k)
+    WHERE (doc_id % 101) NOT IN (13, 29, 47, 61, 83)
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT n AS node
+    FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), x0 AS MATERIALIZED (SELECT node, 1.0 AS score FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(x.score) AS contrib
+    FROM e JOIN x{i-1} x ON x.node = e.src GROUP BY e.dst
+), x{i} AS MATERIALIZED (
+    SELECT n.node, 1.0 + {alpha} * coalesce(c.contrib, 0.0) AS score
+    FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)""")
+    parts.append(f"""
+SELECT node, round(score, 6) AS score FROM x{iters}
+""")
+    return "".join(parts)
+
+
 def _q_site_hits(sf_dir: str):
     """HITS hubs/authorities over the SITE link graph, end-to-end and
     fully DuckDB-oracled (the site_pagerank treatment applied to the
@@ -5709,6 +5768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-mixture / normalization additions (round 4)
         "site_pagerank": _q_site_pagerank,
         "site_trustrank": _q_site_trustrank,
+        "site_katz": _q_site_katz,
         "site_hits": _q_site_hits,
         "site_triangles": _q_site_triangles,
         "site_graph_stats": _q_site_graph_stats,
@@ -6410,6 +6470,7 @@ def oracle_sql() -> dict[str, str]:
         "url_pagerank": _url_pagerank_sql(),
         "hits_scores": _hits_scores_sql(),
         "site_trustrank": _site_trustrank_sql(),
+        "site_katz": _site_katz_sql(),
         # triangle counting: 3-way self-join over the canonical
         # undirected edge set of the deterministic cross-link rule
         "site_triangles": """

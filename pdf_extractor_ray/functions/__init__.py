@@ -20,6 +20,7 @@ from .graph import (  # noqa: F401
     connected_components,
     graph_stats,
     hits,
+    katz_centrality,
     kcore,
     keyed_chain_edges,
     neighbor_jaccard_pairs,

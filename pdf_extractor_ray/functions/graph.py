@@ -1702,3 +1702,127 @@ def trustrank(edges_ds, seeds, col_src: str = "src", col_dst: str = "dst",
 
         ranks = _pin(joined.map_batches(update, batch_format="pyarrow"))
     return ranks
+
+
+def _local_katz(edges_t: pa.Table, alpha: float, iters: int):
+    """Driver-local fixed-iteration Katz recursion x ← 1 + α·Aᵀx."""
+    src = edges_t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges_t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    x = np.ones(n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, x[si])
+        x = 1.0 + alpha * contrib
+    return nodes, x
+
+
+def katz_centrality(edges_ds, alpha: float = 0.01, iters: int = 20,
+                    col_src: str = "src", col_dst: str = "dst",
+                    local_max_edges: int = 2_000_000,
+                    local_max_bytes: int = 256 << 20):
+    """Katz centrality (Katz 1953): x ← 1 + α·Aᵀx for a FIXED ``iters``
+    — every node scores 1 plus the α-attenuated sum over all incoming
+    walks, so unlike PageRank a node with many low-quality in-links
+    can't launder rank through degree normalization.  Converges for
+    α < 1/λ_max; callers pick α ≪ 1/max-in-degree (a safe bound).
+
+    Same engineering contract as :func:`pagerank` / :func:`trustrank`:
+    fixed iteration count (value-checkable against unrolled SQL),
+    size-gated local numpy twin, distributed path = one hash join +
+    one groupby-sum per round over (node, score) pairs with the edge
+    table pinned once, lineage severed per round.  Output: Dataset
+    ``(node, score)``.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column(col_src).cast(pa.int64()),
+                "dst": batch.column(col_dst).cast(pa.int64()),
+            }
+        )
+
+    edges = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    if edges.num_blocks() > 32:
+        target = max(16, edges.size_bytes() // (32 << 20))
+        edges = _pin(edges.repartition(int(target)))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    if n_edges <= local_max_edges and edges.size_bytes() <= local_max_bytes:
+        tabs = [t for t in (ray.get(r) for r in edges.to_arrow_refs())
+                if t.num_rows > 0]
+        nodes, x = _local_katz(pa.concat_tables(tabs), alpha, iters)
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "score": pa.array(x, pa.float64())})
+        )
+
+    parts = int(min(256, max(8, n_edges // 100_000)))
+
+    def explode_nodes(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes_ds = _pin(
+        edges.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="__m"))
+        .map_batches(
+            lambda b: pa.table({"node": b.column("node").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    scores = _pin(nodes_ds.map_batches(
+        lambda b: b.append_column(
+            "score", pa.array([1.0] * b.num_rows, pa.float64())
+        ),
+        batch_format="pyarrow",
+    ))
+    for _ in range(iters):
+        contribs = hash_join(
+            edges, scores, "src", "node",
+            left_cols=["dst"], right_cols=["score"],
+            how="inner", num_partitions=parts,
+        )
+        in_mass = (
+            contribs.map_batches(
+                lambda b: pa.table({"node": b.column("dst"),
+                                    "w": b.column("score")}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("w", alias_name="mass"))
+        )
+        joined = hash_join(
+            nodes_ds, in_mass, "node", "node",
+            left_cols=["node"], right_cols=["mass"],
+            how="left", num_partitions=parts,
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            mass = np.nan_to_num(
+                batch.column("mass").to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+            return pa.table({
+                "node": batch.column("node"),
+                "score": pa.array(1.0 + alpha * mass, pa.float64()),
+            })
+
+        scores = _pin(joined.map_batches(update, batch_format="pyarrow"))
+    return scores

@@ -422,3 +422,28 @@ def test_readability_hand_checked(ray_session):
     # no vowels in xyzzy? y counts: 'xyzzy' has y groups -> ['y','y'] = 2;
     # 'qrst' has none -> max(1, 0) = 1; no sentence marks -> s = 1
     assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (2, 1, 3)
+
+
+def test_katz_parity_and_semantics(ray_session):
+    from pdf_extractor_ray.functions.graph import katz_centrality
+
+    # star: 1..4 -> 5. Closed form after >=2 iters: x(5) = 1 + 4a(1+a),
+    # x(1..4) = 1 + a (5 has no out-edge beyond... 5 -> 1 adds walks)
+    ds = ray.data.from_arrow(pa.table({
+        "src": [1, 2, 3, 4], "dst": [5, 5, 5, 5],
+    }))
+    a = 0.1
+    local = {
+        r["node"]: r["score"]
+        for r in katz_centrality(ds, alpha=a, iters=10).take_all()
+    }
+    assert local[5] == pytest.approx(1 + 4 * a)   # leaves stay at 1
+    for n in (1, 2, 3, 4):
+        assert local[n] == pytest.approx(1.0)
+    dist = {
+        r["node"]: r["score"]
+        for r in katz_centrality(ds, alpha=a, iters=10,
+                                 local_max_edges=0).take_all()
+    }
+    for n in local:
+        assert dist[n] == pytest.approx(local[n], abs=1e-12)
