@@ -5556,6 +5556,41 @@ def _q_part_supplier_kcore(sf_dir: str):
     return kcore(edges, k=30).sort("node")
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (first 8 dims) —
+    :func:`similarity.label_centroids`: quantized int64 partial sums
+    in long form, one low-cardinality fold, float-parity means."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import label_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    t = label_centroids(ds, dims=8, scale=10_000)
+    return t.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def _label_centroids_sql(dims: int = 8, scale: int = 10_000) -> str:
+    qcols = ", ".join(
+        f"CAST(round(embedding[{i}] * {scale}.0) AS BIGINT) AS q{i}"
+        for i in range(1, dims + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT label, CAST({i} AS BIGINT) AS dim, "
+        f"CAST(sum(q{i}) AS BIGINT) AS s, "
+        f"CAST(count(*) AS BIGINT) AS n FROM q GROUP BY label"
+        for i in range(1, dims + 1)
+    )
+    return f"""
+        WITH q AS (SELECT CAST(label AS BIGINT) AS label, {qcols}
+                   FROM embeddings)
+        SELECT label, dim, n,
+               round(CAST(s AS DOUBLE) / n / {scale}.0, 6) AS mean
+        FROM ({rows}) ORDER BY label, dim
+    """
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Distributed multivariate statistics: the exact covariance matrix
     of the first 16 embedding components via
@@ -5779,6 +5814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": _q_readability,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
+        "embedding_label_centroids": _q_label_centroids,
         "salted_revenue_join": _q_salted_revenue_join,
         "temperature_mix_docs": _q_temperature_mix,
         "winsorize_chars": _q_winsorize_chars,
@@ -6534,6 +6570,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_supplier_kcore": _kcore_sql(_PART_SUPP_EDGE_CTE, k=30),
         "embedding_covariance": _embedding_cov_sql(),
+        "embedding_label_centroids": _label_centroids_sql(),
         # co-citation mirror detection: self-join on shared out-link
         # targets, Jaccard from exact degree/intersection counts
         "site_mirror_pairs": """

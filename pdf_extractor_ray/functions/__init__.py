@@ -133,6 +133,7 @@ from .agg import grouping_sets_agg  # noqa: F401
 from .url import host_blocklist_filter, anchor_text_index  # noqa: F401
 from .similarity import (  # noqa: F401
     embedding_covariance,
+    label_centroids,
     pca_project,
     pq_encode,
     pq_fit,

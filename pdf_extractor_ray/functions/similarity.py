@@ -1194,3 +1194,65 @@ def pca_project(ds, col: str = "embedding", dims: int = 16,
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def label_centroids(ds, col: str = "embedding", label_col: str = "label",
+                    dims: int = 8, scale: int = 10_000):
+    """Per-label centroid of the first ``dims`` embedding components —
+    the label-quality / cluster-drift diagnostic (compare class
+    centroids across snapshots, spot mislabeled clusters).  Same
+    float-parity recipe as :func:`embedding_covariance`: values
+    quantized to int64 at ``scale`` with SQL round semantics, per-block
+    partial sums in LONG form (label, dim, s, c), one low-cardinality
+    group fold (labels × dims is small by contract), mean =
+    (S/c)/scale in float64 from identical integers, round-6
+    half-away-from-zero.  Output: Dataset (label, dim, n, mean),
+    dim 1-indexed.
+    """
+    from .agg import lowcard_groupby_agg
+    from ray.data.aggregate import Sum
+
+    d = int(dims)
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        m = _matrix(batch.column(col))
+        if m.shape[0] == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
+        m = m[:, :d]
+        q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k = len(uniq)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        lab = np.repeat(uniq.astype(np.int64), d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), k)
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "c": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    # lowcard fold returns the final (labels × dims)-row pyarrow Table
+    folded = lowcard_groupby_agg(
+        ds.map_batches(block_partials, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("s", "sum", "s"), ("c", "sum", "c")],
+    )
+    s = folded.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    c = folded.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = (s / c) / scale
+    mean = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6, mean)
+    return pa.table({
+        "label": folded.column("label").cast(pa.int64()),
+        "dim": folded.column("dim").cast(pa.int64()),
+        "n": folded.column("c").cast(pa.int64()),
+        "mean": pa.array(mean, pa.float64()),
+    })

@@ -447,3 +447,27 @@ def test_katz_parity_and_semantics(ray_session):
     }
     for n in local:
         assert dist[n] == pytest.approx(local[n], abs=1e-12)
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    from pdf_extractor_ray.functions.similarity import label_centroids
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(0, 0.4, (120, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, 120)
+    ds = ray.data.from_arrow(pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), 6)),
+    }))
+    t = label_centroids(ds, dims=4, scale=10_000)
+    got = {(r["label"], r["dim"]): (r["n"], r["mean"])
+           for r in t.to_pylist()}
+    q = np.copysign(np.floor(np.abs(m[:, :4].astype(np.float64))
+                             * 1e4 + 0.5), m[:, :4]) / 1e4
+    for lbl in (0, 1, 2):
+        sel = q[labels == lbl]
+        for d in range(4):
+            n, mean = got[(lbl, d + 1)]
+            assert n == len(sel)
+            assert mean == pytest.approx(sel[:, d].mean(), abs=2e-6)
+    assert len(got) == 12
