@@ -1118,6 +1118,99 @@ def _q_detect_language(sf_dir: str):
     )
 
 
+def _q_lang_detector_agreement(sf_dir: str):
+    """Classifier-agreement audit: Cohen's kappa between the two
+    language detectors (stopword-profile vs character-n-gram) — the
+    label-quality check a curation pipeline runs before trusting any
+    single labeler.  Confusion counts fold distributedly (labels are
+    low-cardinality); po/pe/kappa are single fixed-order float
+    expressions from exact int64 counts, round-6 — fully oracled by
+    wrapping the two detectors' existing SQL twins as CTEs."""
+    from pdf_extractor_ray.functions.agg import lowcard_groupby_agg
+    from pdf_extractor_ray.functions.joins import hash_join
+    from pdf_extractor_ray.functions.text import (
+        detect_language,
+        detect_language_ngram,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    a = docs.map_batches(
+        detect_language, batch_format="pyarrow"
+    ).select_columns(["doc_id", "detected_lang"])
+    b = docs.map_batches(
+        detect_language_ngram, batch_format="pyarrow"
+    ).select_columns(["doc_id", "detected_lang_ngram"])
+    joined = hash_join(
+        a, b, "doc_id", "doc_id",
+        ["doc_id", "detected_lang"], ["detected_lang_ngram"],
+    )
+    conf = lowcard_groupby_agg(
+        joined.select_columns(["detected_lang", "detected_lang_ngram"]),
+        ["detected_lang", "detected_lang_ngram"],
+        [("detected_lang", "count", "c")],
+    )
+    la = conf.column("detected_lang").to_pylist()
+    lb = conf.column("detected_lang_ngram").to_pylist()
+    c = conf.column("c").to_pylist()
+    n = sum(c)
+    agree = sum(v for x, y, v in zip(la, lb, c) if x == y)
+    ra: dict = {}
+    rb: dict = {}
+    for x, y, v in zip(la, lb, c):
+        ra[x] = ra.get(x, 0) + v
+        rb[y] = rb.get(y, 0) + v
+    s = sum(ra[k] * rb.get(k, 0) for k in ra)
+    po = agree / n
+    pe = s / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    import math
+
+    def r6(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "po": pa.array([r6(po)], pa.float64()),
+        "pe": pa.array([r6(pe)], pa.float64()),
+        "kappa": pa.array([r6(kappa)], pa.float64()),
+    })
+
+
+def _kappa_sql() -> str:
+    """Agreement oracle: the two langid SQL twins wrapped as CTEs, then
+    Cohen's kappa from exact int counts in the same fixed float order
+    as the Ray side."""
+    lang = _langid_oracles()
+    return f"""
+        WITH a AS ({lang['detect_language']}),
+        b AS ({lang['detect_language_ngram']}),
+        j AS (
+            SELECT a.detected_lang AS la, b.detected_lang_ngram AS lb
+            FROM a JOIN b ON a.doc_id = b.doc_id
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                       AS agree
+            FROM j
+        ),
+        ra AS (SELECT la AS k, count(*) AS c FROM j GROUP BY la),
+        rb AS (SELECT lb AS k, count(*) AS c FROM j GROUP BY lb),
+        sm AS (
+            SELECT CAST(coalesce(sum(ra.c * rb.c), 0) AS BIGINT) AS s
+            FROM ra JOIN rb ON rb.k = ra.k
+        )
+        SELECT n, agree AS n_agree,
+               round(CAST(agree AS DOUBLE) / n, 6) AS po,
+               round(CAST(s AS DOUBLE) / (n * n), 6) AS pe,
+               round((CAST(agree AS DOUBLE) / n
+                      - CAST(s AS DOUBLE) / (n * n))
+                     / (1 - CAST(s AS DOUBLE) / (n * n)), 6) AS kappa
+        FROM m, sm
+    """
+
+
 def _q_dedup_exact(sf_dir: str):
     from pdf_extractor_ray.functions.dedup import exact_dedup
 
@@ -5756,6 +5849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features": _q_text_features,
         "quality_score": _q_quality_score,
         "detect_language": _q_detect_language,
+        "lang_detector_agreement": _q_lang_detector_agreement,
         "detect_language_ngram": _q_detect_language_ngram,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -6571,6 +6665,7 @@ def oracle_sql() -> dict[str, str]:
         "part_supplier_kcore": _kcore_sql(_PART_SUPP_EDGE_CTE, k=30),
         "embedding_covariance": _embedding_cov_sql(),
         "embedding_label_centroids": _label_centroids_sql(),
+        "lang_detector_agreement": _kappa_sql(),
         # co-citation mirror detection: self-join on shared out-link
         # targets, Jaccard from exact degree/intersection counts
         "site_mirror_pairs": """
