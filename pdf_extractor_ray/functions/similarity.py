@@ -195,34 +195,157 @@ def embedding_near_dups(
     n_tables: int = 24,
     seed: int = 42,
     dim: int = 0,
+    num_partitions: int = 64,
+    max_bucket: int | None = None,
 ):
     """Near-dup pairs by cosine ≥ threshold — the SCALE path.
 
-    1. multi-table hyperplane LSH buckets each vector L times; only
-       (bucket_key, vec_id) pairs shuffle in the counting pass
-    2. collision-first: buckets with >1 member (the small hot set) are
-       broadcast
-    3. a second streaming pass RECOMPUTES each vector's bucket keys
-       (one small matmul — cheaper than a join shuffle) and emits
-       (bucket_key, vec_id, embedding) only for hot-bucket memberships
-    4. exact cosine verify runs IN-BUCKET: one vectorized matmul per
-       bucket group, then a tiny distinct over verified pairs —
-       nothing corpus-sized ever reaches the driver (round-1
-       materialized the full matrix there).
+    ONE key-space partition exchange does everything (the
+    ``bucket_collision_pairs`` plan from the MinHash/SimHash family,
+    carrying the embedding as payload): each vector emits its L
+    (bucket_key, vec_id, embedding) memberships pre-tagged with
+    ``__part = bucket_key % num_partitions``, so a bucket's rows land
+    wholly in one partition task, which lexsorts by (bucket, vec_id),
+    reads bucket sizes off run lengths (singleton buckets cost
+    nothing), runs the exact cosine verify as ONE matmul per 2+ run,
+    and pre-folds duplicate pairs in place.  A final pair-keyed
+    partition fold finishes the global distinct.  There is NO count
+    pre-pass, NO hot-bucket ``take_all`` and NO driver structure that
+    scales with collision count (round ≤4 collected the hot-bucket key
+    list on the driver and broadcast it — billions of keys at 100-TB
+    dup rates).
+
+    Shuffle payload is L × (16 B + embedding) per vector; at near-dup
+    settings raise ``n_planes`` (finer buckets) and ``num_partitions``
+    together so one partition's memberships fit a worker heap.
+    ``max_bucket`` (optional) drops buckets larger than that size —
+    non-discriminative at true near-dup thresholds and O(size²) to
+    verify; None keeps the exact legacy semantics.
 
     Candidate recall is probabilistic per pair: with per-plane agree
     probability p = 1 - θ/π, recall = 1-(1-p^b)^L — at b=3, L=24 a
     pair at cosine 0.45 is found with P ≈ 0.9995 (verified exhaustive
     vs all-pairs on the test corpora: recall 1.0 at sf0.001/0.01/0.1).
-    NOTE at thresholds this low most buckets collide for random
-    vectors; at true near-dup thresholds (≥0.9) the hot set collapses
-    to the dup clusters, which is the workload this path is built for.
-    The exact all-pairs oracle twin is ``embedding_near_dups_allpairs``.
-    Skew: bucket size is bounded by the 2^b split per table; raise
-    ``n_planes`` if one bucket exceeds a worker heap.
+    The exact all-pairs oracle twin is ``embedding_near_dups_allpairs``;
+    pair parity vs the legacy broadcast plan is pinned in
+    ``tests/test_functions.py``.
     """
+    if dim == 0:
+        first = emb_ds.take(1)
+        dim = len(first[0]["embedding"])
+    stage_kwargs = {
+        "dim": dim, "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+    }
+
+    from .agg import partition_fold
+    from .dedup import compact_blocks
+
+    class MembershipStage:
+        """vec → L rows of (bucket_key, vec_id, embedding, __part)."""
+
+        def __init__(self) -> None:
+            self.stage = MultiTableHyperplaneStage(**stage_kwargs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _matrix(batch.column("embedding"))
+            if m.size == 0:
+                return pa.table(
+                    {"bucket_key": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "embedding": pa.array(
+                         [], batch.column("embedding").type),
+                     "__part": pa.array([], pa.int32())}
+                )
+            keys = self.stage.keys_for(m).ravel()  # row-major: vec-major
+            n, L = m.shape[0], self.stage.n_tables
+            taken = batch.take(
+                pa.array(np.repeat(np.arange(n), L), pa.int64()))
+            part = (keys.view(np.uint64) % num_partitions).astype(np.int32)
+            return pa.table(
+                {
+                    "bucket_key": pa.array(keys, pa.int64()),
+                    "vec_id": taken.column("vec_id"),
+                    "embedding": taken.column("embedding"),
+                    "__part": pa.array(part, pa.int32()),
+                }
+            )
+
+    memberships = compact_blocks(emb_ds.select_columns(
+        ["vec_id", "embedding"]
+    ).map_batches(
+        MembershipStage,
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    ))
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        keys = group.column("bucket_key").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mn = _normalize(_matrix(group.column("embedding")))
+        order = np.lexsort((ids, keys))
+        sk, si, sm = keys[order], ids[order], mn[order]
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or (max_bucket is not None and n > max_bucket):
+                continue
+            sims = sm[s:e] @ sm[s:e].T
+            ia, ib = np.triu_indices(n, k=1)
+            keep = sims[ia, ib] >= threshold
+            if not keep.any():
+                continue
+            out_a.append(si[s:e][ia[keep]])
+            out_b.append(si[s:e][ib[keep]])
+            out_s.append(np.round(sims[ia[keep], ib[keep]], 6))
+        if not out_a:
+            return empty
+        aa = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        ss = np.concatenate(out_s)
+        # in-partition pre-fold: a pair re-verifies (identical sim) in
+        # every bucket it co-collides in — keep one row per pair here
+        # so the global fold sees bounded duplication (≤ n_partitions)
+        uniq, first = np.unique(
+            np.stack([aa, bb], axis=1), axis=0, return_index=True)
+        return pa.table(
+            {
+                "vec_a": pa.array(uniq[:, 0], pa.int64()),
+                "vec_b": pa.array(uniq[:, 1], pa.int64()),
+                "sim": pa.array(ss[first], pa.float64()),
+            }
+        )
+
+    verified = memberships.groupby("__part").map_groups(
+        verify_part, batch_format="pyarrow"
+    )
+    # global distinct (partition fold — the native composite-key
+    # Aggregate measured ~5x slower; see agg.partition_fold)
+    return partition_fold(verified, ["vec_a", "vec_b"], "sim", fn="max")
+
+
+def _embedding_near_dups_broadcast(
+    emb_ds,
+    threshold: float = 0.95,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    seed: int = 42,
+    dim: int = 0,
+):
+    """LEGACY round-≤4 plan — count pass → hot-bucket key list collected
+    on the DRIVER and broadcast → recompute-membership pass → in-bucket
+    verify.  Kept only as the parity reference for the single-exchange
+    plan above (the driver hot set scales with collision-bucket count,
+    which disqualifies it at 100-TB dup rates).  Do not use in
+    pipelines."""
     import ray
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count
 
     if dim == 0:
         first = emb_ds.take(1)

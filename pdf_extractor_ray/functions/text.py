@@ -764,7 +764,8 @@ def _within_edit1(a: str, b: str) -> int:
 
 
 def edit_distance_pairs(ds, col: str, max_dist: int = 1,
-                        max_bucket: int = 4096):
+                        max_bucket: int = 4096,
+                        num_partitions: int = 64):
     """Pairs of DISTINCT ``col`` values at Levenshtein distance
     ≤ ``max_dist`` — the FastSS / SymSpell deletion-neighborhood plan
     (Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries").
@@ -773,24 +774,34 @@ def edit_distance_pairs(ds, col: str, max_dist: int = 1,
     ≤1 always share a member of their 1-deletion neighborhoods
     (substitution → delete the differing position from both; ins/del →
     the shorter string IS a deletion of the longer; equality → the
-    strings themselves). Each distinct string emits len+1 bucket keys
-    (md5 of each deletion variant) — the (bucket, value) stream is the
-    only shuffle payload; the collision-first plan touches only buckets
-    with ≥2 values, in-bucket verify is the O(len) capped-distance
-    check, and a final pair groupby dedups multi-bucket collisions
-    (min dist). ``max_bucket`` drops non-discriminative buckets (e.g.
-    the empty-string variant of single-char values) loudly-by-contract.
-    Only ``max_dist=1`` is supported — deeper neighborhoods grow
-    combinatorially; chain the operator or widen to q-gram LSH instead.
+    strings themselves). Each distinct string emits len+1 (bucket, val)
+    rows (md5 of each deletion variant) — the only shuffle payload.
+
+    ONE key-space partition exchange does everything (the
+    ``bucket_collision_pairs`` plan): rows are pre-tagged with
+    ``__part = bucket % num_partitions`` so a bucket lands wholly in
+    one partition task, which sorts by bucket, reads bucket sizes off
+    run lengths (singletons cost nothing), dedups per-bucket values in
+    place (cross-block repeats of the same string meet here), runs the
+    O(len) capped-distance verify per 2..``max_bucket`` bucket, and
+    pre-folds duplicate pairs.  A final pair-keyed partition fold
+    dedups multi-bucket collisions (min dist).  There is NO count
+    pre-pass and NO driver hot-bucket list (round ≤4 ``take_all``'d
+    the collision buckets — at a 1e9-value dictionary that list grows
+    with collision count).  ``max_bucket`` drops non-discriminative
+    buckets (e.g. the empty-string variant of single-char values)
+    loudly-by-contract.  Only ``max_dist=1`` is supported — deeper
+    neighborhoods grow combinatorially; chain the operator or widen to
+    q-gram LSH instead.
 
     Output: (val_a, val_b, dist) with val_a < val_b (string order).
     """
     import hashlib
 
-    from ray.data.aggregate import Count, Min
-
     if max_dist != 1:
         raise ValueError("edit_distance_pairs: only max_dist=1 is supported")
+
+    import numpy as np
 
     def variants(batch: pa.Table) -> pa.Table:
         col_arr = batch.column(col).drop_null()
@@ -806,64 +817,58 @@ def edit_distance_pairs(ds, col: str, max_dist: int = 1,
                     int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF
                 )
                 vals.append(s)
+        k = np.asarray(keys, dtype=np.int64)
         return pa.table(
             {
-                "bucket": pa.array(keys, pa.int64()),
+                "bucket": pa.array(k, pa.int64()),
                 "val": pa.array(vals, pa.string()),
+                "__part": pa.array(
+                    (k.view(np.uint64) % num_partitions).astype(np.int32),
+                    pa.int32(),
+                ),
             }
         )
 
     from .dedup import compact_blocks
 
-    # per-block distinct upstream; a value repeated across blocks still
-    # emits duplicate (bucket, val) rows — folded here so the pair pass
-    # sees each (bucket, value) once
     bucketed = compact_blocks(
-        ds.select_columns([col])
-        .map_batches(variants, batch_format="pyarrow")
-        .groupby(["bucket", "val"])
-        .aggregate(Count(alias_name="__c"))
-        .drop_columns(["__c"])
+        ds.select_columns([col]).map_batches(variants, batch_format="pyarrow")
     )
-    counts = bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr=f"n > 1 and n <= {max_bucket}").select_columns(
-        ["bucket"]
-    ).take_all()
-    import numpy as np
-    import ray
 
-    hot_keys = np.asarray(sorted(r["bucket"] for r in hot), dtype=np.int64)
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = pc.is_in(
-            batch.column("bucket"), value_set=pa.array(keys, pa.int64())
-        )
-        return batch.filter(mask)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        vals = sorted(set(group.column("val").to_pylist()))
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                d = _within_edit1(vals[i], vals[j])
-                if d <= 1:
-                    a_out.append(vals[i])
-                    b_out.append(vals[j])
-                    d_out.append(d)
+    def part_pairs(group: pa.Table) -> pa.Table:
+        keys = group.column("bucket").to_numpy(zero_copy_only=False)
+        vals = group.column("val").to_pylist()
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        folded: dict[tuple, int] = {}
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            # per-block distinct upstream; cross-block repeats of the
+            # same (bucket, value) meet here — dedup before pairing
+            vs = sorted({vals[order[i]] for i in range(s, e)})
+            n = len(vs)
+            if n < 2 or n > max_bucket:
+                continue
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = _within_edit1(vs[i], vs[j])
+                    if d <= 1:
+                        k = (vs[i], vs[j])
+                        if d < folded.get(k, 2):
+                            folded[k] = d
         return pa.table(
             {
-                "val_a": pa.array(a_out, pa.string()),
-                "val_b": pa.array(b_out, pa.string()),
-                "dist": pa.array(d_out, pa.int64()),
+                "val_a": pa.array([k[0] for k in folded], pa.string()),
+                "val_b": pa.array([k[1] for k in folded], pa.string()),
+                "dist": pa.array(list(folded.values()), pa.int64()),
             }
         )
 
-    raw = (
-        bucketed.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    raw = bucketed.groupby("__part").map_groups(
+        part_pairs, batch_format="pyarrow"
     )
     from .agg import partition_fold
 

@@ -209,6 +209,29 @@ def test_embedding_near_dups_lsh_matches_allpairs(ray_session, sf_dir):
     assert len(exact) > 0
 
 
+def test_embedding_near_dups_parity_vs_broadcast_plan(ray_session, sf_dir):
+    """The round-5 single-exchange plan (no driver hot-bucket collect)
+    emits exactly the pairs AND sims of the legacy broadcast plan."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import (
+        _embedding_near_dups_broadcast,
+        embedding_near_dups,
+    )
+
+    def load():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    new = embedding_near_dups(load(), threshold=0.45).to_pandas()
+    old = _embedding_near_dups_broadcast(load(), threshold=0.45).to_pandas()
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["vec_a"], df["vec_b"], df["sim"]))
+    assert key(new) == key(old)
+    assert len(new) > 0
+
+
 def test_top_ngrams_matches_counter(ray_session, docs):
     from collections import Counter
 
