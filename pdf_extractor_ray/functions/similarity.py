@@ -1176,6 +1176,36 @@ def embedding_covariance(ds, col: str = "embedding", dims: int = 16,
     Output: pyarrow Table (i, j, cov), 1-indexed, i ≤ j — one row per
     upper-triangle entry.
     """
+    n_tot, s_tot, p_tot = _embedding_moments(
+        ds, col=col, dims=dims, scale=scale, merge_fanin=merge_fanin)
+    d = int(dims)
+    if n_tot == 0:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    P = p_tot.reshape(d, d).astype(np.float64)
+    S = s_tot.astype(np.float64)
+    cov = (P - np.outer(S, S) / n_tot) / n_tot / float(scale) ** 2
+    iu, ju = np.triu_indices(d)
+    c = cov[iu, ju]
+    c = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5) / 1e6, c)
+    return pa.table({
+        "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+        "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+        "cov": pa.array(c, pa.float64()),
+    })
+
+
+def _embedding_moments(ds, col: str, dims: int, scale: int,
+                       merge_fanin: int = 64):
+    """Shared sufficient-statistics pass for the covariance/PCA family:
+    (n, S ∈ ℤ^d, P = QᵀQ ∈ ℤ^{d×d}) of the scale-quantized first
+    ``dims`` embedding components.  One fixed-size partial per block, a
+    distributed tree-merge level sums ``merge_fanin`` partials per task
+    (the DSIR / sketch fan-in shape), driver folds blocks/merge_fanin
+    rows — embeddings never move and no driver loop scales with block
+    count.  Returns ``(n_tot:int, s_tot:int64[d], p_tot:int64[d*d])``.
+    """
     d = int(dims)
 
     def block_stats(batch: pa.Table) -> pa.Table:
@@ -1222,21 +1252,7 @@ def embedding_covariance(ds, col: str = "embedding", dims: int = 16,
         n_tot += int(row["n"])
         s_tot += np.asarray(row["s"], dtype=np.int64)
         p_tot += np.asarray(row["p"], dtype=np.int64)
-    if n_tot == 0:
-        return pa.table({"i": pa.array([], pa.int64()),
-                         "j": pa.array([], pa.int64()),
-                         "cov": pa.array([], pa.float64())})
-    P = p_tot.reshape(d, d).astype(np.float64)
-    S = s_tot.astype(np.float64)
-    cov = (P - np.outer(S, S) / n_tot) / n_tot / float(scale) ** 2
-    iu, ju = np.triu_indices(d)
-    c = cov[iu, ju]
-    c = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5) / 1e6, c)
-    return pa.table({
-        "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
-        "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
-        "cov": pa.array(c, pa.float64()),
-    })
+    return n_tot, s_tot, p_tot
 
 
 def pca_project(ds, col: str = "embedding", dims: int = 16,
@@ -1264,14 +1280,23 @@ def pca_project(ds, col: str = "embedding", dims: int = 16,
     """
     import ray
 
-    cov_t = embedding_covariance(ds, col=col, dims=dims, scale=scale)
+    # ONE tree-merged sufficient-statistics pass yields BOTH the
+    # covariance and the mean (round ≤4 ran a second, un-tree-merged
+    # mean pass whose driver fold iterated one row per block)
     d = int(dims)
-    cov = np.zeros((d, d), dtype=np.float64)
-    ii = cov_t.column("i").to_numpy(zero_copy_only=False) - 1
-    jj = cov_t.column("j").to_numpy(zero_copy_only=False) - 1
-    cc = cov_t.column("cov").to_numpy(zero_copy_only=False)
-    cov[ii, jj] = cc
-    cov[jj, ii] = cc
+    n_tot, s_tot, p_tot = _embedding_moments(ds, col=col, dims=d,
+                                             scale=scale)
+    if n_tot == 0:
+        cov = np.zeros((d, d), dtype=np.float64)
+    else:
+        P = p_tot.reshape(d, d).astype(np.float64)
+        S = s_tot.astype(np.float64)
+        cov = (P - np.outer(S, S) / n_tot) / n_tot / float(scale) ** 2
+        # identical round-6 contract as embedding_covariance's output
+        # (the oracled twin) so the eigensystem sees the same matrix;
+        # cov is exactly symmetric (integer P, exact outer), so
+        # rounding preserves symmetry
+        cov = np.copysign(np.floor(np.abs(cov) * 1e6 + 0.5) / 1e6, cov)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:n_components]
     comps = v[:, order]                         # d × k
@@ -1279,23 +1304,7 @@ def pca_project(ds, col: str = "embedding", dims: int = 16,
                          np.arange(comps.shape[1])])
     comps = comps * np.where(flip == 0, 1.0, flip)
 
-    # mean of the quantized variable — identical to the covariance fit
-    def block_mean(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_pylist()
-        if not vals:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.list_(pa.int64(), d))})
-        m = np.asarray(vals, dtype=np.float64)[:, :d]
-        q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(np.int64)
-        return pa.table({
-            "n": pa.array([len(vals)], pa.int64()),
-            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64(), d)),
-        })
-
-    n_tot, s_tot = 0, np.zeros(d, dtype=np.int64)
-    for row in ds.map_batches(block_mean, batch_format="pyarrow").iter_rows():
-        n_tot += int(row["n"])
-        s_tot += np.asarray(row["s"], dtype=np.int64)
+    # mean of the quantized variable — free from the same moments pass
     mean = (s_tot.astype(np.float64) / max(n_tot, 1)) / scale
     proj_ref = ray.put((mean, comps))
 
