@@ -1160,9 +1160,16 @@ def _q_lang_detector_agreement(sf_dir: str):
         ra[x] = ra.get(x, 0) + v
         rb[y] = rb.get(y, 0) + v
     s = sum(ra[k] * rb.get(k, 0) for k in ra)
-    po = agree / n
-    pe = s / (n * n)
-    kappa = (po - pe) / (1 - pe)
+    # guards (ADVICE r4): empty corpus → all-zero row; pe == 1 means
+    # both detectors emit one identical label everywhere — kappa is
+    # conventionally 1.0 when po == pe == 1 (perfect agreement), else
+    # 0.0 (undefined denominator, no skill beyond chance)
+    po = agree / n if n else 0.0
+    pe = s / (n * n) if n else 0.0
+    if pe == 1.0:
+        kappa = 1.0 if po == 1.0 else 0.0
+    else:
+        kappa = (po - pe) / (1 - pe)
     import math
 
     def r6(v):
@@ -6698,9 +6705,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY site_a, site_b
         """,
         "readability_scores": r"""
+            -- ASCII-whitespace trim (regexp \s is RE2/ASCII), matching
+            -- the Ray side's explicit [ \t\n\r\f\v] contract exactly --
+            -- DuckDB's plain trim() strips only spaces (ADVICE r4)
             WITH d AS (
-                SELECT doc_id, trim(text) AS t FROM documents
-                WHERE trim(text) <> ''
+                SELECT doc_id,
+                       regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+                FROM documents
+                WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
             ), w AS (
                 SELECT doc_id, t,
                        string_split_regex(t, '\s+') AS words

@@ -50,6 +50,21 @@ def pair_lift(ds, basket: str, item: str, num_partitions: int = 64,
     from .graph import _pair_struct, _run_pairs
     from .joins import _bucket_of
 
+    # string item columns only (ADVICE r4): the in-partition plan marks
+    # basket rows with an "" sentinel (disambiguated by `kind`, so a
+    # legitimate empty-string ITEM is still counted correctly), and
+    # np.full(..., "", dtype=<int dtype>) would raise an opaque
+    # ValueError — fail loudly with the contract instead
+    sch = ds.schema()
+    if sch is not None and item in sch.names:
+        ity = sch.types[sch.names.index(item)]
+        if not (pa.types.is_string(ity) or pa.types.is_large_string(ity)):
+            raise TypeError(
+                f"pair_lift: item column {item!r} must be a string type, "
+                f"got {ity} — cast it (e.g. pc.cast(..., pa.string())) "
+                "upstream"
+            )
+
     col_a, col_b = f"{item}_a", f"{item}_b"
 
     def add_part(batch: pa.Table) -> pa.Table:

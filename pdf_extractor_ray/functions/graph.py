@@ -1037,13 +1037,19 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
             b = batch.column("b").to_numpy(zero_copy_only=False)
             h = (a.astype(np.uint64) * _MIX + b.astype(np.uint64))
             part = (h % np.uint64(num_partitions)).astype(np.int32)
-            apex = (batch.column("apex")
-                    if apex_col else pa.nulls(batch.num_rows, pa.int64()))
+            # explicit edge flag, NOT a null apex: a nulls-bearing int64
+            # column round-trips through float64 in to_numpy, silently
+            # corrupting node ids above 2^53
+            apex = (batch.column("apex").cast(pa.int64())
+                    if apex_col
+                    else pa.array(np.zeros(batch.num_rows, np.int64)))
             return pa.table(
                 {
                     "a": batch.column("a").cast(pa.int64()),
                     "b": batch.column("b").cast(pa.int64()),
                     "apex": apex,
+                    "__edge": pa.array(
+                        np.full(batch.num_rows, not apex_col, np.bool_)),
                     "__p": pa.array(part, pa.int32()),
                 }
             )
@@ -1056,15 +1062,14 @@ def triangle_count(edges_ds, col_src: str = "src", col_dst: str = "dst",
 
     def match(group: pa.Table) -> pa.Table:
         apex = group.column("apex").to_numpy(zero_copy_only=False)
-        is_edge = pa.compute.is_null(group.column("apex")).to_numpy(
-            zero_copy_only=False)
+        is_edge = group.column("__edge").to_numpy(zero_copy_only=False)
         a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         wsel = ~is_edge
         hit = _member_mask(a[is_edge], b[is_edge], a[wsel], b[wsel])
         return pa.table(
             {
-                "x": pa.array(apex[wsel][hit].astype(np.int64), pa.int64()),
+                "x": pa.array(apex[wsel][hit], pa.int64()),
                 "y": pa.array(a[wsel][hit], pa.int64()),
                 "z": pa.array(b[wsel][hit], pa.int64()),
             }

@@ -1267,7 +1267,11 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     Gopher rules).  Deterministic heuristic counts so the whole score
     is DuckDB-oracle-able:
 
-      words      = whitespace tokens of the trimmed text
+      words      = ASCII-whitespace tokens of the ASCII-trimmed text
+                   (explicit [ \\t\\n\\r\\f\\v] on BOTH sides — Python
+                   str.strip()/\\s are Unicode-aware while DuckDB's RE2
+                   \\s is ASCII-only, so a NBSP-separated document would
+                   otherwise diverge; ADVICE r4)
       sentences  = max(1, runs of [.!?])
       syllables  = Σ_word max(1, runs of [aeiouy] in the lowercased word)
       flesch     = 206.835 − 1.015·(W/S) − 84.6·(SYL/W), round-6
@@ -1283,14 +1287,15 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     sent_re = re.compile(r"[.!?]+")
     syl_re = re.compile(r"[aeiouy]+")
-    ws_re = re.compile(r"\s+")
+    _ASCII_WS = " \t\n\r\f\v"  # RE2 \s — the oracle contract
+    ws_re = re.compile(f"[{_ASCII_WS}]+")
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         out_id, out_w, out_s, out_y, out_f = [], [], [], [], []
         for i, t in zip(ids, texts):
-            t = (t or "").strip()
+            t = (t or "").strip(_ASCII_WS)
             if not t:
                 continue
             words = ws_re.split(t)

@@ -56,6 +56,24 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert got == {(n, c) for n, c in want.items()}
 
 
+def test_triangle_count_distributed_huge_node_ids(ray_session):
+    """Node ids above 2^53 survive the distributed match step intact
+    (the apex column used to round-trip through float64 via a nullable
+    int64 — ADVICE r4)."""
+    base = (1 << 60) + 1  # not representable in float64 (odd, > 2^53)
+    ids = [base, base + 2, base + 4, base + 6]
+    # K4 → every node in 3 triangles
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(ids[i])
+            dst.append(ids[j])
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = triangle_count(ds, local_max_edges=0).to_pandas()
+    assert sorted(out["node"].tolist()) == ids
+    assert out["n_tri"].tolist() == [3, 3, 3, 3]
+
+
 def test_graph_stats_known(ray_session):
     row = graph_stats(_edges_ds()).take_all()[0]
     assert row["n_nodes"] == 6
@@ -422,6 +440,41 @@ def test_readability_hand_checked(ray_session):
     # no vowels in xyzzy? y counts: 'xyzzy' has y groups -> ['y','y'] = 2;
     # 'qrst' has none -> max(1, 0) = 1; no sentence marks -> s = 1
     assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (2, 1, 3)
+
+
+def test_readability_ascii_whitespace_contract(ray_session):
+    """Leading/trailing newline+tab and NBSP separators follow the
+    RE2/ASCII \\s contract the DuckDB oracle uses (ADVICE r4): ASCII
+    whitespace trims/splits; NBSP is NOT a separator."""
+    import duckdb
+
+    from pdf_extractor_ray.functions.text import readability_scores
+
+    texts = ["\n\tleading ws. trailing too!  \n",
+             "a b c.",          # NBSP inside the first token
+             " ",               # NBSP-only text is NOT dropped
+             " \t\n"]                # ASCII-ws-only text IS dropped
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4], "text": texts,
+    }))
+    rows = {r["doc_id"]: r for r in readability_scores(ds).take_all()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_words"], rows[1]["n_sentences"]) == (4, 2)
+    assert (rows[2]["n_words"], rows[2]["n_sentences"]) == (2, 1)
+    assert rows[3]["n_words"] == 1  # the NBSP itself is one "word"
+
+    # the oracle SQL agrees on the same tricky corpus
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()["readability_scores"]
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [1, 2, 3, 4], "text": texts,
+    }))
+    got = con.execute(sql).fetch_arrow_table().to_pylist()
+    want = sorted(rows.values(), key=lambda r: r["doc_id"])
+    assert [tuple(sorted(r.items())) for r in got] == \
+        [tuple(sorted(r.items())) for r in want]
 
 
 def test_katz_parity_and_semantics(ray_session):
