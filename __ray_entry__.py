@@ -472,8 +472,10 @@ def _q_cms_user_counts(sf_dir: str):
     per block, elementwise-+ merge, point estimates for every distinct
     user checked IN-QUERY against the exact counts — the query raises
     if the sketch ever underestimates or exceeds its ε·N bound, so the
-    driver run enforces the CMS guarantee.  Rows-only (the estimate is
-    hash-defined; no SQL twin), exact counts carried alongside."""
+    driver run enforces the CMS guarantee.  VALUE-ORACLED (round 5):
+    the sketch is hash-defined but fully deterministic — the generated
+    splitmix64 SQL reproduces every bucket index, so est(u) = min over
+    the 4 salted rows of exact bucket totals, byte-for-byte."""
     import numpy as np
     import ray.data
 
@@ -1238,8 +1240,11 @@ def _q_ngram_jaccard_dups(sf_dir: str):
 def _q_minhash_lsh_dups(sf_dir: str):
     """Scale-path near-dup: MinHash+LSH candidates verified by exact
     Jaccard, fully distributed — candidates join back to per-doc
-    shingle sets by doc_id; no driver-side corpus materialization
-    (no SQL oracle — probabilistic candidate recall)."""
+    shingle sets by doc_id; no driver-side corpus materialization.
+    VALUE-ORACLED (round 5) against the exact all-pairs Jaccard SQL:
+    verification is exact, and candidate recall 1.0 at the fixed seed
+    is both test-pinned and now driver-enforced (a recall miss would
+    hash-mismatch the oracle)."""
     from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
 
     return minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
@@ -1667,7 +1672,12 @@ def _q_chunk_docs(sf_dir: str):
 
 def _q_pack_chunks(sf_dir: str):
     """Greedy sequence packing of the 32-token chunks into 256-token
-    packs, sharded by doc-id hash bucket (deterministic, one shuffle)."""
+    packs, sharded by doc-id hash bucket (deterministic, one shuffle).
+    VALUE-ORACLED (round 5): the doc→bucket splitmix64 hash is
+    reproduced in generated SQL and the greedy walk unrolled as a
+    lockstep recursive CTE over the 16 buckets; ``item_ids`` is
+    projected away only because list columns don't hash in the driver
+    compare (the packed-id lists stay pinned by tests/test_chunk*)."""
     import ray.data
 
     from pdf_extractor_ray.functions.chunk import chunk_text, pack_sequences
@@ -1679,7 +1689,7 @@ def _q_pack_chunks(sf_dir: str):
     return pack_sequences(
         chunks, id_col="doc_id", ntok_col="n_tokens", budget=256,
         num_buckets=16, tiebreak_col="chunk_id",
-    )
+    ).drop_columns(["item_ids"])
 
 
 def _q_pack_chunks_per_doc(sf_dir: str):
@@ -2736,9 +2746,11 @@ def _q_minhash_components(sf_dir: str):
     """Near-dup CLUSTERS, not just pairs: MinHash+LSH verified pairs →
     iterative connected components → (doc_id, component) with the
     component labeled by its minimum doc id — the grouping a dedup
-    stage keeps one representative from. Rows-only (MinHash is
-    probabilistic); pair↔component consistency is pinned by
-    tests/test_functions.py against a local union-find."""
+    stage keeps one representative from. VALUE-ORACLED (round 5) via a
+    recursive-CTE transitive closure over the exact Jaccard pair SQL
+    (the ``mirror_site_clusters`` pattern); pair↔component consistency
+    is additionally pinned by tests/test_functions.py against a local
+    union-find."""
     from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
     from pdf_extractor_ray.functions.graph import connected_components
 
@@ -2976,8 +2988,11 @@ def _q_top_tokens_approx(sf_dir: str):
 def _q_approx_value_quantiles(sf_dir: str):
     """Approximate quantiles of the unbounded-cardinality event value
     column — two constant-payload passes (min/max + 32 KiB bincount
-    partials). Rows-only (approximate by design); error ≤ range/4096
-    is pinned by tests/test_joins_sketch.py against exact numpy."""
+    partials). VALUE-ORACLED (round 5): approximate vs the TRUE
+    quantiles but fully deterministic — bin index, cumulative rank and
+    interpolated value are identical IEEE-double expressions on both
+    sides. Error ≤ range/4096 additionally pinned by
+    tests/test_joins_sketch.py against exact numpy."""
     import ray.data
 
     from pdf_extractor_ray.functions.sketch import approx_quantiles
@@ -6598,8 +6613,227 @@ def _langid_oracles() -> "dict[str, str]":
             "detect_language_ngram": ngram_sql()}
 
 
+def _splitmix64_ctes(src: str, in_expr: str, out: str, pfx: str) -> str:
+    """Generated-SQL splitmix64 (the engine's ``joins.mix64`` /
+    ``sketch._hash64`` finalizer) as a CTE chain over ``src``: each
+    stage appends one column; 64-bit multiply-mod runs in HUGEINT by
+    32-bit halves (lo·C + ((hi·C) mod 2³²)·2³² mod 2⁶⁴ — intermediates
+    ≤ 2⁹⁶ < HUGEINT max), xor/shift on UBIGINT.  Verified bit-exact vs
+    numpy for the full testdata key range; lets hash-defined sketches
+    (CMS) and hash-bucketed plans (pack_sequences) be VALUE-oracled."""
+    m = 18446744073709551616
+    b = 4294967296
+    c1, c2 = 13787848793156543929, 10723151780598845931
+
+    def mul(z: str, c: int) -> str:
+        return (f"CAST(((CAST({z} AS HUGEINT) % {b}) * {c} + "
+                f"(((CAST({z} AS HUGEINT) // {b}) * {c}) % {b}) * {b}) "
+                f"% {m} AS UBIGINT)")
+
+    return f"""
+        {pfx}0 AS (SELECT *, CAST((CAST({in_expr} AS HUGEINT)
+                   + 11400714819323198485) % {m} AS UBIGINT) AS {pfx}z0
+                   FROM {src}),
+        {pfx}1 AS (SELECT *, xor({pfx}z0, {pfx}z0 >> 30) AS {pfx}z1
+                   FROM {pfx}0),
+        {pfx}2 AS (SELECT *, {mul(pfx + 'z1', c1)} AS {pfx}z2 FROM {pfx}1),
+        {pfx}3 AS (SELECT *, xor({pfx}z2, {pfx}z2 >> 27) AS {pfx}z3
+                   FROM {pfx}2),
+        {pfx}4 AS (SELECT *, {mul(pfx + 'z3', c2)} AS {pfx}z4 FROM {pfx}3),
+        {pfx}5 AS (SELECT *, xor({pfx}z4, {pfx}z4 >> 31) AS {out}
+                   FROM {pfx}4)"""
+
+
+_NGRAM_JACCARD_SQL = """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """
+
+
+def _minhash_components_sql() -> str:
+    """Recursive-CTE transitive closure over the exact Jaccard pair set
+    (the ``mirror_site_clusters`` pattern): component = min reachable
+    doc id.  Oracles ``minhash_components`` because LSH candidate
+    recall is 1.0 at the fixed seed (pinned by tests) and verification
+    is exact — the LSH pair set equals the exact pair set."""
+    return r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            ), mp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), sym AS (
+                SELECT a AS u, b AS v FROM mp
+                UNION SELECT b, a FROM mp
+                UNION SELECT a, a FROM mp
+                UNION SELECT b, b FROM mp
+            ), reach AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+            )
+            SELECT CAST(u AS BIGINT) AS doc_id,
+                   CAST(min(v) AS BIGINT) AS component
+            FROM reach GROUP BY u ORDER BY doc_id
+        """
+
+
+def _pack_chunks_sql() -> str:
+    """Global hash-bucketed greedy packing, value-oracled: chunk grid
+    reconstructed arithmetically (the ``pack_chunks_per_doc`` recipe),
+    doc→bucket via the generated splitmix64 chain, and the greedy walk
+    unrolled as a LOCKSTEP recursive CTE over the 16 buckets (one
+    recursion step advances every bucket one chunk)."""
+    return ("WITH RECURSIVE t AS (\n"
+            "    SELECT doc_id,"
+            " string_split_regex(trim(text), '\\s+') AS toks\n"
+            "    FROM documents WHERE trim(text) <> ''\n"
+            "), s AS (\n"
+            "    SELECT doc_id, len(toks) AS n,\n"
+            "           CASE WHEN len(toks) <= 32 THEN 1\n"
+            "                ELSE CAST(ceil((len(toks) - 32) / 24.0)"
+            " AS BIGINT) + 1\n"
+            "           END AS n_chunks\n"
+            "    FROM t\n"
+            "), ex AS (\n"
+            "    SELECT doc_id, n, unnest(range(0, n_chunks)) AS g FROM s\n"
+            "), ch AS (\n"
+            "    SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,\n"
+            "           CAST(least(g*24 + 32, n) - g*24 AS BIGINT)"
+            " AS n_tokens\n"
+            "    FROM ex\n"
+            "),"
+            + _splitmix64_ctes("(SELECT DISTINCT doc_id FROM ch)",
+                               "doc_id", "h", "m")
+            + ",\n"
+            "bk AS (SELECT doc_id, CAST(h % 16 AS BIGINT) AS bucket"
+            " FROM m5),\n"
+            "ordered AS (\n"
+            "    SELECT ch.doc_id, ch.chunk_id, ch.n_tokens, bk.bucket,\n"
+            "           row_number() OVER (PARTITION BY bk.bucket\n"
+            "                              ORDER BY ch.doc_id, ch.chunk_id)"
+            " AS brn\n"
+            "    FROM ch JOIN bk USING (doc_id)\n"
+            "), r AS (\n"
+            "    SELECT bucket, brn, n_tokens,\n"
+            "           CAST(0 AS BIGINT) AS pack_seq,\n"
+            "           CAST(n_tokens AS BIGINT) AS cur_tot\n"
+            "    FROM ordered WHERE brn = 1\n"
+            "    UNION ALL\n"
+            "    SELECT o.bucket, o.brn, o.n_tokens,\n"
+            "           CASE WHEN r.cur_tot + o.n_tokens > 256\n"
+            "                THEN r.pack_seq + 1 ELSE r.pack_seq END,\n"
+            "           CASE WHEN r.cur_tot + o.n_tokens > 256\n"
+            "                THEN CAST(o.n_tokens AS BIGINT)\n"
+            "                ELSE r.cur_tot + o.n_tokens END\n"
+            "    FROM r JOIN ordered o\n"
+            "      ON o.bucket = r.bucket AND o.brn = r.brn + 1\n"
+            ")\n"
+            "SELECT CAST(bucket * 4294967296 + pack_seq AS BIGINT)"
+            " AS pack_id,\n"
+            "       CAST(count(*) AS BIGINT) AS n_items,\n"
+            "       CAST(sum(n_tokens) AS BIGINT) AS total_tokens\n"
+            "FROM r GROUP BY bucket, pack_seq ORDER BY pack_id")
+
+
+def _cms_user_counts_sql() -> str:
+    """CMS point estimates computed EXACTLY in SQL: the sketch is
+    hash-defined and deterministic — est(u) = min over the 4 salted
+    splitmix64 rows of the bucket totals, where each bucket total is
+    the sum of exact counts of the keys hashing there."""
+    width = 1 << 17
+    salts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS i, {0xC2B2 * (i + 1)} AS salt" for i in range(4)
+    )
+    return ("WITH ex AS (\n"
+            "    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events\n"
+            "    FROM events GROUP BY user_id\n"
+            "), sl AS (" + salts + "),\n"
+            "xs AS (SELECT ex.user_id, ex.n_events, sl.i,"
+            " ex.user_id + sl.salt AS sv FROM ex, sl),"
+            + _splitmix64_ctes("xs", "sv", "h", "m") + ",\n"
+            f"hh AS (SELECT user_id, n_events, i,"
+            f" CAST(h % {width} AS BIGINT) AS b FROM m5),\n"
+            "bucket_tot AS (\n"
+            "    SELECT i, b, CAST(sum(n_events) AS BIGINT) AS tot\n"
+            "    FROM hh GROUP BY i, b\n"
+            ")\n"
+            "SELECT hh.user_id, hh.n_events,\n"
+            "       CAST(min(bt.tot) AS BIGINT) AS cms_estimate\n"
+            "FROM hh JOIN bucket_tot bt ON bt.i = hh.i AND bt.b = hh.b\n"
+            "GROUP BY hh.user_id, hh.n_events ORDER BY hh.user_id")
+
+
+_APPROX_QUANTILES_SQL = """
+            WITH mm AS (
+                SELECT min(value) AS lo, max(value) AS hi,
+                       (max(value) - min(value)) / 4096.0 AS w
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ), b AS (
+                SELECT least(greatest(CAST(trunc((e.value - mm.lo) / mm.w)
+                                      AS BIGINT), 0), 4095) AS bin
+                FROM events e, mm
+                WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+            ), hist AS (
+                SELECT bin, count(*) AS c FROM b GROUP BY bin
+            ), grid AS (
+                SELECT unnest(range(0, 4096)) AS bin
+            ), filled AS (
+                SELECT g.bin, COALESCE(h.c, 0) AS c,
+                       sum(COALESCE(h.c, 0)) OVER (ORDER BY g.bin) AS cum
+                FROM grid g LEFT JOIN hist h USING (bin)
+            ), n AS (SELECT sum(c) AS n FROM filled),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+            ranks AS (
+                SELECT q, greatest(1, CAST(ceil(q * n.n) AS BIGINT)) AS rank
+                FROM qs, n
+            ), sel AS (
+                SELECT r.q, r.rank, min(f.bin) AS b
+                FROM ranks r JOIN filled f ON f.cum >= r.rank
+                GROUP BY r.q, r.rank
+            )
+            SELECT s.q AS q,
+                   mm.lo + (s.b + (s.rank - COALESCE(fp.cum, 0))
+                            / CAST(greatest(f.c, 1) AS DOUBLE)) * mm.w
+                       AS value
+            FROM sel s
+            JOIN filled f ON f.bin = s.b
+            LEFT JOIN filled fp ON fp.bin = s.b - 1
+            CROSS JOIN mm
+            ORDER BY q
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-5 additions: hash-defined / greedy / closure queries
+        # converted from rows-only to full value oracles
+        "minhash_lsh_dups": _NGRAM_JACCARD_SQL,
+        "minhash_components": _minhash_components_sql(),
+        "pack_chunks": _pack_chunks_sql(),
+        "cms_user_counts": _cms_user_counts_sql(),
+        "approx_value_quantiles": _APPROX_QUANTILES_SQL,
         "table_items": _table_items_sql(),
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),
@@ -7372,23 +7606,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "ngram_jaccard_dups": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct([array_to_string(t[i:i+2], ' ')
-                                      for i in range(1, len(t) - 1)]) AS s
-                FROM toks WHERE len(t) >= 3
-            )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        """,
+        "ngram_jaccard_dups": _NGRAM_JACCARD_SQL,
         "latest_event_per_user": """
             SELECT event_id, ts, user_id, event_type
             FROM (

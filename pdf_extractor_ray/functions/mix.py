@@ -229,18 +229,27 @@ def rebalance_weighted(ds, group_col: str, key_col: str,
     The feasible scale is ``min_g(count_g / w_g)``; each kept group
     contributes ``floor(w_g · scale)`` rows chosen by the deterministic
     ``(md5(key), key)`` order — reproducible, SQL-mirrorable, no RNG.
-    Same two-pass plan as :func:`rebalance_equal` (count-only groupby
-    → one stratified shuffle); per-group quotas broadcast as a dict.
+    Two passes: a partial-aggregate count (``lowcard_groupby_agg`` —
+    only (group, n) partials move, no sort exchange; round 5 replaced
+    the native count groupby) → one stratified exchange whose payload
+    is PRE-TRIMMED per block to each group's quota (the global
+    quota-smallest rows are a subset of every block's quota-smallest,
+    so the exchange ships ≤ quota × blocks rows, not the corpus).
+    Per-group quotas broadcast as a dict.
     """
     import numpy as np
+
+    from .agg import lowcard_groupby_agg
 
     w = {g: float(v) for g, v in weights.items()}
     if not w or any(v <= 0 for v in w.values()):
         raise ValueError("weights must be a non-empty map of positives")
-    counts = {
-        r[group_col]: int(r["count()"])
-        for r in ds.groupby(group_col).count().take_all()
-    }
+    ct = lowcard_groupby_agg(
+        ds.select_columns([group_col]), [group_col],
+        [(group_col, "count", "n")],
+    )
+    counts = dict(zip(ct.column(group_col).to_pylist(),
+                      (int(v) for v in ct.column("n").to_pylist())))
     missing = set(w) - set(counts)
     if missing:
         raise ValueError(
@@ -257,10 +266,19 @@ def rebalance_weighted(ds, group_col: str, key_col: str,
             pc.is_in(batch.column(group_col),
                      value_set=pa.array(sorted(w), pa.string()))
         )
-        ranks = [
+        ranks = np.asarray([
             hashlib.md5(str(v).encode()).hexdigest()
             for v in b.column(key_col).to_pylist()
-        ]
+        ])
+        if b.num_rows:
+            keys = np.asarray(b.column(key_col).to_pylist())
+            grps = np.asarray(b.column(group_col).to_pylist())
+            order = np.lexsort((keys, ranks))
+            sel = [order[np.nonzero(grps[order] == g)[0][:q]]
+                   for g, q in quota.items()]
+            idx = np.sort(np.concatenate(sel)) if sel else order[:0]
+            b = b.take(pa.array(idx, pa.int64()))
+            ranks = ranks[idx]
         return b.append_column("__rank", pa.array(ranks, pa.string()))
 
     def head(group: pa.Table) -> pa.Table:
