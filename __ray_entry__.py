@@ -2129,8 +2129,11 @@ def _q_dsir_select_docs(sf_dir: str):
 
 
 def _q_approx_distinct_users(sf_dir: str):
-    """HLL distinct sketch (p=12, ~1.6% error) — approximate, rows-only;
-    merge associativity + accuracy covered by tests."""
+    """HLL distinct sketch (p=12, ~1.6% error) — approximate vs TRUE
+    distinct but VALUE-ORACLED (round 5): the sketch is hash-defined
+    and deterministic, and the generated splitmix64 SQL reproduces
+    registers, ranks and the estimate expression exactly. Merge
+    associativity + accuracy additionally covered by tests."""
     import ray.data
 
     from pdf_extractor_ray.functions.sketch import approx_distinct
@@ -3281,8 +3284,9 @@ def _q_quantiles_chars_by_lang(sf_dir: str):
 def _q_approx_users_by_type(sf_dir: str):
     """Per-event-type HLL approx distinct users — GROUPED sketch
     aggregation: one 4 KiB register array per (block, type) moves,
-    never user ids. Rows-only (approximate by design); accuracy vs
-    exact is pinned by tests/test_joins_sketch.py (±2% at p=12)."""
+    never user ids. VALUE-ORACLED (round 5) via the generated
+    splitmix64 register SQL; accuracy vs exact additionally pinned by
+    tests/test_joins_sketch.py (±2% at p=12)."""
     import ray.data
 
     from pdf_extractor_ray.functions.sketch import approx_distinct_by
@@ -6825,6 +6829,65 @@ _APPROX_QUANTILES_SQL = """
         """
 
 
+def _hll_sql(grouped: bool) -> str:
+    """HLL distinct estimates reproduced EXACTLY in SQL: register index
+    and rank from the generated splitmix64 chain (rest computed as
+    (h mod 2^52)·2^12 — no shift overflow), per-register max, then the
+    same float expression as ``sketch._estimate`` in the same operation
+    order.  The Σ2^−rank register sum is EXACT in float64 for observed
+    ranks (powers of two spanning < 53 bits), so summation order can't
+    diverge; alpha/linear-counting branches are the identical IEEE
+    expressions on both sides."""
+    p, m = 12, 1 << 12
+    rest_mod = 1 << (64 - 12)
+    core = (
+        _splitmix64_ctes("u", "user_id", "h", "m") + f""",
+        hl AS (
+            SELECT grp, CAST(h >> {64 - p} AS BIGINT) AS idx,
+                   (h % {rest_mod}) * {1 << p} AS rest
+            FROM m5
+        ), rk AS (
+            SELECT grp, idx,
+                   CASE WHEN rest = 0 THEN {64 - p + 1}
+                        ELSE least(64 - (CAST(floor(log2(CAST(rest AS DOUBLE)))
+                                         AS BIGINT) + 1) + 1, {64 - p + 1})
+                   END AS rank
+            FROM hl
+        ), regs AS (
+            SELECT grp, idx, max(rank) AS r FROM rk GROUP BY grp, idx
+        ), grps AS (SELECT DISTINCT grp FROM regs),
+        grid AS (
+            SELECT g.grp, gr.idx
+            FROM grps g, (SELECT unnest(range(0, {m})) AS idx) gr
+        ), fullr AS (
+            SELECT g.grp, g.idx, COALESCE(regs.r, 0) AS r
+            FROM grid g LEFT JOIN regs
+              ON regs.grp = g.grp AND regs.idx = g.idx
+        ), st AS (
+            SELECT grp, sum(pow(2.0, -r)) AS denom,
+                   sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM fullr GROUP BY grp
+        ), est AS (
+            SELECT grp,
+                   CASE WHEN (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / denom
+                             <= 2.5 * {m} AND zeros > 0
+                        THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                        ELSE (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / denom
+                   END AS e
+            FROM st
+        )""")
+    if grouped:
+        return ("WITH u AS (SELECT DISTINCT event_type AS grp, user_id"
+                " FROM events)," + core +
+                " SELECT grp AS event_type,"
+                " CAST(round(e) AS BIGINT) AS approx_distinct"
+                " FROM est ORDER BY grp")
+    return ("WITH u AS (SELECT DISTINCT 1 AS grp, user_id FROM events),"
+            + core +
+            " SELECT CAST(round(e) AS BIGINT) AS approx_distinct_users"
+            " FROM est")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # round-5 additions: hash-defined / greedy / closure queries
@@ -6834,6 +6897,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _pack_chunks_sql(),
         "cms_user_counts": _cms_user_counts_sql(),
         "approx_value_quantiles": _APPROX_QUANTILES_SQL,
+        "approx_distinct_users": _hll_sql(grouped=False),
+        "approx_users_by_type": _hll_sql(grouped=True),
         "table_items": _table_items_sql(),
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),
