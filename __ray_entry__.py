@@ -1244,7 +1244,9 @@ def _q_minhash_lsh_dups(sf_dir: str):
     VALUE-ORACLED (round 5) against the exact all-pairs Jaccard SQL:
     verification is exact, and candidate recall 1.0 at the fixed seed
     is both test-pinned and now driver-enforced (a recall miss would
-    hash-mismatch the oracle)."""
+    hash-mismatch the oracle).  The SQL twin is O(n²) — like the other
+    documented all-pairs twins, skip its SQL in big-SF sweeps (the
+    driver gate runs at sf0.01, where it passes in ~4 s)."""
     from pdf_extractor_ray.functions.dedup import minhash_lsh_verified
 
     return minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
@@ -3828,6 +3830,46 @@ def _q_doc_compression_ratio(sf_dir: str):
     ).select_columns(["doc_id", "n_bytes", "n_compressed", "ratio"])
 
 
+def _q_doc_compression_bound(sf_dir: str):
+    """DRIVER-ORACLED envelope for the zlib redundancy signal (the
+    ``hll_users_bound`` pattern for a non-SQL transform): per document
+    the oracle asserts the EXACT utf-8 byte length (pure SQL) and
+    ``zlib_within_bound = TRUE``, where the Ray side certifies the
+    zlib contract — non-empty text compresses to 0 < n_compressed ≤
+    n_bytes + 32 (deflate stored-block worst case + header) with
+    ratio = round6(n_compressed/n_bytes); empty text yields
+    n_compressed = 0, ratio = 1.0.  A violated contract or a wrong
+    byte count hash-mismatches the driver compare.  The raw ratios
+    stay available as ``doc_compression_ratio``."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.text import compression_ratio
+
+    ds = _docs(sf_dir).map_batches(compression_ratio,
+                                   batch_format="pyarrow")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import math
+
+        nb = batch.column("n_bytes").to_pylist()
+        nc = batch.column("n_compressed").to_pylist()
+        rt = batch.column("ratio").to_pylist()
+        ok = []
+        for b, c, r in zip(nb, nc, rt):
+            if b == 0:
+                ok.append(c == 0 and r == 1.0)
+            else:
+                want = math.floor(c / b * 1e6 + 0.5) / 1e6
+                ok.append(0 < c <= b + 32 and r == want)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": batch.column("n_bytes"),
+            "zlib_within_bound": pa.array(ok, pa.bool_()),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
 def _q_train_split(sf_dir: str):
     """Deterministic train/val/test assignment (80/10/10): membership
     is a pure function of md5(doc_id), so the split is reproducible
@@ -6033,6 +6075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "quantiles_chars_cont": _q_quantiles_chars_cont,
         "doc_compression_ratio": _q_doc_compression_ratio,
+        "doc_compression_bound": _q_doc_compression_bound,
         # corpus-mixture stages (split / rebalance / percentile gate /
         # snapshot diff) + entropy quality signal
         "train_split": _q_train_split,
@@ -6899,6 +6942,16 @@ def oracle_sql() -> dict[str, str]:
         "approx_value_quantiles": _APPROX_QUANTILES_SQL,
         "approx_distinct_users": _hll_sql(grouped=False),
         "approx_users_by_type": _hll_sql(grouped=True),
+        # zlib isn't SQL-expressible; the bound envelope asserts the
+        # exact byte length + the deflate contract flags (the
+        # hll_users_bound pattern)
+        "doc_compression_bound": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(COALESCE(text, '')))
+                        AS BIGINT) AS n_bytes,
+                   TRUE AS zlib_within_bound
+            FROM documents ORDER BY doc_id
+        """,
         "table_items": _table_items_sql(),
         "mmr_topk": _mmr_sql(),
         "site_pagerank": _site_pagerank_sql(),

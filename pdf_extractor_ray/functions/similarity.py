@@ -5,9 +5,10 @@
   local top-k → distributed grouped top-k merge (driver fan-in is
   k × n_queries, block-count independent).  The baseline that always
   works.
-- ``embedding_near_dups``: all-pairs cosine ≥ threshold via the same
-  broadcast pattern (small-side fits memory at correctness scale; at
-  100 TB swap the broadcast side for an IVF index, same stage shape).
+- ``embedding_near_dups``: cosine ≥ threshold pairs via multi-table
+  hyperplane LSH and ONE key-space partition exchange (in-partition
+  run detection + in-run exact verify — the MinHash family's
+  collision plan with the embedding as payload; no driver structure).
 - ``ivf_topk``: LSH/IVF-bucketed variant — the scale path: random
   hyperplane buckets, search only matching buckets.
 """
