@@ -1320,6 +1320,77 @@ def _q_ivf_kmeans_topk(sf_dir: str):
     return ivf_kmeans_topk(emb, q, k=10, n_clusters=16, nprobe=4, query_ids=[0, 1, 2])
 
 
+def _q_ann_recall_bound(sf_dir: str):
+    """DRIVER-ORACLED quality envelope for the three approximate ANN
+    paths (the ``hll_users_bound`` pattern): one row per
+    (method, query_id) whose ``ok`` flag certifies the method's
+    contract — the oracle asserts all-TRUE, so a broken bucket router,
+    distance kernel or quantizer hash-mismatches the driver compare.
+
+    Per-method contract (the query vectors are corpus members, so
+    "find yourself" is a hard invariant of any correct ANN):
+    - ``ivf``: the query's own vec_id is its RANK-1 hit (its bucket
+      always matches, and nothing beats cosine 1.0 under the asc-id
+      tie-break at these ids) with distinct results — the probed
+      bucket may legitimately hold < k vectors, so no length gate;
+      recall beyond self is workload-dependent on these random test
+      embeddings (measured 0.1–0.2) and is NOT gated;
+    - ``pq``: full-corpus scan — exactly k distinct results with the
+      query in its own top-k (PQ quantization error makes rank-1 not
+      guaranteed; measured recall 0.2–0.6 not gated);
+    - ``ivf_kmeans``: k distinct results, self-recovery, AND per-query
+      recall@10 ≥ 0.8 vs the exact brute baseline (measured 0.9–1.0
+      at sf0.01/0.1; the in-suite mean gate lives in
+      tests/test_ivf_kmeans.py)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import (
+        ann_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    q = _emb_queries(sf_dir)
+    qids = [0, 1, 2]
+
+    def load():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def topsets(tbl) -> dict:
+        out: dict = {}
+        for r in tbl.to_pylist():
+            out.setdefault(r["query_id"], []).append(r["vec_id"])
+        return out
+
+    brute = topsets(ann_topk(load(), q, k=10, query_ids=qids))
+    methods = {
+        "ivf": topsets(ivf_topk(load(), q, k=10, dim=q.shape[1])),
+        "ivf_kmeans": topsets(ivf_kmeans_topk(
+            load(), q, k=10, n_clusters=16, nprobe=4, query_ids=qids)),
+        "pq": topsets(pq_topk(load(), q, k=10, m=8, ksub=16,
+                              query_ids=qids)),
+    }
+    rows = []
+    for m, ts in sorted(methods.items()):
+        for qid in qids:
+            got = ts.get(qid, [])
+            distinct = len(set(got)) == len(got)
+            if m == "ivf":
+                ok = distinct and bool(got) and got[0] == qid
+            elif m == "pq":
+                ok = distinct and len(got) == 10 and qid in got
+            else:  # ivf_kmeans
+                ok = (distinct and len(got) == 10 and qid in got
+                      and len(set(got) & set(brute[qid])) / 10 >= 0.8)
+            rows.append({"method": m, "query_id": qid, "ok": bool(ok)})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("method", pa.string()), ("query_id", pa.int64()),
+         ("ok", pa.bool_())]))
+
+
 def _q_pq_topk(sf_dir: str):
     """Product-quantization ANN: codebooks from one bounded sample pass,
     uint8 asymmetric-distance scan (approximate — recall vs exact
@@ -5930,6 +6001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_topk": _q_pq_topk,
+        "ann_recall_bound": _q_ann_recall_bound,
         "embedding_near_dups": _q_embedding_near_dups,
         # preview projection (M14)
         "page_previews": _q_page_previews,
@@ -6945,6 +7017,19 @@ def oracle_sql() -> dict[str, str]:
         # zlib isn't SQL-expressible; the bound envelope asserts the
         # exact byte length + the deflate contract flags (the
         # hll_users_bound pattern)
+        # ANN quality envelope: the oracle asserts every per-method
+        # contract flag is TRUE (self-recovery for all paths, recall
+        # floor for the k-means IVF)
+        "ann_recall_bound": """
+            SELECT t.method, CAST(t.query_id AS BIGINT) AS query_id,
+                   TRUE AS ok
+            FROM (VALUES ('ivf', 0), ('ivf', 1), ('ivf', 2),
+                         ('ivf_kmeans', 0), ('ivf_kmeans', 1),
+                         ('ivf_kmeans', 2),
+                         ('pq', 0), ('pq', 1), ('pq', 2))
+                 AS t(method, query_id)
+            ORDER BY t.method, t.query_id
+        """,
         "doc_compression_bound": """
             SELECT doc_id,
                    CAST(octet_length(encode(COALESCE(text, '')))
