@@ -1267,6 +1267,12 @@ def _q_latest_event_per_user(sf_dir: str):
 
 
 def _q_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 10), recall-1.0 pigeonhole
+    banding + exact in-bucket verify.  VALUE-ORACLED (round 5) by
+    ``_simhash_dups_sql``: the whole signature (crc32 shingles →
+    splitmix64 → bit votes) is reconstructed in generated SQL and the
+    exact all-pairs Hamming twin must match to the byte.  O(n²) SQL —
+    skip its SQL in big-SF sweeps like the other documented twins."""
     from pdf_extractor_ray.functions.dedup import simhash_dedup
 
     return simhash_dedup(_docs(sf_dir), max_hamming=10)
@@ -3373,9 +3379,12 @@ def _q_approx_users_by_type(sf_dir: str):
 def _q_winnow_fingerprint_dups(sf_dir: str):
     """Document fingerprinting by winnowing (rolling-hash k-grams,
     Schleimer et al. 2003): near-dup pairs sharing ≥3 selected
-    fingerprints. Rows-only: fingerprint selection is not
-    SQL-expressible; parity vs exact n-gram Jaccard (recall 0.96,
-    precision 1.00 at sf0.01) is pinned by tests/test_fingerprint.py."""
+    fingerprints. VALUE-ORACLED (round 5) by ``_winnow_dups_sql``:
+    normalization, polynomial gram hash, splitmix64, window minima and
+    the bucket-gated pair fold are all reconstructed in generated SQL.
+    Parity vs exact n-gram Jaccard (recall 0.96, precision 1.00 at
+    sf0.01) additionally pinned by tests/test_fingerprint.py.  Heavy
+    SQL twin — skip its SQL in big-SF sweeps (driver gate = sf0.01)."""
     from pdf_extractor_ray.functions.fingerprint import winnow_dup_pairs
 
     return winnow_dup_pairs(_docs(sf_dir))
@@ -6782,6 +6791,214 @@ _NGRAM_JACCARD_SQL = """
         """
 
 
+def _crc32_table_values() -> str:
+    """The standard zlib/IEEE-802.3 crc32 byte table (polynomial
+    0xEDB88320, reflected) as a 256-row SQL VALUES list — a public
+    constant, generated here so the oracle text carries no magic blob."""
+    vals = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        vals.append(f"({i},{c})")
+    return ", ".join(vals)
+
+
+def _simhash_dups_sql(max_hamming: int = 10) -> str:
+    """Generated-SQL value oracle for ``simhash_dups``: the engine's
+    64-bit SimHash (``dedup.SimHashStage``) reconstructed end to end in
+    DuckDB, then exact all-pairs Hamming ≤ ``max_hamming``.
+
+    Pieces, each proven elsewhere this round or here:
+    - word 3-shingles = the ``_NGRAM_JACCARD_SQL`` tokenization
+      (``string_split_regex`` + list comprehension), DISTINCT per doc
+      (the engine hashes a shingle SET);
+    - **crc32 IS SQL-expressible**: lockstep recursive CTE over byte
+      position (every shingle advances one byte per step; steps = max
+      shingle length, ~40) against the generated 256-entry table —
+      corpus text is ASCII by construction so ``ascii(substr(...))``
+      is the byte value;
+    - splitmix64 finalizer via the same HUGEINT 32-bit-halves chain as
+      ``_splitmix64_ctes``;
+    - per-bit majority votes as 64 grouped integer sums (+1/−1), sign
+      bits recomposed with bit 63 masked (int64-positive contract);
+    - pairs via ``bit_count(xor(a, b))`` — banding recall is 1.0 by
+      pigeonhole (test-pinned) and in-bucket verify is exact, so the
+      LSH pair set equals this exact pair set.
+
+    O(n²) SQL twin — like the other documented all-pairs twins, skip
+    its SQL in big-SF sweeps (the driver gate runs at sf0.01)."""
+    m = 18446744073709551616
+    b = 4294967296
+    c1, c2 = 13787848793156543929, 10723151780598845931
+
+    def mul(z: str, c: int) -> str:
+        return (f"CAST(((CAST({z} AS HUGEINT) % {b}) * {c} + "
+                f"(((CAST({z} AS HUGEINT) // {b}) * {c}) % {b}) * {b}) "
+                f"% {m} AS UBIGINT)")
+
+    return f"""
+        WITH RECURSIVE crctbl(i, v) AS (VALUES {_crc32_table_values()}),
+        toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN [array_to_string(t[i:i+2], ' ')
+                           for i in range(1, len(t) - 1)]
+                     ELSE [array_to_string(t, ' ')] END)) AS s
+            FROM toks
+        ),
+        rec AS (
+            SELECT doc_id, s, 1 AS pos,
+                   CAST(4294967295 AS UBIGINT) AS crc
+            FROM sh
+            UNION ALL
+            SELECT r.doc_id, r.s, r.pos + 1, xor(r.crc >> 8, c.v)
+            FROM rec r JOIN crctbl c
+              ON c.i = CAST(xor(r.crc,
+                                CAST(ascii(substr(r.s, r.pos, 1)) AS UBIGINT))
+                            & CAST(255 AS UBIGINT) AS INTEGER)
+            WHERE r.pos <= len(r.s)
+        ),
+        crcs AS (
+            SELECT DISTINCT doc_id,
+                   xor(crc, CAST(4294967295 AS UBIGINT)) AS c32
+            FROM rec WHERE pos = len(s) + 1
+        ),
+        m0 AS (SELECT *, CAST((CAST(c32 AS HUGEINT)
+                   + 11400714819323198485) % {m} AS UBIGINT) AS z0
+               FROM crcs),
+        m1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM m0),
+        m2 AS (SELECT *, {mul('z1', c1)} AS z2 FROM m1),
+        m3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM m2),
+        m4 AS (SELECT *, {mul('z3', c2)} AS z4 FROM m3),
+        m5 AS (SELECT *, xor(z4, z4 >> 31) AS h FROM m4),
+        votes AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN (h >> CAST(j AS UBIGINT))
+                                 & CAST(1 AS UBIGINT) = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM m5 CROSS JOIN range(64) r(j)
+            GROUP BY doc_id, j
+        ),
+        sigs0 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 AND j < 63
+                                 THEN CAST(1 AS UBIGINT) << CAST(j AS UBIGINT)
+                                 ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+            FROM votes GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+            FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+        """
+
+
+def _winnow_dups_sql(k: int = 25, w: int = 50, min_shared: int = 3,
+                     max_bucket: int = 64) -> str:
+    """Generated-SQL value oracle for ``winnow_fingerprint_dups``: the
+    engine's winnowing fingerprint (``fingerprint.winnow_fingerprints``,
+    Schleimer et al. 2003) reconstructed end to end in DuckDB.
+
+    - normalization = ``lower`` + whitespace collapse + trim (ASCII
+      corpus, so SQL ``lower``/``regexp_replace`` match Python);
+    - polynomial k-gram hash Σ byte·B^(k-1-j) mod 2⁶⁴ with the power
+      table built by a linear recursive CTE (handles the short-doc
+      whole-text fallback for any length);
+    - splitmix64 finalizer (same HUGEINT chain as ``_splitmix64_ctes``);
+    - window minima via ``min() OVER (... 49 FOLLOWING)`` — ragged tail
+      windows filtered out except the degenerate ≤w-gram doc, exactly
+      the numpy ``sliding_window_view`` semantics;
+    - DISTINCT masked fingerprints per doc, bucket size gate
+      2..``max_bucket``, pair fold with shared-count ≥ ``min_shared`` —
+      the ``bucket_collision_pairs`` contract verbatim.
+
+    O(k·chars) SQL (~15 s at sf0.01) — like the other heavy twins,
+    skip its SQL in big-SF sweeps (the driver gate runs at sf0.01)."""
+    m = 18446744073709551616
+    b = 4294967296
+    c1, c2 = 13787848793156543929, 10723151780598845931
+
+    def mul(z: str, c: int) -> str:
+        return (f"CAST(((CAST({z} AS HUGEINT) % {b}) * {c} + "
+                f"(((CAST({z} AS HUGEINT) // {b}) * {c}) % {b}) * {b}) "
+                f"% {m} AS UBIGINT)")
+
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH RECURSIVE maxlen AS (
+            SELECT max(length({norm})) AS ml FROM documents
+        ),
+        pw(e, p) AS (
+            SELECT 0, CAST(1 AS UBIGINT)
+            UNION ALL
+            SELECT e + 1,
+                   CAST((CAST(p AS HUGEINT) * 1000003) % {m} AS UBIGINT)
+            FROM pw WHERE e < (SELECT ml FROM maxlen)
+        ),
+        norm AS (
+            SELECT doc_id, {norm} AS s, length({norm}) AS n
+            FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+        ),
+        gpos AS (
+            SELECT doc_id, s, n,
+                   CASE WHEN n >= {k} THEN {k} ELSE n END AS klen,
+                   unnest(generate_series(
+                       1, CASE WHEN n >= {k} THEN n - {k - 1} ELSE 1 END)) AS gi
+            FROM norm
+        ),
+        gh AS (
+            SELECT g.doc_id, g.gi,
+                   CAST(sum(CAST(ascii(substr(g.s, g.gi + j.j, 1)) AS HUGEINT)
+                            * pw.p) % {m} AS UBIGINT) AS gh
+            FROM gpos g
+            JOIN LATERAL unnest(generate_series(0, g.klen - 1)) AS j(j) ON TRUE
+            JOIN pw ON pw.e = g.klen - 1 - j.j
+            GROUP BY 1, 2
+        ),
+        w0 AS (SELECT *, CAST((CAST(gh AS HUGEINT)
+                   + 11400714819323198485) % {m} AS UBIGINT) AS z0 FROM gh),
+        w1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM w0),
+        w2 AS (SELECT *, {mul('z1', c1)} AS z2 FROM w1),
+        w3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM w2),
+        w4 AS (SELECT *, {mul('z3', c2)} AS z4 FROM w3),
+        w5 AS (SELECT *, xor(z4, z4 >> 31) AS h FROM w4),
+        wmins AS (
+            SELECT doc_id, gi,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY gi
+                                ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS wm,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM w5
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   CAST(wm & CAST(9223372036854775807 AS UBIGINT)
+                        AS BIGINT) AS fp
+            FROM wmins
+            WHERE gi <= greatest(n_grams - {w - 1}, 1)
+        ),
+        bsize AS (SELECT fp, count(*) AS nb FROM fps GROUP BY fp),
+        ok AS (SELECT fp FROM bsize WHERE nb BETWEEN 2 AND {max_bucket})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN ok ON ok.fp = a.fp
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+        ORDER BY doc_a, doc_b
+        """
+
+
 def _minhash_components_sql() -> str:
     """Recursive-CTE transitive closure over the exact Jaccard pair set
     (the ``mirror_site_clusters`` pattern): component = min reachable
@@ -7009,6 +7226,8 @@ def oracle_sql() -> dict[str, str]:
         # converted from rows-only to full value oracles
         "minhash_lsh_dups": _NGRAM_JACCARD_SQL,
         "minhash_components": _minhash_components_sql(),
+        "simhash_dups": _simhash_dups_sql(),
+        "winnow_fingerprint_dups": _winnow_dups_sql(),
         "pack_chunks": _pack_chunks_sql(),
         "cms_user_counts": _cms_user_counts_sql(),
         "approx_value_quantiles": _APPROX_QUANTILES_SQL,
