@@ -2407,9 +2407,12 @@ def _q_events_props_stats(sf_dir: str):
 
 def _q_corpus_prep(sf_dir: str):
     """The composed end-to-end corpus-prep pipeline: quality/language
-    gate → exact dedup → MinHash near-dup removal. Rows-only (the
-    near-dup stage is probabilistic); survivor invariants are pinned
-    by tests/test_corpus_prep.py."""
+    gate → exact dedup → MinHash near-dup removal. VALUE-ORACLED
+    (round 5): gate = the oracled quality_score SQL, exact dedup = a
+    QUALIFY min-doc_id window, near-dup drop = the exact-Jaccard pair
+    set (LSH recall 1.0 at the fixed seed is per-pair, so it holds on
+    the survivor subset).  Survivor invariants additionally pinned by
+    tests/test_corpus_prep.py.  O(n²) SQL twin — sf0.01 gate only."""
     from pdf_extractor_ray.pipelines.corpus_prep import corpus_prep_pipeline
 
     return corpus_prep_pipeline(_docs(sf_dir))
@@ -7228,6 +7231,58 @@ def oracle_sql() -> dict[str, str]:
         "minhash_components": _minhash_components_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
+        # composed end-to-end pipeline: quality/lang gate → exact dedup
+        # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
+        # near-dup pair drop (doc_b of every a<b pair).  Valid as the
+        # minhash_lsh_dups oracle is: LSH pair recall at the fixed seed
+        # is 1.0 (test-pinned) and recall is per-pair (signatures don't
+        # depend on the rest of the corpus), so on the deduped survivor
+        # subset LSH == exact too.  O(n²) twin — sf0.01 gate only.
+        "corpus_prep": """
+            WITH f AS (
+                SELECT doc_id, lang, text,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             t -> t IN ('the','a','of','and','to','in','is','it')))
+                             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+                           AS stopword_ratio
+                FROM documents
+            ), q AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       round(least(n_tokens / 50.0, 1.0)
+                             * (1 - punct_ratio)
+                             * (0.5 + 0.5 * least(4 * stopword_ratio, 1.0)), 6)
+                           AS quality_score
+                FROM f
+            ), gated AS (
+                SELECT * FROM q
+                WHERE quality_score >= 0.3
+                  AND lang IN ('en', 'de', 'fr', 'es')
+            ), uniq AS (
+                SELECT * FROM gated
+                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+            ), toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM uniq
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            ), drops AS (
+                SELECT DISTINCT b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   quality_score
+            FROM uniq
+            WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+            ORDER BY doc_id
+        """,
         "pack_chunks": _pack_chunks_sql(),
         "cms_user_counts": _cms_user_counts_sql(),
         "approx_value_quantiles": _APPROX_QUANTILES_SQL,
