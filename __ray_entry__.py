@@ -1434,15 +1434,20 @@ def _q_embedding_near_dups(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
-    """Scale-path ANN: hyperplane-LSH bucketed search (approximate —
-    rows-only check; the exact baseline ann_topk has the SQL oracle)."""
+    """Scale-path ANN: hyperplane-LSH bucketed search.  VALUE-ORACLED
+    (round 5) by ``_ivf_topk_sql``: the seed-42 plane matrix is inlined
+    as exact round-trip float literals, bucket bits are sign tests on
+    ``list_dot_product`` (measured projection margin 3.3e-4 at sf0.01 —
+    five orders above float64 noise), and the probed-bucket candidates
+    are ranked by exact cosine with the ann_topk rank/tiebreak recipe
+    (sim column dropped, rank compared)."""
     import ray.data
 
     from pdf_extractor_ray.functions.similarity import ivf_topk
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _emb_queries(sf_dir)
-    return ivf_topk(emb, q, k=10, dim=q.shape[1])
+    return ivf_topk(emb, q, k=10, dim=q.shape[1]).drop_columns(["sim"])
 
 
 def _q_page_previews(sf_dir: str):
@@ -7002,6 +7007,50 @@ def _winnow_dups_sql(k: int = 25, w: int = 50, min_shared: int = 3,
         """
 
 
+def _ivf_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                  k: int = 10) -> str:
+    """Generated-SQL value oracle for ``ivf_topk``: the hyperplane-LSH
+    coarse quantizer (``HyperplaneBucketStage``) reconstructed in SQL.
+
+    The seed-``seed`` ``randn(n_planes, dim)`` plane matrix is inlined
+    as exact round-trip float literals (``repr`` of float64 is
+    shortest-round-trip, so DuckDB parses the identical doubles);
+    bucket bit j = sign of ``list_dot_product(embedding::DOUBLE[],
+    plane_j)``.  Sign robustness: the smallest |projection| over the
+    corpus is 3.3e-4 — five orders above any summation-order noise, so
+    numpy-vs-DuckDB accumulation order cannot flip a bit (and the
+    driver hash gate would catch it if it ever did).  Probed buckets =
+    the three query vectors' buckets; candidates ranked by exact
+    cosine with the ``ann_topk`` rank/tiebreak recipe."""
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    lits = ["[" + ",".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{lits[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), qb AS (
+            SELECT DISTINCT bucket FROM b WHERE vec_id IN (0, 1, 2)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(c.embedding, q.qe) AS sim
+            FROM b c JOIN qb USING (bucket) CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, vec_id, rank FROM r WHERE rank <= {k}
+        """
+
+
 def _minhash_components_sql() -> str:
     """Recursive-CTE transitive closure over the exact Jaccard pair set
     (the ``mirror_site_clusters`` pattern): component = min reachable
@@ -7231,6 +7280,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_components": _minhash_components_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
