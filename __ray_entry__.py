@@ -3710,9 +3710,13 @@ def _q_events_unpivot_daily(sf_dir: str):
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means clusters over the
     embedding space, drop every vector with a lower-id ε-ball neighbor
-    in its cluster. Deterministic (hash sample, fixed init/iters) but
-    k-means is not SQL-expressible — rows-only check; the planted-dup
-    recall test pins behavior."""
+    in its cluster. Deterministic (hash sample, fixed init/iters).
+    VALUE-ORACLED (round 5) by ``_semantic_dedup_sql``: the Lloyd
+    chain is unrolled into MATERIALIZED CTEs (shared with the
+    ``ivf_kmeans_topk`` twin) and the ε-ball drop is the O(n²/k)
+    within-cluster pair SQL; measured argmax/threshold margins rule
+    out float flips. The planted-dup recall test still pins drop
+    behavior at test scale."""
     import ray.data
 
     from pdf_extractor_ray.functions.similarity import semantic_dedup
@@ -7037,6 +7041,86 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
     Twin precondition: ``kmeans_fit`` samples only above 4096 rows;
     every driver SF is below that, so the SQL fits on all rows exactly
     like the engine does."""
+    ctes = _kmeans_chain_ctes(dim, k, iters)
+    ctes.append(f"""df AS MATERIALIZED (
+            SELECT e.vec_id, c.cluster, sum(e.v * c.v) AS dot
+            FROM e JOIN c{iters} c USING (j) GROUP BY e.vec_id, c.cluster
+        ), af AS (
+            SELECT vec_id, cluster FROM df
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dot DESC, cluster) = 1
+        ), probe AS (
+            SELECT vec_id AS query_id, cluster FROM df
+            WHERE vec_id IN (0, 1, 2)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dot DESC, cluster) <= {nprobe}
+        ), probeset AS (
+            SELECT DISTINCT cluster FROM probe
+        ), cand AS (
+            SELECT af.vec_id FROM af JOIN probeset USING (cluster)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(em.embedding, q.qe) AS sim
+            FROM cand c JOIN embeddings em USING (vec_id) CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s
+        )""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + f"\n        SELECT query_id, vec_id, rank FROM r"
+            + f" WHERE rank <= {topk}")
+
+
+def _semantic_dedup_sql(dim: int = 64, k: int = 16, iters: int = 5,
+                        threshold: float = 0.97) -> str:
+    """Generated-SQL value oracle for ``semantic_dedup`` (SemDeDup,
+    Abbas et al. 2023): the same unrolled-Lloyd chain as
+    ``_ivf_kmeans_sql`` (shared via ``_kmeans_chain_ctes``) feeds the
+    final assignment, then a within-cluster lower-id pair pass drops
+    every vector with an in-cluster ε-ball neighbor of smaller vec_id.
+
+    Float safety is MEASURED like the IVF twin: the smallest
+    best-vs-second argmax margin across all iterations is 2.3e-4 at
+    sf0.01 / 5.8e-6 at sf0.1 (orders above summation noise), and the
+    nearest in-cluster pair similarity sits 0.37 BELOW the 0.97
+    threshold at both SFs — neither the cluster label nor the keep
+    flag can flip under accumulation-order differences.  O(n²/k) pair
+    SQL — cheap at driver SFs (0.3 s sf0.01, 3 s sf0.1)."""
+    ctes = _kmeans_chain_ctes(dim, k, iters)
+    ctes.append(f"""df AS (
+            SELECT e.vec_id, c.cluster, sum(e.v * c.v) AS dot
+            FROM e JOIN c{iters} c USING (j) GROUP BY e.vec_id, c.cluster
+        ), af AS MATERIALIZED (
+            SELECT vec_id, cluster FROM df
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dot DESC, cluster) = 1
+        ), pairsim AS (
+            SELECT hi.vec_id AS i, sum(ea.v * eb.v) AS sim
+            FROM af hi JOIN af lo
+              ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+            JOIN e ea ON ea.vec_id = hi.vec_id
+            JOIN e eb ON eb.vec_id = lo.vec_id AND eb.j = ea.j
+            GROUP BY hi.vec_id, lo.vec_id
+        ), dropped AS (
+            SELECT DISTINCT i AS vec_id FROM pairsim WHERE sim >= {threshold}
+        )""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + "\n        SELECT af.vec_id, af.cluster,"
+            + " (dropped.vec_id IS NULL) AS keep"
+            + "\n        FROM af LEFT JOIN dropped USING (vec_id)")
+
+
+def _kmeans_chain_ctes(dim: int, k: int, iters: int) -> list:
+    """The unrolled deterministic-Lloyd CTE chain shared by
+    ``_ivf_kmeans_sql`` and ``_semantic_dedup_sql``: normalized
+    element table ``e``, init centroids ``c0`` = k lowest-vec_id rows,
+    then per-iteration assign (first-max argmax) → normalized member
+    mean → empty-cluster carry, ending at ``c{iters}``."""
     ctes = [f"""el AS (
             SELECT vec_id, r.j,
                    CAST(embedding[CAST(r.j AS INTEGER) + 1] AS DOUBLE) AS x
@@ -7077,38 +7161,7 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
             FROM c{p} c LEFT JOIN cu{t} u
               ON u.cluster = c.cluster AND u.j = c.j
         )""")
-    ctes.append(f"""df AS MATERIALIZED (
-            SELECT e.vec_id, c.cluster, sum(e.v * c.v) AS dot
-            FROM e JOIN c{iters} c USING (j) GROUP BY e.vec_id, c.cluster
-        ), af AS (
-            SELECT vec_id, cluster FROM df
-            QUALIFY row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY dot DESC, cluster) = 1
-        ), probe AS (
-            SELECT vec_id AS query_id, cluster FROM df
-            WHERE vec_id IN (0, 1, 2)
-            QUALIFY row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY dot DESC, cluster) <= {nprobe}
-        ), probeset AS (
-            SELECT DISTINCT cluster FROM probe
-        ), cand AS (
-            SELECT af.vec_id FROM af JOIN probeset USING (cluster)
-        ), q AS (
-            SELECT vec_id AS query_id, embedding AS qe
-            FROM embeddings WHERE vec_id IN (0, 1, 2)
-        ), s AS (
-            SELECT q.query_id, c.vec_id,
-                   list_cosine_similarity(em.embedding, q.qe) AS sim
-            FROM cand c JOIN embeddings em USING (vec_id) CROSS JOIN q
-        ), r AS (
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, vec_id) AS rank
-            FROM s
-        )""")
-    return ("WITH " + ",\n        ".join(ctes)
-            + f"\n        SELECT query_id, vec_id, rank FROM r"
-            + f" WHERE rank <= {topk}")
+    return ctes
 
 
 def _ivf_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
@@ -7386,6 +7439,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_dups": _winnow_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_kmeans_topk": _ivf_kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
