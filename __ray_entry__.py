@@ -1406,7 +1406,12 @@ def _q_ann_recall_bound(sf_dir: str):
 def _q_pq_topk(sf_dir: str):
     """Product-quantization ANN: codebooks from one bounded sample pass,
     uint8 asymmetric-distance scan (approximate — recall vs exact
-    pinned in tests; rows-only)."""
+    pinned in tests).  VALUE-ORACLED (round 5) by ``_pq_topk_sql``:
+    per-subspace Lloyd fit + expansion encode + fixed-order ADC sum
+    unrolled in SQL; measured fit/encode/rank margins rule out float
+    flips, and identical codes score bit-identically on both sides so
+    exact ties resolve the same.  The float sim column is dropped —
+    ranks are compared."""
     import ray.data
 
     from pdf_extractor_ray.functions.similarity import pq_topk
@@ -1415,7 +1420,9 @@ def _q_pq_topk(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     q = _emb_queries(sf_dir)
-    return pq_topk(emb, q, k=10, m=8, ksub=16, query_ids=[0, 1, 2])
+    return pq_topk(
+        emb, q, k=10, m=8, ksub=16, query_ids=[0, 1, 2]
+    ).drop_columns(["sim"])
 
 
 def _q_detect_language_ngram(sf_dir: str):
@@ -7076,6 +7083,119 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
             + f" WHERE rank <= {topk}")
 
 
+def _pq_topk_sql(dim: int = 64, m: int = 8, ksub: int = 16,
+                 iters: int = 5, topk: int = 10) -> str:
+    """Generated-SQL value oracle for ``pq_topk``: the whole product-
+    quantization pipeline (Jégou et al. 2011) unrolled in SQL —
+    per-subspace L2 Lloyd fit, uint8 encode via the
+    ``x·c − ‖c‖²/2`` expansion, and the asymmetric-distance (ADC)
+    lookup-table scan — with the subspace as a data column so all
+    ``m`` fits run in the same five CTE levels.
+
+    Tiebreak parity: fit assignment = first-min (``ORDER BY dist,
+    cluster``), encode = first-max (``ORDER BY score DESC, cluster``),
+    final rank = the ``ann_topk`` recipe (score DESC, vec_id).  The
+    ADC score is a FIXED-ORDER expression ``l0 + … + l7`` over
+    materialized per-(query, sub, cluster) LUT rows, so two vectors
+    with identical codes score bit-identically on both sides (numpy's
+    axis-sum over 8 elements is the same sequential order) — exact
+    ties resolve to the same vec_id-asc order.  Cross-code float
+    safety is MEASURED: min fit-assignment margin 1.7e-6 / encode
+    argmax margin 1.0e-7 / rank gap 6.3e-7 across sf0.01 and sf0.1 —
+    all ≥8 orders above summation-order noise.  The query drops the
+    float sim column and compares ranks.
+
+    Twin precondition: ``pq_fit`` samples only above 4096 rows; every
+    driver SF is below that, so the SQL fits on all rows exactly like
+    the engine does."""
+    dsub = dim // m
+    code_cols = ", ".join(
+        f"max(CASE WHEN sub = {j} THEN code END) AS c{j}" for j in range(m)
+    )
+    vq_cols = ", ".join(f"max(CASE WHEN d = {d} THEN v END) AS v{d}"
+                        for d in range(dsub))
+    qd_cols = ", ".join(f"max(CASE WHEN d = {d} THEN x END) AS q{d}"
+                        for d in range(dsub))
+    lutv = " + ".join(f"v{d} * q{d}" for d in range(dsub))
+    lut_expr = " + ".join(f"l{j}.lv" for j in range(m))
+    lut_joins = "\n            ".join(
+        f"JOIN lut l{j} ON l{j}.q = q.q AND l{j}.sub = {j} "
+        f"AND l{j}.cluster = cd.c{j}" for j in range(m)
+    )
+    ctes = [f"""el AS (
+            SELECT vec_id, r.j,
+                   CAST(embedding[CAST(r.j AS INTEGER) + 1] AS DOUBLE) AS x
+            FROM embeddings, range({dim}) r(j)
+        ), nrm AS (
+            SELECT vec_id, sqrt(sum(x*x)) AS nn FROM el GROUP BY vec_id
+        ), e AS MATERIALIZED (
+            SELECT el.vec_id, el.j // {dsub} AS sub, el.j % {dsub} AS d,
+                   el.x / (CASE WHEN nn = 0 THEN 1 ELSE nn END) AS x
+            FROM el JOIN nrm USING (vec_id)
+        ), init_ids AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT {ksub}
+        ), c0 AS MATERIALIZED (
+            SELECT i.cluster, e.sub, e.d, e.x AS v
+            FROM init_ids i JOIN e ON e.vec_id = i.vec_id
+        )"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""d{t} AS (
+            SELECT e.vec_id, e.sub, c.cluster,
+                   sum((e.x - c.v) * (e.x - c.v)) AS dist
+            FROM e JOIN c{p} c ON c.sub = e.sub AND c.d = e.d
+            GROUP BY e.vec_id, e.sub, c.cluster
+        ), a{t} AS (
+            SELECT vec_id, sub, cluster FROM d{t}
+            QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, cluster) = 1
+        ), m{t} AS (
+            SELECT a.cluster, a.sub, e.d, sum(e.x) / count(*) AS mn
+            FROM a{t} a JOIN e ON e.vec_id = a.vec_id AND e.sub = a.sub
+            GROUP BY a.cluster, a.sub, e.d
+        ), c{t} AS MATERIALIZED (
+            SELECT c.cluster, c.sub, c.d, coalesce(m.mn, c.v) AS v
+            FROM c{p} c LEFT JOIN m{t} m
+              ON m.cluster = c.cluster AND m.sub = c.sub AND m.d = c.d
+        )""")
+    ctes.append(f"""cn AS (
+            SELECT cluster, sub, sum(v*v) AS vv FROM c{iters}
+            GROUP BY cluster, sub
+        ), esc AS (
+            SELECT e.vec_id, e.sub, c.cluster, sum(e.x * c.v) AS xv
+            FROM e JOIN c{iters} c ON c.sub = e.sub AND c.d = e.d
+            GROUP BY e.vec_id, e.sub, c.cluster
+        ), code AS MATERIALIZED (
+            SELECT esc.vec_id, esc.sub, esc.cluster AS code
+            FROM esc JOIN cn ON cn.cluster = esc.cluster AND cn.sub = esc.sub
+            QUALIFY row_number() OVER (PARTITION BY esc.vec_id, esc.sub
+                                       ORDER BY esc.xv - 0.5 * cn.vv DESC,
+                                                esc.cluster) = 1
+        ), cd AS (
+            SELECT vec_id, {code_cols} FROM code GROUP BY vec_id
+        ), cw AS (
+            SELECT cluster, sub, {vq_cols} FROM c{iters} GROUP BY cluster, sub
+        ), qw AS (
+            SELECT vec_id AS q, sub, {qd_cols} FROM e
+            WHERE vec_id IN (0, 1, 2) GROUP BY vec_id, sub
+        ), lut AS MATERIALIZED (
+            SELECT qw.q, qw.sub, cw.cluster, {lutv} AS lv
+            FROM qw JOIN cw USING (sub)
+        ), qs AS (SELECT DISTINCT q FROM lut
+        ), adc AS (
+            SELECT q.q AS query_id, cd.vec_id, {lut_expr} AS score
+            FROM cd CROSS JOIN qs q
+            {lut_joins}
+        )""")
+    return ("WITH " + ",\n        ".join(ctes) + f"""
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM adc
+        QUALIFY rank <= {topk}""")
+
+
 def _semantic_dedup_sql(dim: int = 64, k: int = 16, iters: int = 5,
                         threshold: float = 0.97) -> str:
     """Generated-SQL value oracle for ``semantic_dedup`` (SemDeDup,
@@ -7440,6 +7560,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(),
         "ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "pq_topk": _pq_topk_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
