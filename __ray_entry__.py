@@ -808,9 +808,13 @@ def _q_quality_logreg(sf_dir: str):
     sizes and reruns (functions/ml.py).  Task: predict the stopword
     detector's 'en' label from (stopword_ratio, punct_ratio,
     n_tokens/100) — a self-contained corpus-quality signal.  Output:
-    one row of rounded weights + training accuracy.  Rows-only
-    (iterative float algorithm); determinism + local-numpy parity are
-    test-pinned."""
+    one row of rounded weights + training accuracy.  VALUE-ORACLED
+    (round 5) by ``_quality_logreg_sql``: the 40 GD steps are unrolled
+    into CTE levels — valid because the int64 gradient quantization
+    makes each fold an order-independent integer sum, and the measured
+    quantization-boundary margin (6.6e-7) dwarfs the only cross-side
+    float sources (FMA/exp, ≲1e-10).  Determinism + local-numpy parity
+    stay test-pinned."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -7083,6 +7087,71 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
             + f" WHERE rank <= {topk}")
 
 
+def _quality_logreg_sql(lr: float = 2.0, iters: int = 40,
+                        scale: int = 1 << 20) -> str:
+    """Generated-SQL value oracle for ``quality_logreg``: the whole
+    full-batch gradient-descent TRAINING loop unrolled into ``iters``
+    CTE levels — the fixed-iteration unroll recipe applied to an ML
+    optimizer.
+
+    Why this is value-exact: ``ml.logreg_train`` quantizes per-row
+    gradients to int64 (``round(g·2²⁰)``) before summation, so each
+    side's gradient fold is an order-independent INTEGER sum, and the
+    weight update is a fixed-order scalar float expression — weights
+    stay bit-identical across sides as long as no quantization
+    boundary flips.  The only cross-side float sources (BLAS FMA in
+    the numpy dot, libm-vs-DuckDB ``exp``) perturb ``g·scale`` by
+    ≲1e-10, while the MEASURED minimum distance of any nonzero
+    ``g·scale`` from a .5 boundary is 6.6e-7 (sf0.01) / 8.1e-7 (sf0.1)
+    — three orders of safety.  Final-output safety: min |z| at the
+    trained weights 0.23 (accuracy threshold), min round-6 boundary
+    distance 1.2e-2 (reported weights).  Features (round-6 ratio
+    pins) and the 'en' label reuse the already-oracled
+    ``text_features`` / ``detect_language`` SQL."""
+    lang_sql = _langid_oracles()["detect_language"]
+    feat = r"""f AS MATERIALIZED (
+    SELECT round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+             AS f1,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             / greatest(length(text), 1), 6) AS f2,
+           len(string_split_regex(trim(text), '\s+')) / 100.0 AS f3,
+           CASE WHEN dl.detected_lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents JOIN (%s) dl USING (doc_id)
+), nn AS (SELECT count(*)::DOUBLE AS n FROM f),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)""" % lang_sql
+    lvl = """g{t} AS (
+    SELECT
+      CAST(sum(CAST(round((f.f1*((1.0/(1.0+exp(-(f.f1*w.w1+f.f2*w.w2+f.f3*w.w3+w.b))))-f.y))*{scale}.0) AS BIGINT)) AS BIGINT) AS q1,
+      CAST(sum(CAST(round((f.f2*((1.0/(1.0+exp(-(f.f1*w.w1+f.f2*w.w2+f.f3*w.w3+w.b))))-f.y))*{scale}.0) AS BIGINT)) AS BIGINT) AS q2,
+      CAST(sum(CAST(round((f.f3*((1.0/(1.0+exp(-(f.f1*w.w1+f.f2*w.w2+f.f3*w.w3+w.b))))-f.y))*{scale}.0) AS BIGINT)) AS BIGINT) AS q3,
+      CAST(sum(CAST(round((((1.0/(1.0+exp(-(f.f1*w.w1+f.f2*w.w2+f.f3*w.w3+w.b))))-f.y))*{scale}.0) AS BIGINT)) AS BIGINT) AS qb
+    FROM f CROSS JOIN w{p} w
+), w{t} AS MATERIALIZED (
+    SELECT w.w1 - {lr}*((g.q1::DOUBLE)/{scale}.0)/nn.n AS w1,
+           w.w2 - {lr}*((g.q2::DOUBLE)/{scale}.0)/nn.n AS w2,
+           w.w3 - {lr}*((g.q3::DOUBLE)/{scale}.0)/nn.n AS w3,
+           w.b  - {lr}*((g.qb::DOUBLE)/{scale}.0)/nn.n AS b
+    FROM w{p} w, g{t} g, nn
+)"""
+    parts = [feat]
+    for t in range(1, iters + 1):
+        parts.append(lvl.format(t=t, p=t - 1, scale=scale, lr=lr))
+    parts.append(f"""pr AS (
+    SELECT CAST(sum(CASE WHEN
+                 ((1.0/(1.0+exp(-(f.f1*w.w1+f.f2*w.w2+f.f3*w.w3+w.b)))) > 0.5)
+                          = (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           count(*) AS n
+    FROM f CROSS JOIN w{iters} w
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT round(w.w1, 6) AS w_stopword, round(w.w2, 6) AS w_punct,
+       round(w.w3, 6) AS w_len, round(w.b, 6) AS bias,
+       round((pr.n_ok::DOUBLE) / pr.n, 6) AS train_accuracy
+FROM w{iters} w, pr""")
+
+
 def _pq_topk_sql(dim: int = 64, m: int = 8, ksub: int = 16,
                  iters: int = 5, topk: int = 10) -> str:
     """Generated-SQL value oracle for ``pq_topk``: the whole product-
@@ -7561,6 +7630,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_topk": _pq_topk_sql(),
+        "quality_logreg": _quality_logreg_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
