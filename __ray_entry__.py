@@ -2195,8 +2195,12 @@ def _q_dsir_select_docs(sf_dir: str):
     vocabulary (the "data I want more of"), the source is the whole
     documents table; every doc is scored by its hashed byte-4-gram log
     importance ratio and 50 winners are Gumbel-resampled
-    deterministically. Rows-only (iterative model fit — not
-    SQL-expressible); enrichment + determinism pinned in test_dsir.py."""
+    deterministically. VALUE-ORACLED (round 5) by ``_dsir_select_sql``:
+    rolling byte-gram hash + splitmix64 reproduced bit-exactly in SQL,
+    probe-target counts inlined as constants, ratio/Gumbel as identical
+    IEEE expressions; measured rank-boundary and round-6 margins dwarf
+    cross-side log noise. Enrichment + determinism stay pinned in
+    test_dsir.py."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -7087,6 +7091,94 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
             + f" WHERE rank <= {topk}")
 
 
+def _dsir_select_sql(k: int = 4, n_buckets: int = 4096, alpha: float = 0.5,
+                     n: int = 50, gumbel_scale: float = 0.1) -> str:
+    """Generated-SQL value oracle for ``dsir_select_docs`` (DSIR
+    importance resampling, Xie et al. 2023).  Every stage is
+    reconstructed in SQL:
+
+    - byte-4-gram rolling hash: ``Σ byte·B^j mod 2⁶⁴`` in HUGEINT
+      (ASCII corpus, so ``ascii(substr(...))`` IS the byte), folded
+      through the generated splitmix64 chain (``_splitmix64_ctes`` —
+      bit-exact vs ``joins.mix64``), bucket = ``h % 4096``;
+    - the 6 probe-target texts are library constants, so their bucket
+      counts are inlined as VALUES (the ``_langid_oracles`` pattern);
+    - log importance ratio + add-α smoothing as the identical IEEE
+      expression; per-doc weight = mean over gram buckets;
+    - deterministic Gumbel key from the md5-hex idiom, top-50 by
+      ``(key, doc_id)``.
+
+    Float safety MEASURED: the rank-50/51 key gap is 3.7e-3 (sf0.01) /
+    7.7e-4 (sf0.1) and the winners' round-6 boundary distance ≥1.3e-2,
+    vs cross-side log/summation-order noise ≤1e-13 — ten orders of
+    margin.  Min grams/doc is 41, so the short-doc (<k bytes) branch
+    is never exercised on this corpus."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.dsir import _gram_bucket_idx
+
+    probe_words = ["sort", "merge", "join", "filter", "query", "scan"]
+    probe_texts = [" ".join(probe_words[i % 6] for i in range(j, j + 30))
+                   for j in range(6)]
+    tgt = np.zeros(n_buckets, np.float64)
+    for ptxt in probe_texts:
+        idx = _gram_bucket_idx(ptxt, k, n_buckets)
+        tgt += np.bincount(idx, minlength=n_buckets)
+    tgt_nz = ",".join(f"({b},{int(c)})" for b, c in enumerate(tgt) if c)
+    t_total = float((tgt + alpha).sum())
+    big_m = 1 << 64
+    poly_b = 1000003
+    powers = [pow(poly_b, e, big_m) for e in range(k)]
+    terms = " + ".join(
+        f"(CAST(ascii(substr(p, CAST(i + {j} AS INTEGER), 1)) AS HUGEINT)"
+        f" * {powers[k - 1 - j]}) % {big_m}"
+        for j in range(k)
+    )
+    denom = float((1 << 52) + 1)
+    return f"""
+WITH pd AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(coalesce(text, '')),
+               '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS p
+    FROM documents
+), gb AS (
+    SELECT doc_id,
+           CAST(({terms}) % {big_m} AS UBIGINT) AS sv
+    FROM (SELECT doc_id, p, unnest(range(1, length(p) - {k} + 2)) AS i
+          FROM pd)
+),{_splitmix64_ctes("gb", "sv", "h", "sm")},
+g AS (
+    SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) AS bucket FROM sm5
+), srcc AS (
+    SELECT bucket, count(*)::DOUBLE AS c FROM g GROUP BY bucket
+), tgtc AS (
+    SELECT * FROM (VALUES {tgt_nz}) v(bucket, c)
+), stot AS (
+    SELECT sum(c) + {n_buckets} * {alpha} AS s FROM srcc
+), lr AS (
+    SELECT g2.bucket,
+           ln((coalesce(tc.c, 0) + {alpha}) / {t_total!r})
+         - ln((coalesce(sc.c, 0) + {alpha}) / stot.s) AS v
+    FROM (SELECT DISTINCT bucket FROM g) g2
+    LEFT JOIN tgtc tc USING (bucket)
+    LEFT JOIN srcc sc USING (bucket)
+    CROSS JOIN stot
+), w AS (
+    SELECT g.doc_id, sum(lr.v) / count(*) AS logw
+    FROM g JOIN lr USING (bucket) GROUP BY g.doc_id
+), keyed AS (
+    SELECT doc_id, logw,
+           -(logw + {gumbel_scale} * (-ln(-ln(
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS UBIGINT) + 1) / {denom!r})))) AS rk
+    FROM w
+)
+SELECT doc_id, round(logw, 6) AS dsir_logw
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY rk, doc_id) <= {n}
+"""
+
+
 def _quality_logreg_sql(lr: float = 2.0, iters: int = 40,
                         scale: int = 1 << 20) -> str:
     """Generated-SQL value oracle for ``quality_logreg``: the whole
@@ -7631,6 +7723,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_topk": _pq_topk_sql(),
         "quality_logreg": _quality_logreg_sql(),
+        "dsir_select_docs": _dsir_select_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
