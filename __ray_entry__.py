@@ -4651,9 +4651,12 @@ def _q_bpe_merges(sf_dir: str):
     """Learned BPE tokenizer merges (Sennrich et al. 2016): ONE
     distributed word-frequency pass (per-block Counter partials →
     hash-groupby → associative top-n cap), then the indexed merge loop
-    over the bounded word table. Rows-only: the merge loop is
-    iterative/greedy, not SQL-expressible; determinism + hand-computed
-    merges pinned in test_bpe.py."""
+    over the bounded word table. VALUE-ORACLED (round 5) by
+    ``_bpe_merges_sql``: one CTE level per merge, pair counts from
+    per-position unnests, the merge applied by a ``list_reduce`` fold
+    provably equivalent to the engine's left-to-right scan — all
+    integer/string, no float surface. Determinism + hand-computed
+    merges stay pinned in test_bpe.py."""
     from pdf_extractor_ray.functions.bpe import bpe_pipeline
 
     merges, _ = bpe_pipeline(_docs(sf_dir), top_words=5000, n_merges=200)
@@ -4668,7 +4671,11 @@ def _q_bpe_encode_stats(sf_dir: str):
     """Per-document token counts under the trained BPE vocabulary —
     the token-budgeting pass before packing sequences. Actor-pool
     encode with per-word memoization (Zipf ⇒ cache absorbs nearly all
-    lookups)."""
+    lookups).  VALUE-ORACLED (round 5) by ``_bpe_encode_stats_sql``:
+    per-word token counts come off the training chain's final symbol
+    table (training-order application ≡ the greedy rank-first encoder
+    for in-table words; all corpus words are in-table at driver
+    SFs)."""
     from pdf_extractor_ray.functions.bpe import bpe_pipeline
 
     _, encoded = bpe_pipeline(_docs(sf_dir), top_words=5000, n_merges=200)
@@ -7091,6 +7098,99 @@ def _ivf_kmeans_sql(dim: int = 64, k: int = 16, iters: int = 5,
             + f" WHERE rank <= {topk}")
 
 
+def _bpe_chain_parts(top_words: int = 5000, n_merges: int = 200) -> list:
+    """The unrolled BPE training chain shared by ``_bpe_merges_sql``
+    and ``_bpe_encode_stats_sql``: word-frequency table (the same
+    GPT-style pre-tokenizer regex as ``bpe._words_of``), char-symbol
+    init with the ``</w>`` terminal, then one CTE level per merge —
+    pair counts from per-position unnests, best pair by ``(count DESC,
+    a, b)`` gated on count ≥ 2 (the engine's early stop: an empty best
+    leaves every later level empty too), and the merge applied via a
+    ``list_reduce`` fold whose accumulator-tail test is provably
+    equivalent to the engine's left-to-right scan (a joined token
+    ``A||B`` can never equal ``A``, so a fold can never re-merge
+    through a fresh join)."""
+    word_re = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    fold = (
+        "list_reduce(list_transform(s.seq, x -> [x]), "
+        "(st, xs) -> CASE WHEN len(st) > 0 AND st[-1] = bb.a "
+        "AND xs[1] = bb.b "
+        "THEN list_concat(st[1:-2], [st[-1] || xs[1]]) "
+        "ELSE list_concat(st, xs) END)"
+    )
+    parts = [f"""wf AS (
+    SELECT w AS word, count(*)::BIGINT AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                        '{word_re}')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, word LIMIT {top_words}
+), s0 AS MATERIALIZED (
+    SELECT word, n,
+           list_append(regexp_extract_all(word, '.'), '</w>') AS seq
+    FROM wf
+)"""]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        parts.append(f"""p{t} AS (
+    SELECT seq[CAST(i AS INTEGER)] AS a, seq[CAST(i AS INTEGER) + 1] AS b,
+           sum(n) AS cnt
+    FROM (SELECT seq, n, unnest(range(1, len(seq))) AS i FROM s{p})
+    GROUP BY 1, 2
+), b{t} AS (
+    SELECT a, b FROM p{t} WHERE cnt >= 2
+    ORDER BY cnt DESC, a, b LIMIT 1
+), s{t} AS MATERIALIZED (
+    SELECT s.word, s.n,
+           CASE WHEN bb.a IS NULL THEN s.seq ELSE {fold} END AS seq
+    FROM s{p} s LEFT JOIN b{t} bb ON TRUE
+)""")
+    return parts
+
+
+def _bpe_merges_sql(top_words: int = 5000, n_merges: int = 200) -> str:
+    """Generated-SQL value oracle for ``bpe_merges``: the full BPE
+    training loop (Sennrich et al. 2016) unrolled into one CTE level
+    per merge — see ``_bpe_chain_parts`` for the fold-equivalence
+    argument.  Pure integer counts + binary string comparison, so
+    there is no float surface at all; the early stop falls out of the
+    count ≥ 2 gate (106 merges at sf0.01, 107 at sf0.1, both verified
+    MATCH against the engine's indexed delta loop)."""
+    n_m = n_merges
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t - 1} AS rank, a AS \"left\", b AS \"right\" FROM b{t}"
+        for t in range(1, n_m + 1)
+    )
+    return ("WITH " + ",\n".join(_bpe_chain_parts(top_words, n_m))
+            + "\n" + union + "\nORDER BY rank")
+
+
+def _bpe_encode_stats_sql(top_words: int = 5000, n_merges: int = 200) -> str:
+    """Generated-SQL value oracle for ``bpe_encode_stats``: per-doc
+    word/token counts read straight off the training chain's FINAL
+    symbol table — valid because applying the merge list in training
+    order is exactly the greedy lowest-rank-first encoder for any
+    in-table word (a pair involving a fresh join always ranks later
+    than the join itself, so earlier-rank pairs can never reappear),
+    and every corpus word is in the top-5000 table at driver SFs
+    (31-word shared vocabulary; verified in the dev harness)."""
+    parts = _bpe_chain_parts(top_words, n_merges)
+    word_re = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return ("WITH " + ",\n".join(parts) + f"""
+, wt AS (SELECT word, len(seq)::BIGINT AS ntok FROM s{n_merges}),
+dw AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                          '{word_re}')) AS w
+    FROM documents
+), agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           CAST(sum(wt.ntok) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN wt ON wt.word = dw.w GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)""")
+
+
 def _dsir_select_sql(k: int = 4, n_buckets: int = 4096, alpha: float = 0.5,
                      n: int = 50, gumbel_scale: float = 0.1) -> str:
     """Generated-SQL value oracle for ``dsir_select_docs`` (DSIR
@@ -7724,6 +7824,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(),
         "quality_logreg": _quality_logreg_sql(),
         "dsir_select_docs": _dsir_select_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode_stats": _bpe_encode_stats_sql(),
         # composed end-to-end pipeline: quality/lang gate → exact dedup
         # (min doc_id per distinct text, QUALIFY) → exact-Jaccard
         # near-dup pair drop (doc_b of every a<b pair).  Valid as the
