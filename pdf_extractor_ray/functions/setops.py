@@ -11,7 +11,6 @@ inputs stream; nothing driver-side scales with data.
 """
 from __future__ import annotations
 
-import hashlib
 from typing import Sequence
 
 import pyarrow as pa
@@ -39,18 +38,29 @@ def _distinct(ds, cols: Sequence[str]):
 
 
 def _with_row_key(ds, cols: Sequence[str]):
+    """Append the composite membership key ``__rk``: the columns cast
+    to string and joined on the unit separator — three Arrow kernels
+    per column, no per-row Python (round 5 replaced the hashlib.md5
+    row loop, which was the last per-row hot path in the set-op
+    family; the joined key is also SHORTER than a 32-char digest for
+    these schemas, so the keys-only side ships less).  Collision-free
+    by the same contract as before: ``\\x1f`` cannot appear in the
+    stringified key columns."""
+    import pyarrow.compute as pc
+
     cols = list(cols)
 
     def add(batch: pa.Table) -> pa.Table:
-        col_lists = [batch.column(c).to_pylist() for c in cols]
-        keys = [
-            hashlib.md5(
-                _SEP.join("\x00" if v is None else str(v) for v in row)
-                .encode()
-            ).hexdigest()
-            for row in zip(*col_lists)
+        parts = [
+            pc.fill_null(pc.cast(batch.column(c), pa.string()), "\x00")
+            for c in cols
         ]
-        return batch.append_column("__rk", pa.array(keys, pa.string()))
+        key = (
+            parts[0]
+            if len(parts) == 1
+            else pc.binary_join_element_wise(*parts, _SEP)
+        )
+        return batch.append_column("__rk", pc.cast(key, pa.string()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
