@@ -1256,6 +1256,69 @@ def _q_minhash_lsh_dups(sf_dir: str):
     return minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
 
 
+def _q_incremental_near_dups(sf_dir: str):
+    """Recrawl near-dup detection against a PERSISTED LSH index (the
+    CCNet/RefinedWeb recrawl loop): the historical corpus (doc_id % 5
+    != 0) is indexed ONCE — band rows + shingle sets written as
+    bucketed co-partitioned parquet, boilerplate band keys dropped by
+    a keys-only anti-join — and the new batch (doc_id % 5 == 0) is
+    banded with the stored seed and joined bucket-dir-by-bucket-dir
+    with ZERO exchange over (and zero recompute of) the historical
+    side; candidates verify by exact Jaccard with old shingle sets
+    fetched only from the bucket dirs that hold candidate ids
+    (functions/lsh_index.py).  VALUE ORACLE: the exact cross-split
+    3-gram Jaccard pair SQL — candidate recall 1.0 at the pinned seed
+    is a per-pair signature property, so it holds across the split,
+    and verification is exact.  O(n²) SQL twin — skip in big-SF
+    sweeps like the other documented twins."""
+    import tempfile
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.lsh_index import (build_lsh_index,
+                                                       query_lsh_index)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(rem):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if rem == 0 else (ids % 5 != 0)
+            return b.filter(pa.array(mask))
+
+        return f
+
+    old = docs.map_batches(split(1), batch_format="pyarrow")
+    new = docs.map_batches(split(0), batch_format="pyarrow")
+    index_dir = tempfile.mkdtemp(prefix="lshidx-")
+    build_lsh_index(old, index_dir)
+    return query_lsh_index(new, index_dir, threshold=0.5)
+
+
+_INCREMENTAL_NEAR_DUPS_SQL = """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            )
+            SELECT n.doc_id AS new_doc_id, o.doc_id AS old_doc_id,
+                   round(len(list_intersect(n.s, o.s))::DOUBLE
+                         / len(list_distinct(list_concat(n.s, o.s))), 6)
+                       AS jaccard
+            FROM sh n JOIN sh o
+              ON n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+            WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                  / len(list_distinct(list_concat(n.s, o.s))) >= 0.5
+"""
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Recrawl-dedup shape (last-write-wins per key): newest event per
     user; at corpus scale this is dedup-by-url keeping max warc_ts."""
@@ -6043,6 +6106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "incremental_near_dups": _q_incremental_near_dups,
         "simhash_dups": _q_simhash_dups,
         "latest_event_per_user": _q_latest_event_per_user,
         # similarity search
@@ -7815,6 +7879,7 @@ def oracle_sql() -> dict[str, str]:
         # round-5 additions: hash-defined / greedy / closure queries
         # converted from rows-only to full value oracles
         "minhash_lsh_dups": _NGRAM_JACCARD_SQL,
+        "incremental_near_dups": _INCREMENTAL_NEAR_DUPS_SQL,
         "minhash_components": _minhash_components_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
