@@ -1470,6 +1470,34 @@ def _q_ann_recall_bound(sf_dir: str):
          ("ok", pa.bool_())]))
 
 
+def _q_ivf_index_topk(sf_dir: str):
+    """ANN against a PERSISTED IVF index (functions/ann_index.py —
+    the embedding sibling of the LSH recrawl index): the corpus is
+    quantized ONCE into bucketed co-partitioned parquet keyed by
+    cluster id, and each query batch reads ONLY the bucket dirs of its
+    probed clusters — no quantizer refit, no full scan.  Query
+    semantics are IDENTICAL to ``ivf_kmeans_topk`` (same fit, same
+    union-of-probes candidate set, same matmul orientation and
+    rank/tiebreak), so the unrolled-Lloyd SQL oracle applies verbatim
+    and a parity test pins persisted == in-memory exactly."""
+    import tempfile
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.ann_index import (build_ivf_index,
+                                                       query_ivf_index)
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivfidx-")
+    build_ivf_index(emb, index_dir, n_clusters=16, iters=5)
+    q = _emb_queries(sf_dir)
+    return query_ivf_index(
+        q, index_dir, k=10, nprobe=4, query_ids=[0, 1, 2]
+    ).drop_columns(["sim"])
+
+
 def _q_pq_topk(sf_dir: str):
     """Product-quantization ANN: codebooks from one bounded sample pass,
     uint8 asymmetric-distance scan (approximate — recall vs exact
@@ -6113,6 +6141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
         "pq_topk": _q_pq_topk,
         "ann_recall_bound": _q_ann_recall_bound,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -7885,6 +7914,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_dups": _winnow_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_kmeans_topk": _ivf_kmeans_sql(),
+        "ivf_index_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_topk": _pq_topk_sql(),
         "quality_logreg": _quality_logreg_sql(),

@@ -142,6 +142,7 @@ from .similarity import (  # noqa: F401
 )
 from .setops import except_distinct, intersect_distinct  # noqa: F401
 from .lsh_index import build_lsh_index, query_lsh_index  # noqa: F401
+from .ann_index import build_ivf_index, query_ivf_index  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401
 from .agg import partition_fold  # noqa: F401
