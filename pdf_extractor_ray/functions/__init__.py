@@ -141,7 +141,11 @@ from .similarity import (  # noqa: F401
     tfidf_cosine_pairs,
 )
 from .setops import except_distinct, intersect_distinct  # noqa: F401
-from .lsh_index import build_lsh_index, query_lsh_index  # noqa: F401
+from .lsh_index import (  # noqa: F401
+    append_lsh_index,
+    build_lsh_index,
+    query_lsh_index,
+)
 from .ann_index import build_ivf_index, query_ivf_index  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401

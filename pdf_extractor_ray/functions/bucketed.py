@@ -33,7 +33,8 @@ import pyarrow as pa
 from .joins import _bucket_of
 
 
-def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
+def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32,
+                   append: bool = False):
     """Dataset → ``out_dir/bucket=i/part-<hash>.parquet`` with rows
     hash-bucketed by ``key_col``; NO shuffle (per-block split-append).
     Returns the written manifest Dataset ``(bucket, path, n_rows)`` —
@@ -43,14 +44,18 @@ def write_bucketed(ds, key_col: str, out_dir: str, num_buckets: int = 32):
     blocks with identical key sequences but different payloads never
     collide; pre-existing ``part-*.parquet`` files are cleared at
     plan-build time so a re-run with different block boundaries can't
-    leave stale parts mixed into the bucket dirs."""
+    leave stale parts mixed into the bucket dirs.  ``append=True``
+    keeps existing parts (incremental index growth — e.g. ingesting a
+    deduped recrawl batch into a live LSH index); the content-hash
+    filenames make re-appending the same blocks idempotent."""
     import pyarrow.parquet as pq
 
     for i in range(num_buckets):
         d = os.path.join(out_dir, f"bucket={i}")
         os.makedirs(d, exist_ok=True)
-        for stale in glob.glob(os.path.join(d, "part-*.parquet")):
-            os.remove(stale)
+        if not append:
+            for stale in glob.glob(os.path.join(d, "part-*.parquet")):
+                os.remove(stale)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -125,6 +125,68 @@ def build_lsh_index(docs_ds, index_dir: str, *, n_perm: int = 64,
     return meta
 
 
+def append_lsh_index(new_docs_ds, index_dir: str) -> dict:
+    """Ingest a (deduped) batch into the live index — the step after
+    :func:`query_lsh_index` in the recrawl loop: survivors join the
+    historical corpus so the NEXT batch dedups against them too.  Band
+    rows and shingle sets are appended to the existing bucket dirs
+    (``write_bucketed(append=True)`` — content-hash part names, so
+    re-appending the same blocks is idempotent); the boilerplate gate
+    is applied WITHIN the batch (a key exceeding ``max_bucket`` inside
+    one batch is boilerplate by itself) — the exact global gate
+    re-applies on the next full rebuild.  Meta counts update
+    atomically."""
+    from .agg import partition_fold
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    nb = meta["num_buckets"]
+    band_rows = compact_blocks(new_docs_ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs={"n_perm": meta["n_perm"],
+                               "bands": meta["bands"],
+                               "seed": meta["seed"]},
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    ))
+    counts = partition_fold(
+        band_rows.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["bucket_key"], "__one", fn="sum", out_val="n",
+    )
+    hot = counts.filter(expr=f"n > {meta['max_bucket']}")
+    kept = semi_anti_join(
+        band_rows, hot.select_columns(["bucket_key"]),
+        "bucket_key", "bucket_key",
+        left_cols=["bucket_key", "doc_id"], how="anti",
+    )
+    n_band_rows = sum(
+        r["n_rows"] for r in write_bucketed(
+            kept, "bucket_key", os.path.join(index_dir, "bands"), nb,
+            append=True,
+        ).iter_rows()
+    )
+    sh = new_docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_stage(meta["k"]), batch_format="pyarrow"
+    )
+    n_docs = sum(
+        r["n_rows"] for r in write_bucketed(
+            sh, "doc_id", os.path.join(index_dir, "shingles"), nb,
+            append=True,
+        ).iter_rows()
+    )
+    meta["n_docs"] += n_docs
+    meta["n_band_rows"] += n_band_rows
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    return meta
+
+
 def query_lsh_index(new_docs_ds, index_dir: str, *,
                     threshold: float = 0.5,
                     scratch_dir: Optional[str] = None):

@@ -61,3 +61,24 @@ def test_incremental_query_no_candidates_is_typed_empty(ray_session):
     out = query_lsh_index(fresh, idx)
     assert out.count() == 0
     assert set(out.schema().names) == {"new_doc_id", "old_doc_id", "jaccard"}
+
+
+def test_append_then_next_batch_dedups_against_appended(ray_session):
+    from pdf_extractor_ray.functions.lsh_index import append_lsh_index
+
+    old, _ = _corpus()
+    idx = tempfile.mkdtemp(prefix="lshidx-t-")
+    m0 = build_lsh_index(_docs(old), idx)
+    batch_b = [(500, " ".join(f"b500w{t}" for t in range(25)))]
+    m1 = append_lsh_index(_docs(batch_b), idx)
+    assert m1["n_docs"] == m0["n_docs"] + 1
+    # batch C near-dups the APPENDED doc (one word changed) and an
+    # ORIGINAL doc — both must be found by the same query
+    batch_c = [(600, batch_b[0][1].replace("b500w3", "CHANGED")),
+               (601, old[5][1].replace(f"w6x9", "CHANGED"))]
+    got = sorted(
+        (int(r["new_doc_id"]), int(r["old_doc_id"]))
+        for r in query_lsh_index(_docs(batch_c), idx,
+                                 threshold=0.5).iter_rows()
+    )
+    assert got == [(600, 500), (601, 6)]
