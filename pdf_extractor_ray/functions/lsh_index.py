@@ -18,15 +18,17 @@ recrawl dedup; the bucketed-storage trick from Hive/Spark
 - ``meta.json`` — the signature parameters; the query side refuses a
   seed/band mismatch loudly instead of silently missing every dup.
 
-Query plan (per new batch): band the batch with the stored seed →
-write its band rows bucketed to a per-process scratch dir → ONE
-``bucketed_join`` fans out over co-located bucket-dir pairs (ZERO
-exchange over the historical corpus) → distinct candidate pairs by
-partition fold → old shingle sets fetched from candidate bucket dirs
-only (keys-only semi-join) → new shingle sets from the batch
-(candidate-id filter, the ``candidate_shingles`` contract: the
-broadcast id set is ∝ candidate count, never corpus-sized) → two
-hash joins attach both sets → vectorized exact-Jaccard verify.
+Query plan (per new batch): band the batch with the stored seed
+(task-based, worker-global warm state) → write its band rows bucketed
+to a per-process scratch dir → ONE ``bucketed_join`` fans out over
+co-located bucket-dir pairs (ZERO exchange over the historical
+corpus) → the raw candidate id pairs are pulled once to the driver
+and numpy-deduped (the ``candidate_shingles`` contract: 16 B/pair,
+∝ near-dup count, never corpus-sized — the pairs ARE the query output
+modulo the verify filter) → old shingle sets read from candidate
+bucket dirs only with a broadcast-id membership filter → new shingle
+sets from a candidate-filtered pass over the batch → two hash joins
+attach both sets → vectorized exact-Jaccard verify.
 
 Recall contract: identical signature scheme and seed as
 ``minhash_lsh_candidates`` (recall 1.0 at the pinned seed/threshold is
@@ -49,7 +51,27 @@ import pyarrow as pa
 from .bucketed import bucketed_join, write_bucketed
 from .dedup import MinHashBandStage, _word_shingles, compact_blocks
 from .joins import _bucket_of, hash_join, semi_anti_join
-from .pool import pool_size
+
+
+_BAND_STAGES: dict = {}
+
+
+def _band_fn(n_perm: int, bands: int, seed: int):
+    """Task-based band stage with worker-global warm state: the
+    MinHasher coefficients build once per (params) per worker process
+    (the repo's worker-globals pattern) — an autoscaling ACTOR pool
+    pays ~2-4 s of spin-up per stage at batch scale for state this
+    cheap, tasks pay none."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = (n_perm, bands, seed)
+        stage = _BAND_STAGES.get(key)
+        if stage is None:
+            stage = MinHashBandStage(n_perm=n_perm, bands=bands, seed=seed)
+            _BAND_STAGES[key] = stage
+        return stage(batch)
+
+    return f
 
 
 def _shingle_stage(k: int):
@@ -78,11 +100,7 @@ def build_lsh_index(docs_ds, index_dir: str, *, n_perm: int = 64,
     from .agg import partition_fold
 
     band_rows = compact_blocks(docs_ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands,
-                               "seed": seed},
-        batch_format="pyarrow",
-        concurrency=pool_size(),
+        _band_fn(n_perm, bands, seed), batch_format="pyarrow",
     ))
     # boilerplate gate: a band signature shared by > max_bucket docs is
     # non-discriminative and would cost O(n_new·n_old) rows in one
@@ -142,12 +160,8 @@ def append_lsh_index(new_docs_ds, index_dir: str) -> dict:
         meta = json.load(f)
     nb = meta["num_buckets"]
     band_rows = compact_blocks(new_docs_ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs={"n_perm": meta["n_perm"],
-                               "bands": meta["bands"],
-                               "seed": meta["seed"]},
+        _band_fn(meta["n_perm"], meta["bands"], meta["seed"]),
         batch_format="pyarrow",
-        concurrency=pool_size(),
     ))
     counts = partition_fold(
         band_rows.map_batches(
@@ -207,12 +221,8 @@ def query_lsh_index(new_docs_ds, index_dir: str, *,
     scratch = scratch_dir or tempfile.mkdtemp(prefix="lshq-")
 
     new_bands = new_docs_ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs={"n_perm": meta["n_perm"],
-                               "bands": meta["bands"],
-                               "seed": meta["seed"]},
+        _band_fn(meta["n_perm"], meta["bands"], meta["seed"]),
         batch_format="pyarrow",
-        concurrency=pool_size(),
     ).map_batches(
         lambda b: b.rename_columns(["bucket_key", "new_doc_id"]),
         batch_format="pyarrow",
@@ -228,35 +238,46 @@ def query_lsh_index(new_docs_ds, index_dir: str, *,
         "bucket_key",
         left_cols=["new_doc_id"], right_cols=["doc_id"],
         num_buckets=nb,
+        concurrency=(1, 8),  # nb tiny co-located joins; a full-width
+        # actor pool costs more spin-up than the joins themselves
     )
-    from .agg import partition_fold
-
-    pairs = partition_fold(
-        cand.map_batches(
-            lambda b: b.append_column(
-                "__one", pa.array(np.ones(b.num_rows, np.int8))),
-            batch_format="pyarrow",
-        ),
-        ["new_doc_id", "doc_id"], "__one", fn="min",
-    ).drop_columns(["__one"])
     out_schema = pa.schema([
         pa.field("new_doc_id", pa.int64()), pa.field("old_doc_id", pa.int64()),
         pa.field("jaccard", pa.float64()),
     ])
-    pairs = compact_blocks(pairs)
-    if pairs.count() == 0:
+    # ONE driver pull of the raw candidate ID pairs (the established
+    # candidate_shingles contract: 16 B/pair, ∝ near-dup count, never
+    # corpus-sized — the pairs ARE the query output modulo the verify
+    # filter): pair dedup happens HERE in one numpy unique instead of
+    # a dedicated partition exchange, and the same pull feeds the
+    # empty check, the shingle-dir pruning and both id broadcasts.
+    id_blocks = [
+        t for t in (ray.get(r) for r in cand.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not id_blocks:
         return ray.data.from_arrow(out_schema.empty_table())
+    ids_t = pa.concat_tables(id_blocks)
+    raw = np.stack([
+        ids_t.column("new_doc_id").to_numpy(zero_copy_only=False),
+        ids_t.column("doc_id").to_numpy(zero_copy_only=False),
+    ], axis=1)
+    uniq = np.unique(raw, axis=0)
+    pairs = ray.data.from_arrow(pa.table({
+        "new_doc_id": pa.array(uniq[:, 0], pa.int64()),
+        "doc_id": pa.array(uniq[:, 1], pa.int64()),
+    }))
+    old_id_arr = np.unique(uniq[:, 1])
+    new_id_arr = np.unique(uniq[:, 0])
 
     # old shingles: read ONLY the bucket dirs holding candidate old ids
-    # (≤ num_buckets dirs — the driver holds a bounded bucket-id list,
-    # never an id list), then a keys-only semi-join to candidate ids.
-    old_ids = pairs.select_columns(["doc_id"])
+    # (≤ num_buckets dirs), then a broadcast-id membership filter — no
+    # exchange (the id set is the same candidate-sized broadcast the
+    # MinHash family's candidate_shingles uses).
     cand_buckets = sorted({
-        int(x) for b in old_ids.map_batches(
-            lambda t: pa.table({"b": _bucket_of(t.column("doc_id"), nb)}),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-        for x in b.column("b").to_pylist()
+        int(x) for x in _bucket_of(
+            pa.chunked_array([pa.array(old_id_arr, pa.int64())]), nb
+        ).to_pylist()
     })
     import glob as _glob
 
@@ -265,17 +286,18 @@ def query_lsh_index(new_docs_ds, index_dir: str, *,
         for p in sorted(_glob.glob(os.path.join(
             index_dir, "shingles", f"bucket={i}", "part-*.parquet")))
     ]
-    old_sh = semi_anti_join(
-        ray.data.read_parquet(shard_paths), old_ids,
-        "doc_id", "doc_id", left_cols=["doc_id", "shingles"], how="semi",
+    old_ref = ray.put(old_id_arr.astype(np.int64))
+
+    def old_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"),
+                        value_set=pa.array(ray.get(old_ref), pa.int64()))
+        return batch.filter(keep)
+
+    old_sh = ray.data.read_parquet(shard_paths).map_batches(
+        old_filter, batch_format="pyarrow"
     )
 
     # new shingles: candidate-id filtered single pass over the batch
-    new_id_arr = np.unique(np.concatenate([
-        t.column("new_doc_id").to_numpy(zero_copy_only=False)
-        for t in (ray.get(r) for r in pairs.to_arrow_refs())
-        if t.num_rows
-    ]))
     ids_ref = ray.put(new_id_arr.astype(np.int64))
     k = meta["k"]
 
