@@ -1298,6 +1298,66 @@ def _q_incremental_near_dups(sf_dir: str):
     return query_lsh_index(new, index_dir, threshold=0.5)
 
 
+def _q_incremental_ingest_near_dups(sf_dir: str):
+    """The FULL recrawl loop driver-pinned end-to-end: build the LSH
+    index on corpus A (doc_id % 10 ∉ {0, 5}), APPEND batch B (doc_id %
+    10 == 0) into the live index (``append_lsh_index`` —
+    ``write_bucketed(append=True)``, per-batch boilerplate gate,
+    atomic meta update), then query batch C (doc_id % 10 == 5): every
+    C near-dup of A ∪ B must surface through ONE query.  VALUE
+    ORACLE: the exact cross-split 3-gram Jaccard pair SQL over C ×
+    (A ∪ B).  O(n²) SQL twin like its sibling."""
+    import tempfile
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.lsh_index import (append_lsh_index,
+                                                       build_lsh_index,
+                                                       query_lsh_index)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def part(rems):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(ids % 10, rems)))
+
+        return f
+
+    corpus_a = docs.map_batches(part([1, 2, 3, 4, 6, 7, 8, 9]),
+                                batch_format="pyarrow")
+    batch_b = docs.map_batches(part([0]), batch_format="pyarrow")
+    batch_c = docs.map_batches(part([5]), batch_format="pyarrow")
+    index_dir = tempfile.mkdtemp(prefix="lshidx-")
+    build_lsh_index(corpus_a, index_dir)
+    append_lsh_index(batch_b, index_dir)
+    return query_lsh_index(batch_c, index_dir, threshold=0.5)
+
+
+_INCREMENTAL_INGEST_SQL = """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            )
+            SELECT n.doc_id AS new_doc_id, o.doc_id AS old_doc_id,
+                   round(len(list_intersect(n.s, o.s))::DOUBLE
+                         / len(list_distinct(list_concat(n.s, o.s))), 6)
+                       AS jaccard
+            FROM sh n JOIN sh o
+              ON n.doc_id % 10 = 5 AND o.doc_id % 10 != 5
+            WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                  / len(list_distinct(list_concat(n.s, o.s))) >= 0.5
+"""
+
+
 _INCREMENTAL_NEAR_DUPS_SQL = """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -6135,6 +6195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "incremental_near_dups": _q_incremental_near_dups,
+        "incremental_ingest_near_dups": _q_incremental_ingest_near_dups,
         "simhash_dups": _q_simhash_dups,
         "latest_event_per_user": _q_latest_event_per_user,
         # similarity search
@@ -7909,6 +7970,7 @@ def oracle_sql() -> dict[str, str]:
         # converted from rows-only to full value oracles
         "minhash_lsh_dups": _NGRAM_JACCARD_SQL,
         "incremental_near_dups": _INCREMENTAL_NEAR_DUPS_SQL,
+        "incremental_ingest_near_dups": _INCREMENTAL_INGEST_SQL,
         "minhash_components": _minhash_components_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
