@@ -1256,6 +1256,71 @@ def _q_minhash_lsh_dups(sf_dir: str):
     return minhash_lsh_verified(_docs(sf_dir), threshold=0.5)
 
 
+def _docs_mod_split(sf_dir: str, rems):
+    """documents rows whose ``doc_id % 10`` is in ``rems`` (Ray's
+    filter-expr parser rejects BinOp left operands, so the mask is a
+    numpy map_batches)."""
+    import numpy as np
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids % 10, rems)))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _lsh_index_cached(sf_dir: str, tag: str, build) -> str:
+    """Persisted-LSH-index /tmp read-through cache (the ``_pages`` /
+    ``_outlinks`` contract): the index is a PURE function of
+    documents.parquet, the split tag and the index/dedup sources, and
+    the gate's incremental-dedup queries rebuild the SAME historical
+    index per run — so build once into an atomic tmp-then-rename dir
+    and re-open it.  Any failure falls back to a fresh build in a
+    scratch dir, so correctness never depends on the cache."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pdf_extractor_ray.functions import dedup as dedup_mod
+    from pdf_extractor_ray.functions import lsh_index as lsh_mod
+
+    try:
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(doc_path)
+        srcs = b""
+        for m in (lsh_mod, dedup_mod):
+            with open(m.__file__, "rb") as f:
+                srcs += f.read()
+        key = hashlib.md5(
+            f"lshidx:{tag}:{os.path.abspath(sf_dir)}:{st.st_size}:"
+            f"{st.st_mtime_ns}:".encode() + srcs
+        ).hexdigest()[:16]
+        out = os.path.join(_PAGES_CACHE_ROOT, key)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            build(tmp)
+            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                f.write("ok\n")
+            try:
+                os.rename(tmp, out)
+            except OSError:  # concurrent writer won the rename
+                shutil.rmtree(tmp, ignore_errors=True)
+        return out
+    except Exception:
+        scratch = tempfile.mkdtemp(prefix="lshidx-")
+        build(scratch)
+        return scratch
+
+
 def _q_incremental_near_dups(sf_dir: str):
     """Recrawl near-dup detection against a PERSISTED LSH index (the
     CCNet/RefinedWeb recrawl loop): the historical corpus (doc_id % 5
@@ -1270,31 +1335,19 @@ def _q_incremental_near_dups(sf_dir: str):
     3-gram Jaccard pair SQL — candidate recall 1.0 at the pinned seed
     is a per-pair signature property, so it holds across the split,
     and verification is exact.  O(n²) SQL twin — skip in big-SF
-    sweeps like the other documented twins."""
-    import tempfile
-
-    import numpy as np
-    import ray.data
-
+    sweeps like the other documented twins.  The historical index is
+    built through the ``_lsh_index_cached`` read-through cache (both
+    incremental queries share the same corpus-A index per gate
+    run)."""
     from pdf_extractor_ray.functions.lsh_index import (build_lsh_index,
                                                        query_lsh_index)
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    old_rems = [1, 2, 3, 4, 6, 7, 8, 9]  # doc_id % 5 != 0
+    index_dir = _lsh_index_cached(
+        sf_dir, "corpusA",
+        lambda d: build_lsh_index(_docs_mod_split(sf_dir, old_rems), d),
     )
-
-    def split(rem):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            mask = (ids % 5 == 0) if rem == 0 else (ids % 5 != 0)
-            return b.filter(pa.array(mask))
-
-        return f
-
-    old = docs.map_batches(split(1), batch_format="pyarrow")
-    new = docs.map_batches(split(0), batch_format="pyarrow")
-    index_dir = tempfile.mkdtemp(prefix="lshidx-")
-    build_lsh_index(old, index_dir)
+    new = _docs_mod_split(sf_dir, [0, 5])  # doc_id % 5 == 0
     return query_lsh_index(new, index_dir, threshold=0.5)
 
 
@@ -1306,35 +1359,28 @@ def _q_incremental_ingest_near_dups(sf_dir: str):
     atomic meta update), then query batch C (doc_id % 10 == 5): every
     C near-dup of A ∪ B must surface through ONE query.  VALUE
     ORACLE: the exact cross-split 3-gram Jaccard pair SQL over C ×
-    (A ∪ B).  O(n²) SQL twin like its sibling."""
+    (A ∪ B).  O(n²) SQL twin like its sibling.  The corpus-A base
+    index comes from the shared ``_lsh_index_cached`` entry and is
+    copied to a scratch dir before the append (the append MUTATES the
+    index, which must never touch the cache)."""
+    import shutil
     import tempfile
-
-    import numpy as np
-    import ray.data
 
     from pdf_extractor_ray.functions.lsh_index import (append_lsh_index,
                                                        build_lsh_index,
                                                        query_lsh_index)
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    base = _lsh_index_cached(
+        sf_dir, "corpusA",
+        lambda d: build_lsh_index(
+            _docs_mod_split(sf_dir, [1, 2, 3, 4, 6, 7, 8, 9]), d),
     )
-
-    def part(rems):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(np.isin(ids % 10, rems)))
-
-        return f
-
-    corpus_a = docs.map_batches(part([1, 2, 3, 4, 6, 7, 8, 9]),
-                                batch_format="pyarrow")
-    batch_b = docs.map_batches(part([0]), batch_format="pyarrow")
-    batch_c = docs.map_batches(part([5]), batch_format="pyarrow")
-    index_dir = tempfile.mkdtemp(prefix="lshidx-")
-    build_lsh_index(corpus_a, index_dir)
-    append_lsh_index(batch_b, index_dir)
-    return query_lsh_index(batch_c, index_dir, threshold=0.5)
+    index_dir = tempfile.mkdtemp(prefix="lshidx-ing-")
+    shutil.rmtree(index_dir)
+    shutil.copytree(base, index_dir)
+    append_lsh_index(_docs_mod_split(sf_dir, [0]), index_dir)
+    return query_lsh_index(_docs_mod_split(sf_dir, [5]), index_dir,
+                           threshold=0.5)
 
 
 _INCREMENTAL_INGEST_SQL = """
