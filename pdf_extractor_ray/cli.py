@@ -108,7 +108,9 @@ def main(argv: List[str] | None = None) -> int:
                     help="parquet files/dirs/globs of pages (url, warc_ts, html, text, lang)")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode",
-                    choices=("extract", "construction", "standard", "corpus-prep", "web-prep"),
+                    choices=("extract", "construction", "standard",
+                             "corpus-prep", "web-prep", "index-build",
+                             "index-append", "index-query"),
                     default="construction")
     ap.add_argument("--input-format",
                     choices=("parquet", "files", "warc", "csv", "jsonl"),
@@ -132,6 +134,11 @@ def main(argv: List[str] | None = None) -> int:
                     help="print one document's composed result envelope as JSON "
                     "to stdout and exit (the demo_streamlit per-document "
                     "inspection surface, reference: demo_streamlit.py:117-225)")
+    ap.add_argument("--index", default=None,
+                    help="LSH index directory: the OUTPUT of --mode "
+                    "index-build, the TARGET of index-append, the "
+                    "SOURCE for index-query (near-dup pairs of the "
+                    "input batch vs the indexed corpus go to --output)")
     ap.add_argument("--emit-wet", action="store_true",
                     help="with --mode web-prep: also publish the survivor "
                     "corpus as Common-Crawl-style WET shards")
@@ -167,6 +174,42 @@ def main(argv: List[str] | None = None) -> int:
             emit_wet=args.emit_wet,
         )
         print(json.dumps({"mode": args.mode, **metrics}))
+        if started_ray:
+            ray.shutdown()
+        return 0
+
+    if args.mode in ("index-build", "index-append", "index-query"):
+        # the persisted-LSH-index recrawl loop (functions/lsh_index.py):
+        # build the historical index once, append deduped batches,
+        # query each new batch for near-dups vs the indexed corpus
+        import ray.data
+
+        from pdf_extractor_ray.functions.lsh_index import (append_lsh_index,
+                                                           build_lsh_index,
+                                                           query_lsh_index)
+
+        docs = ray.data.read_parquet(_expand(args.input))
+        if args.mode == "index-build":
+            target = args.index or args.output
+            meta = build_lsh_index(docs, target)
+            print(json.dumps({"mode": args.mode, "index": target, **meta}))
+        elif args.mode == "index-append":
+            if not args.index:
+                ap.error("--mode index-append requires --index")
+            meta = append_lsh_index(docs, args.index)
+            print(json.dumps({"mode": args.mode, "index": args.index,
+                              **meta}))
+        else:
+            if not args.index:
+                ap.error("--mode index-query requires --index")
+            pairs = query_lsh_index(docs, args.index)
+            pairs.write_parquet(args.output)
+            import pyarrow.parquet as pq
+
+            n = sum(pq.read_metadata(f).num_rows
+                    for f in sorted(glob.glob(f"{args.output}/*.parquet")))
+            print(json.dumps({"mode": args.mode, "index": args.index,
+                              "output": args.output, "pairs": n}))
         if started_ray:
             ray.shutdown()
         return 0
