@@ -2986,6 +2986,20 @@ def _q_table_profile_orders(sf_dir: str):
     )
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """ExactSubstr scrub (the removal half of Lee et al. 2022; the
+    detection half is ``dup_span_pairs``): every token covered by an
+    8-token window whose exact text occurs ≥2 times anywhere in the
+    corpus is dropped; survivors re-join with single spaces. Two
+    key-space exchanges (gram hash, then doc_id); text shuffles zero
+    times and no driver structure scales with dup volume."""
+    from pdf_extractor_ray.functions.dedup import remove_dup_spans
+
+    return remove_dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=8
+    )
+
+
 def _q_dup_span_pairs(sf_dir: str):
     """Exact duplicated-span detection (Lee et al. 2022 shape): doc
     pairs sharing an identical 8-token window, with the distinct
@@ -6353,6 +6367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "dup_span_pairs": _q_dup_span_pairs,
+        "remove_dup_spans": _q_remove_dup_spans,
         "table_profile_orders": _q_table_profile_orders,
         "events_key_skew": _q_events_key_skew,
         "incremental_ingest": _q_incremental_ingest,
@@ -9505,6 +9520,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM orders
+        """,
+        "remove_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           trim(coalesce(text, ''),
+                                ' ' || chr(9) || chr(10) || chr(13)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id,
+                       unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS i
+                FROM toks
+            ),
+            w AS (
+                SELECT doc_id, i,
+                       tok
+                       || ' ' || lead(tok, 1) OVER win
+                       || ' ' || lead(tok, 2) OVER win
+                       || ' ' || lead(tok, 3) OVER win
+                       || ' ' || lead(tok, 4) OVER win
+                       || ' ' || lead(tok, 5) OVER win
+                       || ' ' || lead(tok, 6) OVER win
+                       || ' ' || lead(tok, 7) OVER win AS gram
+                FROM tk
+                WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            wv AS (SELECT doc_id, i, gram FROM w WHERE gram IS NOT NULL),
+            dupg AS (
+                SELECT gram FROM wv GROUP BY gram HAVING count(*) >= 2
+            ),
+            dst AS (SELECT doc_id, i FROM wv JOIN dupg USING (gram)),
+            cov AS (
+                SELECT tk.doc_id, tk.i, tk.tok,
+                       max(CASE WHEN dst.i IS NOT NULL THEN 1 ELSE 0
+                           END) OVER (
+                           PARTITION BY tk.doc_id ORDER BY tk.i
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                       ) AS covered
+                FROM tk LEFT JOIN dst
+                  ON tk.doc_id = dst.doc_id AND tk.i = dst.i
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(covered) AS BIGINT) AS n_removed,
+                       coalesce(string_agg(tok, ' ' ORDER BY i)
+                                FILTER (WHERE covered = 0), '')
+                           AS clean_text
+                FROM cov GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_removed, 0) AS n_removed,
+                   round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                              THEN CAST(a.n_removed AS DOUBLE)
+                                   / a.n_tokens
+                              ELSE 0.0 END, 6) AS dup_frac,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "dup_span_pairs": r"""
             WITH toks AS (

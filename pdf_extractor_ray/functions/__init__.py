@@ -70,6 +70,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_lsh_verified,
     ngram_jaccard_pairs,
+    remove_dup_spans,
     simhash_dedup,
 )
 from .joins import (  # noqa: F401

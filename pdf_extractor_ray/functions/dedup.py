@@ -1143,6 +1143,199 @@ def dup_span_pairs(docs_ds, k: int = 8, max_bucket: int = 4096):
     )
 
 
+def _span_windows_pos(batch: pa.Table, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """ALL k-token windows with their start positions (multiplicity
+    KEPT, unlike :func:`span_gram_hashes`) — the occurrence stream
+    :func:`remove_dup_spans` partitions by gram hash. Same tokenizer
+    contract (trim + ``\\s+`` split) plus an empty-token filter so a
+    whitespace-only document has 0 tokens. Vectorized: k shifted
+    slices joined once; md5 runs once per DISTINCT gram."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    toks = pc.split_pattern_regex(pc.utf8_trim(col, " \t\n\r"), r"\s+")
+    flat = toks.flatten()
+    per_doc = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), per_doc)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    empty = pa.table({
+        "gram": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int64()),
+    })
+    total = len(flat)
+    if total < k:
+        return empty
+    n_win = total - k + 1
+    parts = [flat.slice(j, n_win) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[:n_win] == doc_idx[k - 1:]
+    if not valid.any():
+        return empty
+    grams = grams.filter(pa.array(valid))
+    gidx = np.nonzero(valid)[0]
+    gdoc = doc_idx[gidx]
+    doc_starts = np.concatenate(
+        [[0], np.cumsum(np.bincount(doc_idx, minlength=len(col)))]
+    )[:-1]
+    pos = gidx - doc_starts[gdoc]
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h64 = np.asarray(
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                           "little")
+            for s in enc.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    ).view(np.int64)
+    return pa.table({
+        "gram": pa.array(h64[codes], pa.int64()),
+        id_col: pa.array(ids[gdoc], pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def remove_dup_spans(docs_ds, k: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id", num_partitions: int = 64):
+    """ExactSubstr-style duplicated-span SCRUB (the removal half of
+    Lee et al. 2022 — :func:`dup_span_pairs` is the detection half):
+    every token covered by a k-token window whose exact text occurs
+    ≥2 times in the corpus (any document, multiplicity counted) is
+    removed; the survivors are re-joined with single spaces.
+
+    Output per document: ``doc_id, n_tokens, n_removed, dup_frac,
+    clean_text`` (documents shorter than ``k`` tokens pass through
+    whitespace-normalized).
+
+    Scale plan — text shuffles ZERO times and no driver structure
+    grows with dup volume:
+      1. occurrence stream: (gram hash, doc_id, pos), 24 B/token;
+      2. ONE key-space exchange on gram hash — a gram's occurrences
+         land wholly in one partition, so in-partition run lengths ARE
+         global counts; runs ≥2 emit their (doc_id, pos) rows;
+      3. ONE exchange on doc_id folds dup starts into a per-doc sorted
+         list (sized by dup content, not corpus);
+      4. a hash join ships those lists back to the documents and a
+         vectorized difference-array sweep rebuilds the clean text.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    wins = compact_blocks(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            lambda b: _span_windows_pos(b, k=k, text_col=text_col,
+                                        id_col=id_col),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_gpart(batch: pa.Table) -> pa.Table:
+        g = batch.column("gram").to_numpy(zero_copy_only=False)
+        part = (g.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def dup_occurrences(group: pa.Table) -> pa.Table:
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        sg = g[order]
+        starts = np.nonzero(np.concatenate([[True], sg[1:] != sg[:-1]]))[0]
+        runlen = np.diff(np.concatenate([starts, [len(sg)]]))
+        keep = order[np.repeat(runlen >= 2, runlen)]
+        return pa.table({
+            id_col: pa.array(
+                group.column(id_col).to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "pos": pa.array(
+                group.column("pos").to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+        })
+
+    dup = (
+        wins.map_batches(add_gpart, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dup_occurrences, batch_format="pyarrow")
+    )
+
+    def add_dpart(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (d.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    def fold_starts(group: pa.Table) -> pa.Table:
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        p = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        sd, sp = d[order], p[order]
+        starts = np.nonzero(np.concatenate([[True], sd[1:] != sd[:-1]]))[0]
+        offsets = np.concatenate([starts, [len(sd)]])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(sp, pa.int64())
+        )
+        return pa.table({
+            id_col: pa.array(sd[starts], pa.int64()),
+            "dup_starts": lists,
+        })
+
+    starts_ds = (
+        dup.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(fold_starts, batch_format="pyarrow")
+    )
+
+    joined = hash_join(
+        docs_ds.select_columns([id_col, text_col]), starts_ds,
+        id_col, id_col, [id_col, text_col], ["dup_starts"], how="left",
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim(col, " \t\n\r"), r"\s+")
+        n_out, rem_out, clean = [], [], []
+        for row_toks, st in zip(
+            toks.to_pylist(), batch.column("dup_starts").to_pylist()
+        ):
+            t = [x for x in row_toks if x != ""]
+            n = len(t)
+            if not st:
+                n_out.append(n)
+                rem_out.append(0)
+                clean.append(" ".join(t))
+                continue
+            delta = np.zeros(n + 1, dtype=np.int64)
+            s = np.asarray(st, dtype=np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, np.minimum(s + k, n), -1)
+            cov = np.cumsum(delta[:n]) > 0
+            n_out.append(n)
+            rem_out.append(int(cov.sum()))
+            clean.append(" ".join(
+                tok for tok, c in zip(t, cov.tolist()) if not c
+            ))
+        nt = np.asarray(n_out, dtype=np.int64)
+        nr = np.asarray(rem_out, dtype=np.int64)
+        frac = np.where(nt > 0, nr / np.maximum(nt, 1), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_removed": pa.array(nr, pa.int64()),
+            "dup_frac": pc.round(pa.array(frac, pa.float64()), 6),
+            "clean_text": pa.array(clean, pa.string()),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def _word_gram64(text: str, k: int) -> "list[int]":
     """DISTINCT word-k-gram 64-bit fingerprints (blake2b first 8
     bytes, sign bit cleared). 64-bit space keeps corpus-wide collision

@@ -792,6 +792,40 @@ def test_dup_span_pairs_planted(ray_session):
     assert all(n >= 1 for n in got.values())
 
 
+def test_remove_dup_spans_planted(ray_session):
+    """ExactSubstr scrub: tokens covered by a corpus-duplicated
+    8-token window are removed; within-doc repeats count; short and
+    clean docs pass through whitespace-normalized."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import remove_dup_spans
+
+    span = "one two three four five six seven eight"  # 8 tokens
+    docs = [
+        (1, f"intro words here {span} and a tail"),
+        (2, f"{span} totally different continuation text"),
+        (3, "no shared window in this doc at all kept long enough"),
+        (4, f"  {span}   {span} "),  # within-doc repeat + messy ws
+        (5, "short doc"),
+        (6, ""),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = {r["doc_id"]: r for r in remove_dup_spans(ds, k=8).take_all()}
+    assert got[1]["clean_text"] == "intro words here and a tail"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (14, 8)
+    assert got[2]["clean_text"] == "totally different continuation text"
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"].startswith("no shared window")
+    # doc 4: every window of the 16 repeated tokens occurs >= 2 times
+    assert (got[4]["n_tokens"], got[4]["n_removed"]) == (16, 16)
+    assert got[4]["clean_text"] == ""
+    assert got[4]["dup_frac"] == 1.0
+    assert (got[5]["n_tokens"], got[5]["n_removed"]) == (2, 0)
+    assert got[5]["clean_text"] == "short doc"
+    assert (got[6]["n_tokens"], got[6]["clean_text"]) == (0, "")
+    assert got[6]["dup_frac"] == 0.0
+
+
 def test_keyed_chain_edges_md5_mode(ray_session):
     """md5-mode chain edges + CC must reproduce exact-duplicate groups
     (component = min doc id per identical text)."""
