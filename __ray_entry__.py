@@ -3064,6 +3064,19 @@ def _q_gopher_filter(sf_dir: str):
     )
 
 
+def _q_near_dup_keep_best(sf_dir: str):
+    """Quality-aware near-dup survivor selection: keep the HIGHEST
+    ``n_chars`` doc of each MinHash-LSH near-dup cluster (ties → min
+    doc_id) — the representative choice real pipelines make instead of
+    an arbitrary first. VALUE-ORACLED via the recursive-closure exact
+    pair SQL (LSH recall 1.0 at the fixed seed, verification exact)
+    plus a per-cluster row_number arg-max."""
+    from pdf_extractor_ray.functions.dedup import near_dup_keep_best
+
+    return near_dup_keep_best(_docs(sf_dir), score_col="n_chars",
+                              threshold=0.5)
+
+
 def _q_minhash_components(sf_dir: str):
     """Near-dup CLUSTERS, not just pairs: MinHash+LSH verified pairs →
     iterative connected components → (doc_id, component) with the
@@ -6364,6 +6377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "source_quality_profile": _q_source_quality_profile,
         "minhash_components": _q_minhash_components,
+        "near_dup_keep_best": _q_near_dup_keep_best,
         "gopher_filter": _q_gopher_filter,
         "doc_cross_entropy": _q_doc_cross_entropy,
         "dup_span_pairs": _q_dup_span_pairs,
@@ -7840,6 +7854,55 @@ def _minhash_components_sql() -> str:
         """
 
 
+def _near_dup_keep_best_sql() -> str:
+    """The ``_minhash_components_sql`` closure extended with the
+    per-cluster arg-max: survivor = highest n_chars, ties → min
+    doc_id. Same exact-pair-set justification (LSH recall 1.0 at the
+    fixed seed, exact verification)."""
+    return r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM toks WHERE len(t) >= 3
+            ), mp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), sym AS (
+                SELECT a AS u, b AS v FROM mp
+                UNION SELECT b, a FROM mp
+                UNION SELECT a, a FROM mp
+                UNION SELECT b, b FROM mp
+            ), reach AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+            ), comp AS (
+                SELECT u AS doc_id, min(v) AS component
+                FROM reach GROUP BY u
+            ), scored AS (
+                SELECT c.doc_id, c.component,
+                       CAST(d.n_chars AS BIGINT) AS n_chars
+                FROM comp c JOIN documents d USING (doc_id)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(component AS BIGINT) AS cluster_id,
+                   CAST(count(*) OVER (PARTITION BY component)
+                        AS BIGINT) AS cluster_size,
+                   n_chars,
+                   CAST(CASE WHEN row_number() OVER (
+                                 PARTITION BY component
+                                 ORDER BY n_chars DESC, doc_id ASC) = 1
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM scored
+        """
+
+
 def _pack_chunks_sql() -> str:
     """Global hash-bucketed greedy packing, value-oracled: chunk grid
     reconstructed arithmetically (the ``pack_chunks_per_doc`` recipe),
@@ -8033,6 +8096,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dups": _INCREMENTAL_NEAR_DUPS_SQL,
         "incremental_ingest_near_dups": _INCREMENTAL_INGEST_SQL,
         "minhash_components": _minhash_components_sql(),
+        "near_dup_keep_best": _near_dup_keep_best_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),

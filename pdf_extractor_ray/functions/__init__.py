@@ -69,6 +69,7 @@ from .dedup import (  # noqa: F401
     latest_by_key,
     minhash_lsh_candidates,
     minhash_lsh_verified,
+    near_dup_keep_best,
     ngram_jaccard_pairs,
     remove_dup_spans,
     simhash_dedup,

@@ -1336,6 +1336,68 @@ def remove_dup_spans(docs_ds, k: int = 8, text_col: str = "text",
     return joined.map_batches(rebuild, batch_format="pyarrow")
 
 
+def near_dup_keep_best(docs_ds, score_col: str = "n_chars",
+                       threshold: float = 0.5, k: int = 3,
+                       n_perm: int = 64, bands: int = 16, seed: int = 42,
+                       num_partitions: int = 64):
+    """Quality-aware survivor selection over near-dup clusters: real
+    pipelines keep the BEST document of each near-dup cluster (highest
+    ``score_col``, ties → lowest doc_id), not an arbitrary first.
+
+    Composition: MinHash+LSH verified pairs → connected components →
+    hash join to the per-doc score → per-cluster arg-max inside ONE
+    component-space partition exchange (a component's rows land wholly
+    in one partition, so an in-partition lexsort picks global
+    winners). Output: one row per CLUSTERED doc —
+    ``doc_id, cluster_id, cluster_size, <score_col>, kept``.
+    Unclustered docs are trivially kept and not emitted."""
+    from .graph import connected_components
+    from .joins import hash_join
+
+    pairs = minhash_lsh_verified(
+        docs_ds, threshold=threshold, k=k, n_perm=n_perm, bands=bands,
+        seed=seed,
+    )
+    comps = connected_components(pairs, col_a="doc_a", col_b="doc_b")
+    scored = hash_join(
+        comps, docs_ds.select_columns(["doc_id", score_col]),
+        "node", "doc_id", ["node", "component"], [score_col],
+        how="inner",
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        c = batch.column("component").to_numpy(zero_copy_only=False)
+        part = (c.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def pick(group: pa.Table) -> pa.Table:
+        comp = group.column("component").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        score = group.column(score_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)
+        order = np.lexsort((node, -score, comp))
+        sc, sn, ss = comp[order], node[order], score[order]
+        starts = np.nonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))[0]
+        runlen = np.diff(np.concatenate([starts, [len(sc)]]))
+        kept = np.zeros(len(sc), dtype=np.int64)
+        kept[starts] = 1
+        size = np.repeat(runlen.astype(np.int64), runlen)
+        return pa.table({
+            "doc_id": pa.array(sn, pa.int64()),
+            "cluster_id": pa.array(sc, pa.int64()),
+            "cluster_size": pa.array(size, pa.int64()),
+            score_col: pa.array(ss, pa.int64()),
+            "kept": pa.array(kept, pa.int64()),
+        })
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
 def _word_gram64(text: str, k: int) -> "list[int]":
     """DISTINCT word-k-gram 64-bit fingerprints (blake2b first 8
     bytes, sign bit cleared). 64-bit space keeps corpus-wide collision

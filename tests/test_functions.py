@@ -826,6 +826,53 @@ def test_remove_dup_spans_planted(ray_session):
     assert got[6]["dup_frac"] == 0.0
 
 
+def test_near_dup_keep_best_planted(ray_session):
+    """Survivor = highest score in the cluster, ties -> min doc_id;
+    unclustered docs are not emitted."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import near_dup_keep_best
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        {"doc_id": 1, "text": base, "n_chars": len(base)},
+        {"doc_id": 2, "text": base + " extra tail words here",
+         "n_chars": len(base) + 22},
+        {"doc_id": 3, "text": base, "n_chars": len(base)},  # tie with 1
+        {"doc_id": 4, "text": "a completely different document "
+                              "with nothing shared at all whatsoever",
+         "n_chars": 70},
+    ]
+    ds = ray.data.from_items(docs)
+    rows = {r["doc_id"]: r
+            for r in near_dup_keep_best(ds, threshold=0.5).take_all()}
+    assert set(rows) == {1, 2, 3}  # doc 4 unclustered
+    assert all(r["cluster_id"] == 1 for r in rows.values())
+    assert all(r["cluster_size"] == 3 for r in rows.values())
+    # doc 2 has the most chars -> kept; 1 and 3 dropped
+    assert [rows[i]["kept"] for i in (1, 2, 3)] == [0, 1, 0]
+
+
+def test_near_dup_keep_best_tiebreak(ray_session):
+    """Equal scores -> the lowest doc_id survives."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import near_dup_keep_best
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen")
+    docs = [
+        {"doc_id": 7, "text": base, "n_chars": len(base)},
+        {"doc_id": 5, "text": base, "n_chars": len(base)},
+    ]
+    ds = ray.data.from_items(docs)
+    rows = {r["doc_id"]: r
+            for r in near_dup_keep_best(ds, threshold=0.5).take_all()}
+    assert rows[5]["kept"] == 1 and rows[7]["kept"] == 0
+    assert rows[5]["cluster_id"] == 5
+
+
 def test_keyed_chain_edges_md5_mode(ray_session):
     """md5-mode chain edges + CC must reproduce exact-duplicate groups
     (component = min doc id per identical text)."""
