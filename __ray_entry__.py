@@ -6028,6 +6028,37 @@ def _q_site_mirror_pairs(sf_dir: str):
     ).sort(["site_a", "site_b"])
 
 
+def _q_part_supplier_communities(sf_dir: str):
+    """Label-propagation communities (Raghavan et al. 2007; fixed 4
+    synchronous rounds, ties → min label) on the bipartite
+    part–supplier graph from lineitem — :func:`graph.label_propagation`
+    (size-gated; distributed path = one label hash-join + one
+    node-space arg-max exchange per round, lineage severed).  Oracle:
+    the 4 rounds unrolled into chained CTEs, per-node arg-max via
+    row_number (count DESC, label ASC) — the kcore/pagerank unrolled
+    recipe.  Supplier ids offset by 10M to disjoin key spaces."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import label_propagation
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("l_partkey").cast(pa.int64()),
+            "dst": pc.add(
+                batch.column("l_suppkey").cast(pa.int64()),
+                pa.scalar(10_000_000, pa.int64()),
+            ),
+        })
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    return label_propagation(edges, rounds=4)
+
+
 def _q_part_supplier_kcore(sf_dir: str):
     """k-core (k=30, fixed 12 peel rounds) of the bipartite
     part–supplier graph from lineitem: which parts keep ≥30 distinct
@@ -6320,6 +6351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_mirror_pairs": _q_site_mirror_pairs,
         "mirror_site_clusters": _q_mirror_site_clusters,
         "part_supplier_kcore": _q_part_supplier_kcore,
+        "part_supplier_communities": _q_part_supplier_communities,
         "event_type_lift": _q_event_type_lift,
         "readability_scores": _q_readability,
         "embedding_covariance": _q_embedding_covariance,
@@ -7854,6 +7886,40 @@ def _minhash_components_sql() -> str:
         """
 
 
+def _lpa_sql(rounds: int = 4) -> str:
+    """Synchronous label propagation unrolled: one (count, arg-max)
+    CTE pair per round over the symmetric distinct edge list of the
+    part–supplier bipartite graph (supplier ids +10M). Ties break
+    count DESC then label ASC — exactly the Ray kernel's
+    ``lexsort((label, -count, node))`` pick."""
+    parts = ["""
+            WITH e AS (
+                SELECT DISTINCT CAST(l_partkey AS BIGINT) AS u,
+                                CAST(l_suppkey AS BIGINT) + 10000000 AS v
+                FROM lineitem
+            ), sym AS (
+                SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+            ), l0 AS (
+                SELECT DISTINCT u AS node, u AS lab FROM sym
+            )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            c{r} AS MATERIALIZED (
+                SELECT s.u AS node, l.lab, count(*) AS c
+                FROM sym s JOIN l{r - 1} l ON l.node = s.v
+                GROUP BY s.u, l.lab
+            ), l{r} AS MATERIALIZED (
+                SELECT node, lab FROM (
+                    SELECT node, lab, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY c DESC, lab ASC) AS rn
+                    FROM c{r}) WHERE rn = 1
+            )""")
+    parts.append(f"""
+            SELECT node, CAST(lab AS BIGINT) AS label FROM l{rounds}""")
+    return "".join(parts)
+
+
 def _near_dup_keep_best_sql() -> str:
     """The ``_minhash_components_sql`` closure extended with the
     per-cluster arg-max: survivor = highest n_chars, ties → min
@@ -8097,6 +8163,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ingest_near_dups": _INCREMENTAL_INGEST_SQL,
         "minhash_components": _minhash_components_sql(),
         "near_dup_keep_best": _near_dup_keep_best_sql(),
+        "part_supplier_communities": _lpa_sql(rounds=4),
         "simhash_dups": _simhash_dups_sql(),
         "winnow_fingerprint_dups": _winnow_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -23,6 +23,7 @@ from .graph import (  # noqa: F401
     katz_centrality,
     kcore,
     keyed_chain_edges,
+    label_propagation,
     neighbor_jaccard_pairs,
     pagerank,
     triangle_count,

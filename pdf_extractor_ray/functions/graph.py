@@ -1831,3 +1831,139 @@ def katz_centrality(edges_ds, alpha: float = 0.01, iters: int = 20,
 
         scores = _pin(joined.map_batches(update, batch_format="pyarrow"))
     return scores
+
+
+# ------------------------------------------------------- label propagation
+def _lpa_pick(u: np.ndarray, lab: np.ndarray):
+    """Per distinct u: its most frequent lab, ties → minimum lab.
+    Two-level run arithmetic (lexsort + diff), no per-node Python —
+    the shared kernel of both label-propagation paths."""
+    order = np.lexsort((lab, u))
+    su, sl = u[order], lab[order]
+    new = np.concatenate([[True], (su[1:] != su[:-1]) | (sl[1:] != sl[:-1])])
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.concatenate([starts, [len(su)]]))
+    ru, rl = su[starts], sl[starts]
+    o2 = np.lexsort((rl, -cnt, ru))
+    first = np.nonzero(
+        np.concatenate([[True], ru[o2][1:] != ru[o2][:-1]])
+    )[0]
+    pick = o2[first]
+    return ru[pick], rl[pick]
+
+
+def _local_lpa(a: np.ndarray, b: np.ndarray, rounds: int):
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    nodes = np.unique(u)
+    inv_u = np.searchsorted(nodes, u)
+    inv_v = np.searchsorted(nodes, v)
+    lab = nodes.copy()
+    for _ in range(rounds):
+        # every node appears as u in the symmetric list, so the picked
+        # distinct-u vector IS arange(len(nodes)) — labels align 1:1
+        _, lab = _lpa_pick(inv_u, lab[inv_v])
+    return nodes, lab
+
+
+def label_propagation(edges_ds, rounds: int = 4,
+                      col_src: str = "src", col_dst: str = "dst",
+                      num_partitions: int = 64,
+                      local_max_edges: int = 2_000_000,
+                      local_max_bytes: int = 256 << 20):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the UNDIRECTED simple graph, FIXED ``rounds`` with
+    deterministic ties: label₀(v) = v; each round every node adopts the
+    most frequent label among its (distinct) neighbors' previous-round
+    labels, ties → minimum label.  The fixed round count and min-label
+    tie-break make the operator value-checkable against unrolled SQL,
+    like :func:`pagerank` / :func:`kcore`.
+
+    Size-gated: at or below the gate a local numpy kernel answers
+    directly; above it each round is ONE hash join (labels onto the
+    symmetric edge list — only (node, label) int64 pairs move) + ONE
+    node-space partition exchange running the same arg-max kernel,
+    lineage severed per round.  Output: Dataset ``(node, label)``.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .agg import partition_fold
+    from .joins import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(col_src).cast(pa.int64())
+        d = batch.column(col_dst).cast(pa.int64())
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        return pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+
+    canon_ds = _pin(edges_ds.map_batches(canon, batch_format="pyarrow"))
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    n_raw = canon_ds.count()
+    if n_raw == 0:
+        return ray.data.from_arrow(empty)
+    if n_raw <= local_max_edges and canon_ds.size_bytes() <= local_max_bytes:
+        ra, rb = _collect_pairs(canon_ds)
+        a, b = _np_distinct_pairs(ra, rb)
+        nodes, lab = _local_lpa(a, b, rounds)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+        }))
+
+    edges = _pin(_distinct_pairs(canon_ds, "a", "b", num_partitions))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table({
+            "u": pa.concat_arrays([a, b]),
+            "v": pa.concat_arrays([b, a]),
+        })
+
+    sym = _pin(edges.map_batches(symmetrize, batch_format="pyarrow"))
+    labels = _pin(partition_fold(
+        sym.map_batches(
+            lambda t: pa.table({"node": t.column("u")}),
+            batch_format="pyarrow",
+        ),
+        ["node"], "node", fn="min", out_val="lab",
+        num_partitions=num_partitions,
+    ))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        un = batch.column("u").to_numpy(zero_copy_only=False)
+        part = (un.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def update(group: pa.Table) -> pa.Table:
+        nu, nl = _lpa_pick(
+            group.column("u").to_numpy(zero_copy_only=False),
+            group.column("lab").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({
+            "node": pa.array(nu, pa.int64()),
+            "lab": pa.array(nl, pa.int64()),
+        })
+
+    for _ in range(rounds):
+        msg = hash_join(
+            sym, labels, "v", "node", ["u"], ["lab"],
+            how="inner", validate="unique_right",
+            num_partitions=num_partitions,
+        )
+        labels = _pin(
+            msg.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(update, batch_format="pyarrow")
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "label": t.column("lab"),
+        }),
+        batch_format="pyarrow",
+    )

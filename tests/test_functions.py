@@ -1060,3 +1060,44 @@ def test_nfc_normalize_composes(ray_session):
     out = {r["doc_id"]: r for r in nfc_normalize(ds).take_all()}
     assert out[0]["text_nfc"] == "café olé" and out[0]["changed"]
     assert out[1]["text_nfc"] == "plain ascii" and not out[1]["changed"]
+
+
+def test_label_propagation_planted_communities(ray_session):
+    """Two disjoint cliques converge to one label each (the clique's
+    min node id); the bridge-free graph never mixes them."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import label_propagation
+
+    import itertools
+    c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13, 14], 2))
+    ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in c1 + c2]
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(ds, rounds=4).take_all()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13, 14)} == {10}
+
+
+def test_label_propagation_local_distributed_parity(ray_session):
+    """local_max_edges=0 (the 100-TB path) must equal the local numpy
+    kernel exactly, including tie-breaks."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300) + 60
+    ds = ray.data.from_items(
+        [{"src": int(x), "dst": int(y)} for x, y in zip(a, b)]
+    )
+    local = {r["node"]: r["label"]
+             for r in label_propagation(ds, rounds=3).take_all()}
+    dist = {r["node"]: r["label"]
+            for r in label_propagation(
+                ds, rounds=3, local_max_edges=0).take_all()}
+    assert local == dist and len(local) > 0
