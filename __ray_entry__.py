@@ -3847,6 +3847,39 @@ def _q_events_hour_value_corr(sf_dir: str):
     )
 
 
+def _q_events_hour_value_spearman(sf_dir: str):
+    """Spearman rank corr(value, hour-of-day) per event type — the
+    monotonic-association twin of ``events_hour_value_corr``. Twice
+    the mid-rank is an exact int64, so every sufficient statistic
+    folds as an exact integer (no float-order drift); the joint-
+    histogram pre-fold bounds the per-group pass by distinct
+    (value, hour) pairs, not rows. Final ratio shares one expression
+    tree with the SQL twin."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_spearman
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def hour_col(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+            }
+        )
+
+    return grouped_spearman(
+        ds.map_batches(hour_col, batch_format="pyarrow"),
+        key="event_type", xcol="value", ycol="hour",
+        x_scale=100, y_scale=1,
+    )
+
+
 def _q_lineitem_price_qty_regr(sf_dir: str):
     """Least-squares price-on-quantity line per return flag
     (REGR_SLOPE / REGR_INTERCEPT) — exact int64 sufficient statistics
@@ -6447,6 +6480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cume_dist": _q_orders_cume_dist,
         "user_top_event_type": _q_user_top_event_type,
         "events_hour_value_corr": _q_events_hour_value_corr,
+        "events_hour_value_spearman": _q_events_hour_value_spearman,
         "events_unpivot_daily": _q_events_unpivot_daily,
         "semantic_dedup": _q_semantic_dedup,
         "prefix_typo_pairs": _q_prefix_typo_pairs,
@@ -10163,6 +10197,52 @@ def oracle_sql() -> dict[str, str]:
                               CAST(extract(hour FROM ts) AS BIGINT)),
                          6) AS corr
             FROM events GROUP BY event_type
+        """,
+        "events_hour_value_spearman": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS h
+                FROM events
+            ),
+            r AS (
+                SELECT event_type,
+                       2 * rank() OVER (PARTITION BY event_type
+                                        ORDER BY v)
+                         + count(*) OVER (PARTITION BY event_type, v)
+                         - 1 AS rx,
+                       2 * rank() OVER (PARTITION BY event_type
+                                        ORDER BY h)
+                         + count(*) OVER (PARTITION BY event_type, h)
+                         - 1 AS ry
+                FROM e
+            ),
+            s AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx) AS BIGINT) AS sx,
+                       CAST(sum(ry) AS BIGINT) AS sy,
+                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                       CAST(sum(ry * ry) AS BIGINT) AS syy,
+                       CAST(sum(rx * ry) AS BIGINT) AS sxy
+                FROM r GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN n < 2
+                             OR (CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                                * (CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * sy) <= 0
+                        THEN NULL
+                        ELSE floor((CAST(n AS DOUBLE) * sxy
+                                    - CAST(sx AS DOUBLE) * sy)
+                                   / sqrt((CAST(n AS DOUBLE) * sxx
+                                           - CAST(sx AS DOUBLE) * sx)
+                                          * (CAST(n AS DOUBLE) * syy
+                                             - CAST(sy AS DOUBLE) * sy))
+                                   * 1e6 + 0.5) / 1e6
+                   END AS spearman
+            FROM s
         """,
         "events_unpivot_daily": """
             WITH days AS (

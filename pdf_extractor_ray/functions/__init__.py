@@ -97,6 +97,7 @@ from .agg import (  # noqa: F401
     exact_quantiles,
     exact_quantiles_by,
     grouped_linreg,
+    grouped_spearman,
     lowcard_groupby_agg,
     rollup_agg,
     zscore_by,

@@ -610,6 +610,118 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
     )
 
 
+def _rank2_weighted(v: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Per row of a weighted value multiset: 2 × the average
+    (mid) rank — an EXACT int64 (avg rank of a tie block spanning
+    sorted positions s+1..s+m is (2s+m+1)/2, so twice it is the
+    integer 2s+m+1). Shared kernel of the Spearman paths."""
+    import numpy as np
+
+    order = np.argsort(v, kind="stable")
+    sv, sc = v[order], c[order]
+    starts = np.nonzero(np.concatenate([[True], sv[1:] != sv[:-1]]))[0]
+    cnt = np.add.reduceat(sc, starts)
+    before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    runlen = np.diff(np.concatenate([starts, [len(sv)]]))
+    r2_sorted = np.repeat(2 * before + cnt + 1, runlen)
+    out = np.empty(len(sv), dtype=np.int64)
+    out[order] = r2_sorted
+    return out
+
+
+def grouped_spearman(ds, key: str, xcol: str, ycol: str,
+                     x_scale: int = 100, y_scale: int = 1,
+                     num_partitions: int = 64):
+    """Spearman rank correlation of two numeric columns per group —
+    Pearson over average ranks, ties mid-ranked — with EXACT integer
+    sufficient statistics end-to-end.
+
+    Twice the average rank is always an integer, so the five sums
+    (Σc·rx, Σc·ry, Σc·rx², Σc·ry², Σc·rx·ry over doubled ranks) fold
+    as exact int64 and the oracle hash can never drift on float order;
+    the final ratio is derived from identical integers with the same
+    expression tree as the SQL twin.
+
+    Scale plan: a joint-histogram pre-fold (ONE composite-key partition
+    exchange, the ``partition_fold`` plan) collapses rows to distinct
+    (key, x, y) triples first, so the per-group ranking pass touches
+    distinct-value counts, not row counts; ``key`` is low-cardinality
+    by contract (same as :func:`grouped_corr`). int64 headroom:
+    Σc·r² ≤ 4n³ ⇒ n ≤ ~1.3e6 rows per group — beyond that, widen to
+    per-group subsampling or float accumulation. Output:
+    (key, n, spearman) — NULL where n < 2 or either rank variance is 0.
+    """
+    import numpy as np
+    import pyarrow.compute as pc2
+
+    def widen(batch: pa.Table) -> pa.Table:
+        x = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(xcol), pa.float64()), float(x_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        y = pc2.cast(
+            pc2.round(pc2.multiply(
+                pc2.cast(batch.column(ycol), pa.float64()), float(y_scale)
+            ), ndigits=0),
+            pa.int64(),
+        )
+        return pa.table({key: batch.column(key), "__x": x, "__y": y})
+
+    hist = partition_fold(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        [key, "__x", "__y"], "__x", fn="count", out_val="c",
+        num_partitions=num_partitions,
+    )
+
+    def stats(group: pa.Table) -> pa.Table:
+        x = group.column("__x").to_numpy(zero_copy_only=False)
+        y = group.column("__y").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        rx = _rank2_weighted(x, c)
+        ry = _rank2_weighted(y, c)
+        return pa.table({
+            key: group.column(key).slice(0, 1),
+            "n": pa.array([int(c.sum())], pa.int64()),
+            "sx": pa.array([int((c * rx).sum())], pa.int64()),
+            "sy": pa.array([int((c * ry).sum())], pa.int64()),
+            "sxx": pa.array([int((c * rx * rx).sum())], pa.int64()),
+            "syy": pa.array([int((c * ry * ry).sum())], pa.int64()),
+            "sxy": pa.array([int((c * rx * ry).sum())], pa.int64()),
+        })
+
+    folded = hist.groupby(key).map_groups(stats, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import math
+
+        n = batch.column("n").to_pylist()
+        sx = batch.column("sx").to_pylist()
+        sy = batch.column("sy").to_pylist()
+        sxx = batch.column("sxx").to_pylist()
+        syy = batch.column("syy").to_pylist()
+        sxy = batch.column("sxy").to_pylist()
+        out = []
+        for i in range(len(n)):
+            nf = float(n[i])
+            vx = nf * float(sxx[i]) - float(sx[i]) * float(sx[i])
+            vy = nf * float(syy[i]) - float(sy[i]) * float(sy[i])
+            if n[i] < 2 or vx * vy <= 0:
+                out.append(None)
+                continue
+            r = (nf * float(sxy[i]) - float(sx[i]) * float(sy[i])) \
+                / math.sqrt(vx * vy)
+            out.append(math.floor(r * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            key: batch.column(key),
+            "n": batch.column("n"),
+            "spearman": pa.array(out, pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 def argmax_per_group(ds, key: str, score_col: str, tiebreak_col: str):
     """One row per key: the row with the LARGEST score (ties broken by
     the smallest tiebreak value — deterministic).

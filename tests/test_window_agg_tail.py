@@ -621,3 +621,63 @@ def test_anchor_text_stage_captures_inner_text(ray_session):
            for r in anchor_text_index(ds).take_all()}
     assert agg[("https://e.org/about", "About Us now")] == 2
     assert agg[("https://e.org/about", "Other text")] == 2
+
+
+def test_grouped_spearman_vs_local_reference(ray_session):
+    """Spearman with mid-rank ties must match a local average-rank
+    Pearson computation; a perfectly monotonic group scores 1.0."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_spearman
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        pos = 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+            pos += j - i
+            i = j
+        return r
+
+    rng = np.random.default_rng(3)
+    rows = []
+    xs = rng.integers(0, 50, 200) / 4.0  # plenty of ties after cents
+    ys = rng.integers(0, 24, 200)
+    for x, y in zip(xs, ys):
+        rows.append({"g": "a", "x": float(x), "y": int(y)})
+    for i in range(40):  # monotonic group
+        rows.append({"g": "b", "x": float(i), "y": i * 2})
+    ds = ray.data.from_items(rows)
+    got = {r["g"]: r for r in grouped_spearman(
+        ds, key="g", xcol="x", ycol="y", x_scale=100, y_scale=1
+    ).take_all()}
+
+    rx, ry = avg_ranks(np.round(xs * 100)), avg_ranks(ys)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got["a"]["spearman"] - expect) < 2e-6
+    assert got["a"]["n"] == 200
+    assert got["b"]["spearman"] == 1.0
+
+
+def test_grouped_spearman_degenerate(ray_session):
+    """Constant column -> NULL; n=1 group -> NULL."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.agg import grouped_spearman
+
+    rows = [{"g": "c", "x": 5.0, "y": i} for i in range(10)]
+    rows.append({"g": "d", "x": 1.0, "y": 1})
+    ds = ray.data.from_items(rows)
+    got = {r["g"]: r for r in grouped_spearman(
+        ds, key="g", xcol="x", ycol="y"
+    ).take_all()}
+    assert got["c"]["spearman"] is None
+    assert got["d"]["spearman"] is None
