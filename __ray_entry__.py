@@ -3000,6 +3000,25 @@ def _q_remove_dup_spans(sf_dir: str):
     )
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS Rabin-boundary rule): per-chunk
+    rows with 1-based start, byte length and chunk md5 — the
+    storage-dedup primitive. Pure per-doc map, no shuffle; VALUE-
+    oracled via the HUGEINT rolling-hash + splitmix64 SQL chain."""
+    from pdf_extractor_ray.functions.fingerprint import cdc_chunks
+
+    return cdc_chunks(_docs(sf_dir), window=16, modulus=64)
+
+
+def _q_cdc_dedup_stats(sf_dir: str):
+    """Storage-dedup profile over the CDC chunks: chunks/bytes before
+    vs after distinct-chunk dedup. One key-space exchange on the chunk
+    hash; ≤64 partial rows fold in a single task."""
+    from pdf_extractor_ray.functions.fingerprint import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(sf_dir), window=16, modulus=64)
+
+
 def _q_dup_span_pairs(sf_dir: str):
     """Exact duplicated-span detection (Lee et al. 2022 shape): doc
     pairs sharing an identical 8-token window, with the distinct
@@ -6447,6 +6466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cross_entropy": _q_doc_cross_entropy,
         "dup_span_pairs": _q_dup_span_pairs,
         "remove_dup_spans": _q_remove_dup_spans,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
         "table_profile_orders": _q_table_profile_orders,
         "events_key_skew": _q_events_key_skew,
         "incremental_ingest": _q_incremental_ingest,
@@ -7105,6 +7126,56 @@ def _splitmix64_ctes(src: str, in_expr: str, out: str, pfx: str) -> str:
         {pfx}4 AS (SELECT *, {mul(pfx + 'z3', c2)} AS {pfx}z4 FROM {pfx}3),
         {pfx}5 AS (SELECT *, xor({pfx}z4, {pfx}z4 >> 31) AS {out}
                    FROM {pfx}4)"""
+
+
+def _cdc_chunk_ctes(window: int = 16, modulus: int = 64) -> str:
+    """Content-defined chunking reconstructed in SQL: the
+    window-byte polynomial rolling hash in HUGEINT mod 2⁶⁴ (ASCII
+    corpus ⇒ ``ascii(substr)`` IS the byte — the DSIR recipe), the
+    splitmix64 finalizer chain, boundary-after-p when h % modulus = 0,
+    and chunk bounds via a per-doc lead window."""
+    big_m = 1 << 64
+    poly_b = 1000003
+    powers = [pow(poly_b, e, big_m) for e in range(window)]
+    terms = " + ".join(
+        f"(CAST(ascii(substr(p, CAST(i + {j} AS INTEGER), 1)) AS HUGEINT)"
+        f" * {powers[window - 1 - j]}) % {big_m}"
+        for j in range(window)
+    )
+    return f"""
+WITH pd AS (
+    SELECT doc_id, coalesce(text, '') AS p FROM documents
+), pos AS (
+    SELECT doc_id, p, unnest(range(1, length(p) - {window} + 2)) AS i
+    FROM pd WHERE length(p) >= {window}
+), hv AS (
+    SELECT doc_id, i, CAST(({terms}) % {big_m} AS UBIGINT) AS sv
+    FROM pos
+),{_splitmix64_ctes("hv", "sv", "h", "cm")},
+cuts AS (
+    SELECT s.doc_id, CAST(s.i + {window} - 1 AS BIGINT) AS cutp
+    FROM cm5 s JOIN pd USING (doc_id)
+    WHERE s.h % {modulus} = 0
+      AND s.i + {window} - 1 < length(pd.p)
+), bounds AS (
+    SELECT doc_id, CAST(0 AS BIGINT) AS s FROM pd WHERE length(p) > 0
+    UNION ALL
+    SELECT doc_id, cutp FROM cuts
+), ch AS (
+    SELECT doc_id, s,
+           lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS e
+    FROM bounds
+), chunks AS (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.doc_id ORDER BY c.s) - 1
+               AS chunk_idx,
+           c.s + 1 AS start,
+           coalesce(c.e, length(pd.p)) - c.s AS chunk_len,
+           md5(substr(pd.p, CAST(c.s + 1 AS INTEGER),
+                      CAST(coalesce(c.e, length(pd.p)) - c.s
+                           AS INTEGER))) AS chunk_md5
+    FROM ch c JOIN pd USING (doc_id)
+)"""
 
 
 _NGRAM_JACCARD_SQL = """
@@ -9685,6 +9756,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM orders
+        """,
+        "cdc_chunks": _cdc_chunk_ctes(16, 64) + """
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(chunk_len AS BIGINT) AS chunk_len,
+                   chunk_md5
+            FROM chunks
+        """,
+        "cdc_dedup_stats": _cdc_chunk_ctes(16, 64) + """
+            , uq AS (
+                SELECT DISTINCT chunk_md5, chunk_len AS l FROM chunks
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_unique,
+                   CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+                   CAST((SELECT sum(l) FROM uq) AS BIGINT)
+                       AS unique_bytes,
+                   round(CAST((SELECT sum(l) FROM uq) AS DOUBLE)
+                         / sum(chunk_len), 6) AS dedup_ratio
+            FROM chunks
         """,
         "remove_dup_spans": r"""
             WITH toks AS (

@@ -54,7 +54,12 @@ from .sample import (  # noqa: F401
     train_shuffle,
     weighted_sample,
 )
-from .fingerprint import winnow_dup_pairs, winnow_fingerprints  # noqa: F401
+from .fingerprint import (  # noqa: F401
+    cdc_chunks,
+    cdc_dedup_stats,
+    winnow_dup_pairs,
+    winnow_fingerprints,
+)
 from .dsir import (  # noqa: F401
     dsir_select,
     dsir_weights,

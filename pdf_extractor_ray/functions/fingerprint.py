@@ -110,3 +110,143 @@ def winnow_dup_pairs(docs_ds, k: int = 25, w: int = 50, min_shared: int = 3,
     return bucket_collision_pairs(
         fp_ds, min_count=min_shared, count_col="n_shared", max_bucket=max_bucket
     )
+
+
+# ---------------------------------------------------- content-defined chunks
+def _cdc_cut_points(text: str, window: int, modulus: int):
+    """1-based cut positions for one document: a chunk boundary falls
+    AFTER byte p when splitmix64(polyhash of the ``window`` bytes
+    ending at p) % ``modulus`` == 0 (expected chunk ≈ ``modulus``
+    bytes). Cuts at the document end are the natural end and dropped.
+    Vectorized: one sliding_window_view × power dot, uint64
+    wraparound. ASCII contract (byte == char) like the DSIR gram
+    hash, so the SQL twin's ``substr``/``ascii`` arithmetic matches
+    byte-for-byte on this corpus."""
+    b = (text or "").encode("utf-8", "surrogatepass")
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    n = len(a)
+    if n < window:
+        return np.array([], np.int64), n
+    powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(a, window)
+    h = mix64((grams * powers).sum(axis=1).astype(np.uint64))
+    ends = np.nonzero(h % np.uint64(modulus) == 0)[0] + window
+    return ends[ends < n].astype(np.int64), n
+
+
+def cdc_chunks(docs_ds, window: int = 16, modulus: int = 64,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Content-defined chunking (the Rabin-fingerprint boundary rule of
+    LBFS, Muthitacharoen et al. 2001): split every document at
+    content-determined byte positions so insertions/deletions only
+    reshuffle NEIGHBORING chunks — the storage-dedup primitive exact
+    fixed-size blocks can't provide. Pure per-doc map (no shuffle);
+    output one row per chunk: ``doc_id, chunk_idx, start (1-based),
+    chunk_len, chunk_md5``. Empty docs emit no rows; docs shorter than
+    ``window`` are one whole-text chunk."""
+    import hashlib
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "chunk_idx": [], "start": [],
+               "chunk_len": [], "chunk_md5": []}
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            t = t or ""
+            cuts, n = _cdc_cut_points(t, window, modulus)
+            if n == 0:
+                continue
+            bounds = np.concatenate([[0], cuts, [n]])
+            for j in range(len(bounds) - 1):
+                s, e = int(bounds[j]), int(bounds[j + 1])
+                out["doc_id"].append(d)
+                out["chunk_idx"].append(j)
+                out["start"].append(s + 1)
+                out["chunk_len"].append(e - s)
+                out["chunk_md5"].append(
+                    hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                )
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "start": pa.array(out["start"], pa.int64()),
+            "chunk_len": pa.array(out["chunk_len"], pa.int64()),
+            "chunk_md5": pa.array(out["chunk_md5"], pa.string()),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        chunk_batch, batch_format="pyarrow"
+    )
+
+
+def cdc_dedup_stats(docs_ds, window: int = 16, modulus: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 64):
+    """Corpus storage-dedup profile over :func:`cdc_chunks`: how many
+    chunks / bytes survive distinct-chunk deduplication. ONE key-space
+    exchange on the chunk hash (16-byte md5 prefix as int64 — the
+    repo's string-fingerprint shuffle idiom); per-partition run
+    detection yields exact distinct counts, a single-task fold sums
+    the ≤ ``num_partitions`` partials. Output (one row):
+    ``n_chunks, n_unique, total_bytes, unique_bytes, dedup_ratio``."""
+    import pyarrow.compute as pc
+
+    chunks = cdc_chunks(docs_ds, window=window, modulus=modulus,
+                        text_col=text_col, id_col=id_col)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        md = batch.column("chunk_md5").to_pylist()
+        key = np.asarray([int(m[:16], 16) for m in md],
+                         dtype=np.uint64).view(np.int64)
+        part = (key.view(np.uint64) % num_partitions).astype(np.int32)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "chunk_len": batch.column("chunk_len"),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    def part_stats(group: pa.Table) -> pa.Table:
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        ln = group.column("chunk_len").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        sk, sl = k[order], ln[order]
+        firsts = np.concatenate([[True], sk[1:] != sk[:-1]])
+        return pa.table({
+            "__g": pa.array([0], pa.int32()),
+            "n_chunks": pa.array([len(sk)], pa.int64()),
+            "n_unique": pa.array([int(firsts.sum())], pa.int64()),
+            "total_bytes": pa.array([int(sl.sum())], pa.int64()),
+            "unique_bytes": pa.array([int(sl[firsts].sum())], pa.int64()),
+        })
+
+    partials = (
+        chunks.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_stats, batch_format="pyarrow")
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        tb = int(pc.sum(group.column("total_bytes")).as_py() or 0)
+        ub = int(pc.sum(group.column("unique_bytes")).as_py() or 0)
+        return pa.table({
+            "n_chunks": pa.array(
+                [int(pc.sum(group.column("n_chunks")).as_py() or 0)],
+                pa.int64()),
+            "n_unique": pa.array(
+                [int(pc.sum(group.column("n_unique")).as_py() or 0)],
+                pa.int64()),
+            "total_bytes": pa.array([tb], pa.int64()),
+            "unique_bytes": pa.array([ub], pa.int64()),
+            "dedup_ratio": pa.array(
+                [round_half_away(ub / tb, 6) if tb else None],
+                pa.float64()),
+        })
+
+    return partials.groupby("__g").map_groups(fold, batch_format="pyarrow")
+
+
+def round_half_away(x: float, digits: int = 6) -> float:
+    """Round half away from zero — DuckDB ``round`` semantics."""
+    import math
+
+    m = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * m + 0.5) / m, x)

@@ -1101,3 +1101,73 @@ def test_label_propagation_local_distributed_parity(ray_session):
             for r in label_propagation(
                 ds, rounds=3, local_max_edges=0).take_all()}
     assert local == dist and len(local) > 0
+
+
+def test_cdc_chunks_reassemble_and_shift_tolerance(ray_session):
+    """Chunks partition the text exactly; an insertion reshuffles only
+    the chunks around the edit point (content-defined boundaries)."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.fingerprint import cdc_chunks
+
+    rng = np.random.default_rng(11)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    base = "".join(letters[i] for i in rng.integers(0, 27, 3000))
+    edited = base[:1500] + "INSERTED-SPAN " + base[1500:]
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": edited},
+        {"doc_id": 3, "text": "tiny"},          # shorter than window
+        {"doc_id": 4, "text": ""},               # no rows
+    ]
+    ds = ray.data.from_items(docs)
+    rows = cdc_chunks(ds, window=16, modulus=64).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r["chunk_idx"])
+    # exact partition of the text, md5s match substrings
+    for doc in docs[:3]:
+        t = doc["text"]
+        ch = by_doc[doc["doc_id"]]
+        assert ch[0]["start"] == 1
+        assert sum(r["chunk_len"] for r in ch) == len(t)
+        pos = 0
+        for r in ch:
+            s, e = pos, pos + r["chunk_len"]
+            assert r["start"] == s + 1
+            assert r["chunk_md5"] == hashlib.md5(
+                t[s:e].encode()).hexdigest()
+            pos = e
+    assert 4 not in by_doc
+    assert len(by_doc[3]) == 1  # short doc = one whole-text chunk
+    # insertion tolerance: the two versions share most chunk hashes
+    h1 = {r["chunk_md5"] for r in by_doc[1]}
+    h2 = {r["chunk_md5"] for r in by_doc[2]}
+    assert len(h1) > 10
+    shared = len(h1 & h2) / len(h1)
+    assert shared > 0.7, f"only {shared:.0%} chunks survived the edit"
+
+
+def test_cdc_dedup_stats_counts(ray_session):
+    """Duplicate docs dedup to one copy's bytes; ratio is exact."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.fingerprint import cdc_dedup_stats
+
+    text = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": text},
+        {"doc_id": 2, "text": text},
+    ])
+    row = cdc_dedup_stats(ds, window=16, modulus=64).take_all()[0]
+    assert row["total_bytes"] == 2 * len(text)
+    # identical docs -> identical chunk streams -> half the bytes (or
+    # less, if the repeated sentence dedups within one doc too)
+    assert row["unique_bytes"] <= len(text)
+    assert row["n_unique"] <= row["n_chunks"] // 2
+    assert 0 < row["dedup_ratio"] <= 0.5
