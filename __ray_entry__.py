@@ -3613,6 +3613,19 @@ def _q_rarest_token_per_doc(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc keyword extraction: top-3 tokens by TF-IDF with
+    round-before-rank ordering (immune to ≤1e-13 cross-library log
+    noise — mathematically equal scores tie exactly and fall to the
+    token tie-break on both sides). Token-space df groupby + one
+    doc-space top-k exchange; vocabulary never broadcasts."""
+    from pdf_extractor_ray.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=3
+    )
+
+
 def _q_quantiles_chars_by_lang(sf_dir: str):
     """Per-language exact length quantiles — grouped histogram-partial
     quantiles (only (lang, value, count) rows move)."""
@@ -6424,6 +6437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "image_phash_dups": _q_image_phash_dups,
         "token_df": _q_token_df,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "events_props_stats": _q_events_props_stats,
         "customers_no_orders": _q_customers_no_orders,
         "urgent_customer_segments": _q_urgent_customer_segments,
@@ -9756,6 +9770,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM orders
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           trim(coalesce(text, ''),
+                                ' ' || chr(9) || chr(10) || chr(13)),
+                           '\s+')) AS tok
+                FROM documents
+            ), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            tfv AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM t2 GROUP BY doc_id, tok
+            ), dfv AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM tfv GROUP BY tok
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), s AS (
+                SELECT tfv.doc_id, tfv.tok AS token, tfv.tf, dfv.df,
+                       floor(CAST(tfv.tf AS DOUBLE)
+                             * ln((SELECT n FROM nn)
+                                  / CAST(dfv.df AS DOUBLE))
+                             * 1e6 + 0.5) / 1e6 AS tfidf
+                FROM tfv JOIN dfv USING (tok)
+            ), r AS (
+                SELECT doc_id, token, tf, df, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC,
+                                                   token ASC) AS rank
+                FROM s
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+                   token, tf, df, tfidf
+            FROM r WHERE rank <= 3
         """,
         "cdc_chunks": _cdc_chunk_ctes(16, 64) + """
             SELECT doc_id,

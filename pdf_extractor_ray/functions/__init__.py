@@ -6,6 +6,7 @@ from .text import (  # noqa: F401
     detect_language,
     doc_unigram_cross_entropy,
     rarest_token_per_doc,
+    tfidf_top_terms,
     inverted_index,
     repetition_stats,
     token_df,

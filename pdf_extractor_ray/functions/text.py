@@ -351,6 +351,90 @@ def rarest_token_per_doc(docs_ds, text_col: str = "text", id_col: str = "doc_id"
     return joined.groupby("doc_id").map_groups(pick, batch_format="pyarrow")
 
 
+def tfidf_top_terms(docs_ds, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", num_partitions: int = 64):
+    """Per-document keyword extraction: the top-``k`` tokens by
+    TF-IDF (``tf · ln(N/df)``), rank ties broken by round-6 score then
+    token ascending — rounding BEFORE ranking makes the order immune
+    to the ≤1e-13 cross-library ``log`` noise (mathematically equal
+    scores like ``2·ln(10)`` vs ``ln(100)`` tie exactly and fall to
+    the token tie-break on both sides).
+
+    Distribution: the token-space df groupby and ONE doc-space
+    exchange for the per-doc top-k — same high-cardinality join plan
+    as :func:`rarest_token_per_doc`; vocabulary never broadcasts.
+    Output: (doc_id, rank 1..k, token, tf, df, tfidf)."""
+    from collections import Counter
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from .dedup import compact_blocks
+    from .joins import hash_join
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for tok, c in Counter((t or "").split()).items():
+                ids.append(d)
+                toks.append(tok)
+                tfs.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tf = compact_blocks(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            explode_tf, batch_format="pyarrow"
+        )
+    )
+    n_docs = float(docs_ds.count())
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(
+        tf, df, "token", "token", ["doc_id", "token", "tf"], ["df"],
+        how="inner",
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        part = (d.view(np.uint64) % num_partitions).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def pick_topk(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = np.asarray(group.column("token").to_pylist())
+        tfv = group.column("tf").to_numpy(zero_copy_only=False)
+        dfv = group.column("df").to_numpy(zero_copy_only=False)
+        score = tfv.astype(np.float64) * np.log(
+            n_docs / dfv.astype(np.float64)
+        )
+        r6 = np.floor(score * 1e6 + 0.5) / 1e6
+        order = np.lexsort((toks, -r6, d))
+        sd = d[order]
+        starts = np.nonzero(np.concatenate([[True], sd[1:] != sd[:-1]]))[0]
+        runlen = np.diff(np.concatenate([starts, [len(sd)]]))
+        rank = np.arange(len(sd)) - np.repeat(starts, runlen) + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(d[sel], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "token": pa.array(toks[sel], pa.string()),
+            "tf": pa.array(tfv[sel], pa.int64()),
+            "df": pa.array(dfv[sel], pa.int64()),
+            "tfidf": pa.array(r6[sel], pa.float64()),
+        })
+
+    return (
+        joined.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pick_topk, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------- cleaning / redaction
 # PII patterns shared with the entity extractor (parsers/standard.py —
 # reference extractor/parsers/standard.py:12-36); RE2 syntax so the

@@ -1171,3 +1171,31 @@ def test_cdc_dedup_stats_counts(ray_session):
     assert row["unique_bytes"] <= len(text)
     assert row["n_unique"] <= row["n_chunks"] // 2
     assert 0 < row["dedup_ratio"] <= 0.5
+
+
+def test_tfidf_top_terms_planted(ray_session):
+    """A token unique to one doc outranks corpus-wide tokens; ranks
+    are 1..k with deterministic tie-breaks."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.text import tfidf_top_terms
+
+    common = "the quick brown fox"
+    docs = [
+        {"doc_id": 1, "text": f"{common} zebra zebra"},
+        {"doc_id": 2, "text": f"{common} yak"},
+        {"doc_id": 3, "text": common},
+        {"doc_id": 4, "text": common},
+    ]
+    ds = ray.data.from_items(docs)
+    rows = tfidf_top_terms(ds, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["rank"]] = r
+    assert by_doc[1][1]["token"] == "zebra"   # tf=2, df=1
+    assert by_doc[1][1]["df"] == 1 and by_doc[1][1]["tf"] == 2
+    assert by_doc[2][1]["token"] == "yak"
+    # doc 3: all tokens have df=4, N=4 -> score 0; tie -> token asc
+    assert by_doc[3][1]["token"] == "brown"
+    assert by_doc[3][1]["tfidf"] == 0.0
+    assert all(set(d) <= {1, 2} for d in by_doc.values())
