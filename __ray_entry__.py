@@ -6174,7 +6174,11 @@ def _q_label_centroids(sf_dir: str):
 
 def _label_centroids_sql(dims: int = 8, scale: int = 10_000) -> str:
     qcols = ", ".join(
-        f"CAST(round(embedding[{i}] * {scale}.0) AS BIGINT) AS q{i}"
+        # CAST to DOUBLE first: DuckDB evaluates FLOAT * DOUBLE in
+        # float32, which can flip the rounded int on near-.5
+        # boundaries (the Ray side quantizes in float64)
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {scale}.0)"
+        f" AS BIGINT) AS q{i}"
         for i in range(1, dims + 1)
     )
     rows = " UNION ALL ".join(
@@ -6210,12 +6214,71 @@ def _q_embedding_covariance(sf_dir: str):
     return embedding_covariance(ds, dims=16, scale=10_000)
 
 
+def _q_jl_project(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) of
+    the 64-dim embeddings to 8 dims — sign matrix DERIVED from
+    splitmix64 (never stored/broadcast), exact int64 matmul at scale
+    10⁴, pure per-batch map with no shuffle. Full-value oracle via the
+    generated splitmix64 sign grid + integer sums in SQL."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import jl_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return jl_project(ds, out_dims=8, dims=64, scale=10_000)
+
+
+def _jl_project_sql(out_dims: int = 8, dims: int = 64,
+                    scale: int = 10_000) -> str:
+    """Generated oracle for ``jl_project``: quantize each component
+    with SQL round (half away — the covariance idiom), reconstruct the
+    ±1 sign grid through the splitmix64 CTE chain over i·1000+j, sum
+    exact integers per (vec, out dim), descale with the identical
+    float expression (IEEE sqrt is correctly rounded ⇒ bit-equal)."""
+    return f"""
+        WITH u AS (
+            SELECT vec_id, embedding AS emb,
+                   unnest(range(1, {dims} + 1)) AS i
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, i,
+                   CAST(round(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE)
+                              * {scale}.0) AS BIGINT) AS q
+            FROM u
+        ), grid AS (
+            SELECT a.range AS i, b.range AS j,
+                   CAST(a.range * 1000 + b.range AS UBIGINT) AS key
+            FROM range(1, {dims} + 1) a CROSS JOIN
+                 range(1, {out_dims} + 1) b
+        ),{_splitmix64_ctes("grid", "key", "h", "jl")},
+        g AS (
+            SELECT i, j,
+                   CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign
+            FROM jl5
+        ), y AS (
+            SELECT q.vec_id, g.j,
+                   CAST(sum(q.q * g.sign) AS BIGINT) AS y
+            FROM q JOIN g USING (i) GROUP BY q.vec_id, g.j
+        )
+        SELECT vec_id, CAST(j AS BIGINT) AS dim,
+               round(CAST(y AS DOUBLE) / {scale}.0
+                     / sqrt({out_dims}.0), 6) AS proj
+        FROM y
+    """
+
+
 def _embedding_cov_sql(dims: int = 16, scale: int = 10_000) -> str:
     """Generated oracle for embedding_covariance: per-row quantization
     (SQL round = half away from zero, same as the Ray side), exact
     int sums, cov in float64 with the IDENTICAL operation order."""
     qcols = ", ".join(
-        f"CAST(round(embedding[{i}] * {scale}.0) AS BIGINT) AS q{i}"
+        # CAST to DOUBLE first: DuckDB evaluates FLOAT * DOUBLE in
+        # float32, which can flip the rounded int on near-.5
+        # boundaries (the Ray side quantizes in float64)
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {scale}.0)"
+        f" AS BIGINT) AS q{i}"
         for i in range(1, dims + 1)
     )
     scols = ", ".join(
@@ -6420,6 +6483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_lift": _q_event_type_lift,
         "readability_scores": _q_readability,
         "embedding_covariance": _q_embedding_covariance,
+        "jl_project": _q_jl_project,
         "embedding_pca": _q_embedding_pca,
         "embedding_label_centroids": _q_label_centroids,
         "salted_revenue_join": _q_salted_revenue_join,
@@ -8445,6 +8509,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_supplier_kcore": _kcore_sql(_PART_SUPP_EDGE_CTE, k=30),
         "embedding_covariance": _embedding_cov_sql(),
+        "jl_project": _jl_project_sql(8, 64, 10_000),
         "embedding_label_centroids": _label_centroids_sql(),
         "lang_detector_agreement": _kappa_sql(),
         # co-citation mirror detection: self-join on shared out-link

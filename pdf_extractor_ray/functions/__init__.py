@@ -95,6 +95,7 @@ from .similarity import (  # noqa: F401
     embedding_near_dups,
     embedding_near_dups_allpairs,
     ivf_topk,
+    jl_project,
 )
 from .agg import (  # noqa: F401
     argmax_per_group,

@@ -1389,3 +1389,60 @@ def label_centroids(ds, col: str = "embedding", label_col: str = "label",
         "n": folded.column("c").cast(pa.int64()),
         "mean": pa.array(mean, pa.float64()),
     })
+
+
+# --------------------------------------------- random projection (JL lemma)
+def jl_project(ds, out_dims: int = 8, dims: int = 64,
+               scale: int = 10_000, id_col: str = "vec_id",
+               col: str = "embedding"):
+    """Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
+    2003) sign matrix: ``y = (X · R) / sqrt(out_dims)`` — the
+    dimensionality-reduction front-end for ANN at scale. The sign
+    matrix is DERIVED, not stored or broadcast: sign(i, j) = low bit
+    of splitmix64(i·1000 + j) (1-based grid), so every worker and the
+    SQL twin reconstruct the identical R.
+
+    Float-parity recipe: inputs are quantized to int64 at ``scale``
+    (half-away rounding, the covariance family's idiom), the projection
+    is an EXACT int64 matmul, and only the final descale touches
+    floats — identical integers ⇒ identical doubles ⇒ identical
+    round-6 output (IEEE sqrt is correctly rounded, so sqrt(k) agrees
+    bit-for-bit too). Pure per-batch map — no shuffle, nothing scales
+    with corpus size. Output: (vec_id, dim 1..out_dims, proj)."""
+    from .joins import mix64
+
+    ii, jj = np.meshgrid(np.arange(1, dims + 1, dtype=np.uint64),
+                         np.arange(1, out_dims + 1, dtype=np.uint64),
+                         indexing="ij")
+    h = mix64(ii.ravel() * np.uint64(1000) + jj.ravel())
+    signs = np.where((h % np.uint64(2)) == 1, 1, -1).astype(
+        np.int64).reshape(dims, out_dims)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(col))
+        if m.shape[0] == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "proj": pa.array([], pa.float64()),
+            })
+        m = m[:, :dims]
+        q = np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(
+            np.int64)
+        y = q @ signs  # exact: |q| ≤ ~2·scale ⇒ |y| ≤ dims·2·scale ≪ 2⁶³
+        n = m.shape[0]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        proj = y.astype(np.float64) / float(scale) \
+            / float(np.sqrt(float(out_dims)))
+        r6 = np.copysign(np.floor(np.abs(proj) * 1e6 + 0.5) / 1e6, proj)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, out_dims), pa.int64()),
+            "dim": pa.array(
+                np.tile(np.arange(1, out_dims + 1, dtype=np.int64), n),
+                pa.int64()),
+            "proj": pa.array(r6.ravel(), pa.float64()),
+        })
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow"
+    )

@@ -1199,3 +1199,34 @@ def test_tfidf_top_terms_planted(ray_session):
     assert by_doc[3][1]["token"] == "brown"
     assert by_doc[3][1]["tfidf"] == 0.0
     assert all(set(d) <= {1, 2} for d in by_doc.values())
+
+
+def test_jl_project_distance_preservation(ray_session, sf_dir):
+    """Deterministic output; pairwise distances roughly preserved
+    (the JL property) for the ±1/sqrt(k) sign projection."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import jl_project
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    rows = jl_project(emb, out_dims=8, dims=64).take_all()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], [0.0] * 8)[r["dim"] - 1] = r["proj"]
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    Y = np.asarray([by_vec[i] for i in ids])
+    assert Y.shape == (len(ids), 8)
+    # squared-norm preservation in expectation: mean ratio near 1
+    nx = (X ** 2).sum(axis=1)
+    ny = (Y ** 2).sum(axis=1)
+    ratio = ny.mean() / nx.mean()
+    assert 0.7 < ratio < 1.3, ratio
+    # determinism: second run identical
+    rows2 = jl_project(emb, out_dims=8, dims=64).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows2))) == \
+        sorted(map(tuple, (r.values() for r in rows)))
