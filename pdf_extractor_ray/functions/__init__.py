@@ -96,6 +96,8 @@ from .similarity import (  # noqa: F401
     embedding_near_dups_allpairs,
     ivf_topk,
     jl_project,
+    jl_project_vectors,
+    jl_query_vectors,
 )
 from .agg import (  # noqa: F401
     argmax_per_group,

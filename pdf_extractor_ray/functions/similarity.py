@@ -1446,3 +1446,53 @@ def jl_project(ds, out_dims: int = 8, dims: int = 64,
     return ds.select_columns([id_col, col]).map_batches(
         project, batch_format="pyarrow"
     )
+
+
+def jl_project_vectors(ds, out_dims: int = 8, dims: int = 64,
+                       id_col: str = "vec_id", col: str = "embedding"):
+    """Wide companion of :func:`jl_project` for downstream similarity
+    kernels: (vec_id, embedding = the projected ``out_dims``-vector as
+    a list column). Same DERIVED ±1 sign matrix; float path — the
+    consumer is a distance kernel, not a value oracle. Pure map."""
+    from .joins import mix64
+
+    ii, jj = np.meshgrid(np.arange(1, dims + 1, dtype=np.uint64),
+                         np.arange(1, out_dims + 1, dtype=np.uint64),
+                         indexing="ij")
+    h = mix64(ii.ravel() * np.uint64(1000) + jj.ravel())
+    signs = np.where((h % np.uint64(2)) == 1, 1.0, -1.0).reshape(
+        dims, out_dims)
+    scale = 1.0 / float(np.sqrt(float(out_dims)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(col))
+        if m.shape[0] == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                col: pa.array([], pa.list_(pa.float64())),
+            })
+        y = (m[:, :dims] @ signs) * scale
+        return pa.table({
+            id_col: batch.column(id_col),
+            col: pa.array(list(y), pa.list_(pa.float64())),
+        })
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def jl_query_vectors(q: np.ndarray, out_dims: int = 8,
+                     dims: int = 64) -> np.ndarray:
+    """Project QUERY vectors with the same derived sign matrix (the
+    driver-side twin of :func:`jl_project_vectors`)."""
+    from .joins import mix64
+
+    ii, jj = np.meshgrid(np.arange(1, dims + 1, dtype=np.uint64),
+                         np.arange(1, out_dims + 1, dtype=np.uint64),
+                         indexing="ij")
+    h = mix64(ii.ravel() * np.uint64(1000) + jj.ravel())
+    signs = np.where((h % np.uint64(2)) == 1, 1.0, -1.0).reshape(
+        dims, out_dims)
+    return (np.asarray(q, dtype=np.float64)[:, :dims] @ signs) \
+        / float(np.sqrt(float(out_dims)))

@@ -1230,3 +1230,35 @@ def test_jl_project_distance_preservation(ray_session, sf_dir):
     rows2 = jl_project(emb, out_dims=8, dims=64).take_all()
     assert sorted(map(tuple, (r.values() for r in rows2))) == \
         sorted(map(tuple, (r.values() for r in rows)))
+
+
+def test_jl_wide_long_parity(ray_session, sf_dir):
+    """The wide (float) and long (quantized) JL paths agree within
+    quantization error; query projection matches the dataset path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.similarity import (
+        jl_project,
+        jl_project_vectors,
+        jl_query_vectors,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    wide = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in jl_project_vectors(emb, out_dims=8).take_all()}
+    long = {}
+    for r in jl_project(emb, out_dims=8).take_all():
+        long.setdefault(r["vec_id"], [0.0] * 8)[r["dim"] - 1] = r["proj"]
+    # long path quantizes inputs at 1e-4: worst-case error is
+    # 64 components x 5e-5 / sqrt(8) ~ 1.1e-3
+    for vid, w in wide.items():
+        assert np.allclose(w, long[vid], atol=1.5e-3)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qp = jl_query_vectors(X[:3], out_dims=8)
+    ids3 = t.column("vec_id").to_pylist()[:3]
+    for row, vid in zip(qp, ids3):
+        assert np.allclose(row, wide[vid], atol=1e-12)
