@@ -1262,3 +1262,55 @@ def test_jl_wide_long_parity(ray_session, sf_dir):
     ids3 = t.column("vec_id").to_pylist()[:3]
     for row, vid in zip(qp, ids3):
         assert np.allclose(row, wide[vid], atol=1e-12)
+
+
+def test_remove_dup_spans_random_property(ray_session):
+    """Randomized cross-check vs a brute-force local reference: for
+    random corpora with planted repeats, the distributed scrub equals
+    the O(n·k) per-doc reference exactly."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.functions.dedup import remove_dup_spans
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    k = 5
+    docs = []
+    for d in range(30):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[i] for i in rng.integers(0, len(vocab), n)]
+        docs.append((d, " ".join(toks)))
+    # plant a shared phrase across two docs
+    phrase = "p1 p2 p3 p4 p5"
+    docs[3] = (3, docs[3][1] + " " + phrase)
+    docs[7] = (7, phrase + " " + docs[7][1])
+
+    # brute-force reference
+    from collections import Counter
+    all_wins = Counter()
+    tok_lists = {}
+    for d, t in docs:
+        toks = t.split()
+        tok_lists[d] = toks
+        for i in range(max(0, len(toks) - k + 1)):
+            all_wins[" ".join(toks[i:i + k])] += 1
+    expect = {}
+    for d, toks in tok_lists.items():
+        n = len(toks)
+        cov = [False] * n
+        for i in range(max(0, n - k + 1)):
+            if all_wins[" ".join(toks[i:i + k])] >= 2:
+                for j in range(i, min(i + k, n)):
+                    cov[j] = True
+        kept = [t for t, c in zip(toks, cov) if not c]
+        expect[d] = (n, sum(cov), " ".join(kept))
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in remove_dup_spans(ds, k=k).take_all()}
+    assert got == expect
+    # sanity: the planted phrase really was scrubbed somewhere
+    assert any(n_rem > 0 for _, n_rem, _ in got.values())
