@@ -613,6 +613,30 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_bm25_index_topk(sf_dir: str):
+    """BM25 against a PERSISTED lexical index (functions/bm25_index.py
+    — the third persisted index after the LSH recrawl index and the
+    IVF ANN index): postings stored hash-bucketed BY TOKEN, so the
+    query reads ONLY its terms' bucket dirs; doc lengths join against
+    candidates only. Tokenization/scoring is EXACTLY ``bm25_topk``'s
+    (idf round-9 before use, fixed term order, score round-6, doc_id
+    tie-break), so its DuckDB oracle applies verbatim and a parity
+    test pins persisted == in-memory."""
+    import tempfile
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.bm25_index import (build_bm25_index,
+                                                        query_bm25_index)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    index_dir = tempfile.mkdtemp(prefix="bm25idx-")
+    build_bm25_index(docs, index_dir, num_buckets=32)
+    return query_bm25_index(["batch", "join", "scan"], index_dir, k=10)
+
+
 def _q_search_snippets(sf_dir: str):
     """Snippet extraction (the search-stack step after ranking): for
     every document containing a query term, the FIRST 15-word window
@@ -6444,6 +6468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "standard_result_flat": _q_standard_result_flat,
         "bm25_topk": _q_bm25_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
         "search_snippets": _q_search_snippets,
         "phrase_search": _q_phrase_search,
         "ql_dirichlet_topk": _q_ql_dirichlet_topk,
@@ -8385,6 +8410,39 @@ def _hll_sql(grouped: bool) -> str:
             + core +
             " SELECT CAST(round(e) AS BIGINT) AS approx_distinct_users"
             " FROM est")
+
+
+_BM25_SQL = """
+WITH pads AS (
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
+           len(str_split(text, ' ')) AS n_words
+    FROM documents
+),
+meta AS (
+    SELECT count(*) AS n, CAST(sum(n_words) AS DOUBLE) / count(*) AS avglen
+    FROM pads
+),
+tf AS (
+    SELECT doc_id, n_words,
+           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
+    FROM pads
+),
+idf AS (
+    SELECT
+        round(ln((m.n - d0.df + 0.5) / (d0.df + 0.5) + 1.0), 9) AS idf0, round(ln((m.n - d1.df + 0.5) / (d1.df + 0.5) + 1.0), 9) AS idf1, round(ln((m.n - d2.df + 0.5) / (d2.df + 0.5) + 1.0), 9) AS idf2,
+        m.avglen, m.n
+    FROM meta m,
+         (SELECT count(*) AS df FROM tf WHERE tf0 > 0) d0, (SELECT count(*) AS df FROM tf WHERE tf1 > 0) d1, (SELECT count(*) AS df FROM tf WHERE tf2 > 0) d2
+)
+SELECT doc_id,
+       round(
+         i.idf0 * ((tf.tf0 * 2.2) / (tf.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf1 * ((tf.tf1 * 2.2) / (tf.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf2 * ((tf.tf2 * 2.2) / (tf.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen)))
+       , 6) AS score
+FROM tf, idf i
+WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11061,37 +11119,8 @@ FROM best WHERE rn = 1 AND cnt > 0
 ORDER BY doc_id
 """,
         # BM25 ranked retrieval, float-parity-by-construction twin
-        "bm25_topk": """
-WITH pads AS (
-    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
-           len(str_split(text, ' ')) AS n_words
-    FROM documents
-),
-meta AS (
-    SELECT count(*) AS n, CAST(sum(n_words) AS DOUBLE) / count(*) AS avglen
-    FROM pads
-),
-tf AS (
-    SELECT doc_id, n_words,
-           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
-    FROM pads
-),
-idf AS (
-    SELECT
-        round(ln((m.n - d0.df + 0.5) / (d0.df + 0.5) + 1.0), 9) AS idf0, round(ln((m.n - d1.df + 0.5) / (d1.df + 0.5) + 1.0), 9) AS idf1, round(ln((m.n - d2.df + 0.5) / (d2.df + 0.5) + 1.0), 9) AS idf2,
-        m.avglen, m.n
-    FROM meta m,
-         (SELECT count(*) AS df FROM tf WHERE tf0 > 0) d0, (SELECT count(*) AS df FROM tf WHERE tf1 > 0) d1, (SELECT count(*) AS df FROM tf WHERE tf2 > 0) d2
-)
-SELECT doc_id,
-       round(
-         i.idf0 * ((tf.tf0 * 2.2) / (tf.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf1 * ((tf.tf1 * 2.2) / (tf.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen))) + i.idf2 * ((tf.tf2 * 2.2) / (tf.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * tf.n_words / i.avglen)))
-       , 6) AS score
-FROM tf, idf i
-WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
-ORDER BY score DESC, doc_id
-LIMIT 10
-""",
+        "bm25_topk": _BM25_SQL,
+        "bm25_index_topk": _BM25_SQL,
         # bucketed-storage join twin: plain equi-join + integer-cents
         # revenue fold
         "bucketed_join_orders": """

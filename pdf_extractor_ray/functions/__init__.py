@@ -160,6 +160,7 @@ from .lsh_index import (  # noqa: F401
     query_lsh_index,
 )
 from .ann_index import build_ivf_index, query_ivf_index  # noqa: F401
+from .bm25_index import build_bm25_index, query_bm25_index  # noqa: F401
 from .agg import mad_by  # noqa: F401
 from .window import funnel_counts  # noqa: F401
 from .agg import partition_fold  # noqa: F401
