@@ -537,6 +537,11 @@ def _q_standard_result_flat(sf_dir: str):
 
 
 def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (see _run_bm25)."""
+    return _run_bm25(sf_dir, limit=10)
+
+
+def _run_bm25(sf_dir: str, limit: int = 10):
     """BM25 ranked retrieval over the documents table for a fixed
     3-term query: one vectorized pass computes per-doc term
     frequencies (double-space token-occurrence kernels) + lengths;
@@ -609,7 +614,7 @@ def _q_bm25_topk(sf_dir: str):
     return (
         tf.map_batches(score, batch_format="pyarrow")
         .sort(["score", "doc_id"], descending=[True, False])
-        .limit(10)
+        .limit(limit)
     )
 
 
@@ -711,6 +716,11 @@ def _q_phrase_search(sf_dir: str):
 
 
 def _q_ql_dirichlet_topk(sf_dir: str):
+    """QL-Dirichlet ranked retrieval (see _run_ql)."""
+    return _run_ql(sf_dir, limit=10)
+
+
+def _run_ql(sf_dir: str, limit: int = 10):
     """Query-likelihood ranking with Dirichlet smoothing (μ=300) — the
     language-modeling sibling of BM25 (Zhai & Lafferty 2001): same
     vectorized tf/length pass, background model = corpus term
@@ -769,8 +779,32 @@ def _q_ql_dirichlet_topk(sf_dir: str):
     return (
         tf.map_batches(score, batch_format="pyarrow")
         .sort(["score", "doc_id"], descending=[True, False])
-        .limit(10)
+        .limit(limit)
     )
+
+
+def _q_rrf_fusion_topk(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the BM25
+    and QL-Dirichlet runs — the standard multi-scorer combiner of a
+    search stack. Fusion depth is the runs' top-100 lists (the
+    real-world contract: RRF fuses RETRIEVED lists, not full
+    rankings), so the fuse step touches 200 constant-size rows however
+    big the corpus is; each run's ranking is the existing distributed
+    oracled machinery. rrf(d) = Σ_runs 1/(60 + rank), ranks from the
+    round-6 scores with the doc_id tie-break — integer ranks ⇒ the
+    identical float expression both sides."""
+    bm = [r["doc_id"] for r in _run_bm25(sf_dir, limit=100).take_all()]
+    ql = [r["doc_id"] for r in _run_ql(sf_dir, limit=100).take_all()]
+    rrf: dict[int, float] = {}
+    for run in (bm, ql):
+        for rank, d in enumerate(run, start=1):
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (60.0 + rank)
+    rows = sorted(
+        ({"doc_id": d, "rrf": round(v, 9)} for d, v in rrf.items()),
+        key=lambda r: (-r["rrf"], r["doc_id"]),
+    )[:10]
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("rrf", pa.float64())]))
 
 
 def _q_mmr_topk(sf_dir: str):
@@ -6472,6 +6506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_search_snippets,
         "phrase_search": _q_phrase_search,
         "ql_dirichlet_topk": _q_ql_dirichlet_topk,
+        "rrf_fusion_topk": _q_rrf_fusion_topk,
         "mmr_topk": _q_mmr_topk,
         "quality_logreg": _q_quality_logreg,
         "boolean_search": _q_boolean_search,
@@ -8443,6 +8478,62 @@ WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+
+
+_QL_SQL = """
+WITH pads AS (
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
+           len(str_split(text, ' ')) AS n_words
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, n_words,
+           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
+    FROM pads
+),
+bg AS (
+    SELECT CAST(sum(n_words) AS BIGINT) AS c,
+           round(CAST(sum(tf0) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p0, round(CAST(sum(tf1) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p1, round(CAST(sum(tf2) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p2
+    FROM tf
+)
+SELECT doc_id,
+       round(
+         ln((tf.tf0 + 300.0 * bg.p0) / (tf.n_words + 300.0)) + ln((tf.tf1 + 300.0 * bg.p1) / (tf.n_words + 300.0)) + ln((tf.tf2 + 300.0 * bg.p2) / (tf.n_words + 300.0))
+       , 6) AS score
+FROM tf, bg
+WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def _rrf_sql(depth: int = 100, kk: int = 60, topk: int = 10) -> str:
+    """Reciprocal-rank-fusion oracle composed from the two run SQLs:
+    each run's full query (nested WITH in a parenthesized subquery) is
+    re-limited to the fusion depth, ranks re-derived with the same
+    (score DESC, doc_id) tie-break, and the fusion sum evaluates the
+    identical left-to-right float expression the driver uses."""
+    bm = _BM25_SQL.strip()
+    ql = _QL_SQL.strip()
+    assert bm.endswith("LIMIT 10") and ql.endswith("LIMIT 10")
+    bm_d = bm[: -len("LIMIT 10")] + f"LIMIT {depth}"
+    ql_d = ql[: -len("LIMIT 10")] + f"LIMIT {depth}"
+    return f"""
+        WITH bm0 AS (SELECT * FROM ({bm_d})),
+        ql0 AS (SELECT * FROM ({ql_d})),
+        bmr AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id) AS r FROM bm0),
+        qlr AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id) AS r FROM ql0),
+        u AS (SELECT doc_id FROM bmr UNION SELECT doc_id FROM qlr)
+        SELECT u.doc_id,
+               round(coalesce(1.0 / ({kk}.0 + b.r), 0.0)
+                     + coalesce(1.0 / ({kk}.0 + q.r), 0.0), 9) AS rrf
+        FROM u LEFT JOIN bmr b USING (doc_id)
+               LEFT JOIN qlr q USING (doc_id)
+        ORDER BY rrf DESC, u.doc_id
+        LIMIT {topk}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11042,31 +11133,8 @@ LEFT JOIN tw ON tw.url = 'https://example.org/'
         """,
         # Dirichlet query-likelihood twin (same parity discipline as
         # bm25: round-12 background probs, row-local fixed-order sums)
-        "ql_dirichlet_topk": """
-WITH pads AS (
-    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
-           len(str_split(text, ' ')) AS n_words
-    FROM documents
-),
-tf AS (
-    SELECT doc_id, n_words,
-           ((length(p) - length(replace(p, ' batch ', ''))) // length(' batch ')) AS tf0, ((length(p) - length(replace(p, ' join ', ''))) // length(' join ')) AS tf1, ((length(p) - length(replace(p, ' scan ', ''))) // length(' scan ')) AS tf2
-    FROM pads
-),
-bg AS (
-    SELECT CAST(sum(n_words) AS BIGINT) AS c,
-           round(CAST(sum(tf0) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p0, round(CAST(sum(tf1) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p1, round(CAST(sum(tf2) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 12) AS p2
-    FROM tf
-)
-SELECT doc_id,
-       round(
-         ln((tf.tf0 + 300.0 * bg.p0) / (tf.n_words + 300.0)) + ln((tf.tf1 + 300.0 * bg.p1) / (tf.n_words + 300.0)) + ln((tf.tf2 + 300.0 * bg.p2) / (tf.n_words + 300.0))
-       , 6) AS score
-FROM tf, bg
-WHERE tf.tf0 + tf.tf1 + tf.tf2 > 0
-ORDER BY score DESC, doc_id
-LIMIT 10
-""",
+        "ql_dirichlet_topk": _QL_SQL,
+        "rrf_fusion_topk": _rrf_sql(100, 60, 10),
         # boolean retrieval twin over the same double-space padding
         "boolean_search": """
             WITH p AS (

@@ -68,3 +68,30 @@ def test_bm25_index_reads_only_term_buckets(ray_session):
     parts = glob.glob(os.path.join(d, "postings", "bucket=*",
                                    "*.parquet"))
     assert parts
+
+
+def test_rrf_fusion_semantics(ray_session, sf_dir):
+    """RRF: a doc high in both runs outranks a doc high in only one;
+    scores equal the hand formula over the two run rankings."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod2", os.path.join(os.path.dirname(__file__), "..",
+                                   "__ray_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    q = entry.queries()
+
+    bm = [r["doc_id"] for r in entry._run_bm25(sf_dir, limit=100).take_all()]
+    ql = [r["doc_id"] for r in entry._run_ql(sf_dir, limit=100).take_all()]
+    expect = {}
+    for run in (bm, ql):
+        for rank, d in enumerate(run, start=1):
+            expect[d] = expect.get(d, 0.0) + 1.0 / (60.0 + rank)
+    top = sorted(expect.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+
+    got = [(r["doc_id"], r["rrf"])
+           for r in q["rrf_fusion_topk"](sf_dir).to_pylist()]
+    assert got == [(d, round(v, 9)) for d, v in top]
+    assert len(got) == 10
